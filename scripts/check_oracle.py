@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle compare.
+
+Usage: check_oracle.py <verify_out_dir> <sf_dir>
+Reads <out>/oracle_sql.json, registers each testdata parquet as a DuckDB
+view, runs each oracle SQL, and compares (rows, schema-ish, values) against
+<out>/<name>/ parquet written by graft.Verify.
+"""
+import json, sys, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
+    return df
+
+def cell_eq(a, b):
+    if a is None and b is None: return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b): return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b): return True
+        if pd.isna(a) != pd.isna(b): return False
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        a = list(a) if a is not None else None
+        b = list(b) if b is not None else None
+        if a is None or b is None or len(a) != len(b): return False
+        return all(cell_eq(x, y) for x, y in zip(a, b))
+    import decimal
+    if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
+        return decimal.Decimal(str(a)) == decimal.Decimal(str(b))
+    if hasattr(a, "timestamp") and hasattr(b, "timestamp"):
+        return a == b
+    return a == b or str(a) == str(b)
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            exp = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        try:
+            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}"); n_fail += 1; continue
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(exp.columns)}"); n_fail += 1; continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}"); n_fail += 1; continue
+        bad = None
+        for i in range(len(exp)):
+            for c in exp.columns:
+                if not cell_eq(got[c].iloc[i], exp[c].iloc[i]):
+                    bad = (i, c, got[c].iloc[i], exp[c].iloc[i]); break
+            if bad: break
+        if bad:
+            i, c, g, e = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={g!r} oracle={e!r}"); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(exp)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+main()
