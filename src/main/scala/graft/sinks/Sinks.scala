@@ -1,0 +1,49 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sink-side semantics (SURVEY.md §2.2 K1/K2 and §2.4 C6).
+  *
+  * K1 — the reference appends each micro-batch with SQLAlchemy `to_sql`
+  * (reference: etl.py:181-187). K2 — the Cassandra sink's CQL INSERT is an
+  * upsert on PK `id` (reference: cassandra-init.cql:4,10,19,28,40), which
+  * is what makes the pipeline's at-least-once delivery idempotent
+  * (reference: docker-compose.yml:52-54).
+  */
+object Sinks {
+
+  /** K2: keyed last-wins upsert image. Deterministic survivor per key:
+    * the row with the greatest `(orderCols)` tuple wins (e.g. latest
+    * `ts_ms`, then highest id). One shuffle on the key — at 100 TB this is
+    * a single hash exchange, and AQE handles key skew; never a driver
+    * collect.
+    */
+  def upsertLastWins(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(orderCols.map(c => col(c).desc).toIndexedSeq: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** K1: append a batch to a parquet "table" directory — the harness's
+    * stand-in for `df.write.format("jdbc").mode("append")`; same semantics
+    * (blind append, no keys). JDBC option shape kept for documentation:
+    * batchsize maps to the reference sink's 32-record batches
+    * (reference: cassandra-sink-config.json:11).
+    */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** C6: foreachBatch writer for streaming — dedup-by-key within the batch
+    * (redelivered records collapse), then append. With checkpointing this
+    * gives at-least-once delivery to an idempotent keyed sink, the
+    * reference's end-to-end contract (SURVEY.md §2.4 C6).
+    */
+  def idempotentBatchWriter(keys: Seq[String], orderCols: Seq[String], path: String)
+      : (Dataset[Row], Long) => Unit = { (batch, _) =>
+    appendParquet(upsertLastWins(batch.toDF(), keys, orderCols), path)
+  }
+}
