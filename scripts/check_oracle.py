@@ -8,6 +8,7 @@ view, runs each oracle SQL, and compares (rows, schema-ish, values) against
 """
 import json, sys, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -15,10 +16,19 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
-    return df
+    # Sort on stringified cells: robust to ndarray/list cells and mixed
+    # None/str/int object columns that raw sort_values would crash on.
+    def cell_key(v):
+        if isinstance(v, np.ndarray): v = v.tolist()
+        return repr(v)
+    key = df.apply(lambda row: tuple(cell_key(v) for v in row), axis=1) \
+        if len(df) else pd.Series([], dtype=object)
+    order = key.sort_values(kind="mergesort").index if len(df) else df.index
+    return df.loc[order].reset_index(drop=True)
 
 def cell_eq(a, b):
+    if isinstance(a, np.ndarray): a = a.tolist()
+    if isinstance(b, np.ndarray): b = b.tolist()
     if a is None and b is None: return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b): return True

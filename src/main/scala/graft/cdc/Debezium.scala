@@ -58,6 +58,16 @@ object Debezium {
       .where(col("e.op").isin(upsertOps: _*))
       .select(col("e.after.*"))
 
+  /** C2 variant keeping envelope metadata (`ts_ms`, `op`) alongside the
+    * row image — the input the keyed upsert sink needs to pick a
+    * last-wins survivor on redelivery (SURVEY.md §2.4 C6).
+    */
+  def unwrapWithMeta(raw: DataFrame, row: StructType, valueCol: String = "value"): DataFrame =
+    raw
+      .select(from_json(col(valueCol).cast(StringType), envelopeSchema(row)).as("e"))
+      .where(col("e.op").isin(upsertOps: _*))
+      .select(col("e.after.*"), col("e.ts_ms"), col("e.op"))
+
   /** Topic naming: `<serverName>.public.<table>`
     * (reference: debezium-config.json:10; cassandra-sink-config.json:6).
     */

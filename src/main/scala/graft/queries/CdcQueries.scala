@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.Debezium
+import graft.schemas.Catalog
+import graft.sinks.Sinks
+
+/** Judged queries for the CDC/sink surface (SURVEY.md §2.2 K2/K3, §2.4
+  * C1–C4, C7). Envelopes are synthesized from testdata rows with
+  * [[Debezium.wrap]] (the engine's fixture-side C1), then consumed by the
+  * same unwrap/route/map/upsert code the streaming pipeline uses — so the
+  * DuckDB oracle can state the end-to-end result directly over the base
+  * tables.
+  */
+object CdcQueries {
+  import Tables._
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1+C2: envelope round-trip with op filter — create/read/update kept,
+    // delete dropped (reference: cassandra-sink-config.json:19-20)
+    "c2_unwrap" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val op = when(col("o_orderstatus") === "O", "c")
+        .when(col("o_orderstatus") === "F", "r").otherwise("d")
+      val enveloped = Debezium.wrap(o, op, "orders",
+        unix_millis(col("o_orderdate").cast("timestamp")))
+      Debezium.unwrap(enveloped, o.schema)
+    }),
+
+    // C3+C4: multiplexed two-table CDC feed → route on topic → per-topic
+    // field mapping (reference: cassandra-sink-config.json:6,14-18)
+    "c3_route_map" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val feed =
+        Debezium.wrap(n, lit("c"), "nation", lit(1L))
+          .withColumn("topic", lit(Debezium.topicFor("nation")))
+          .unionByName(
+            Debezium.wrap(r, lit("c"), "region", lit(1L))
+              .withColumn("topic", lit(Debezium.topicFor("region"))))
+      val routed = Debezium.routeTable(feed, "nation")
+      Debezium.mappingSelect(
+        Debezium.unwrap(routed, n.schema),
+        Seq("n_nationkey" -> "nation_id", "n_name" -> "name",
+            "n_regionkey" -> "region_id"))
+    }),
+
+    // C7+K2: snapshot (op=r) unioned with a later update stream (op=u),
+    // then keyed last-wins upsert — the Cassandra PK-upsert semantics
+    // (reference: debezium-config.json:15; cassandra-init.cql:4)
+    "c7_snapshot_upsert" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val snapshot = Debezium.wrap(c, lit("r"), "customer", lit(0L))
+      val updates = Debezium.wrap(
+        c.where(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0),
+        lit("u"), "customer", lit(1L))
+      val merged = Sinks.upsertLastWins(
+        Debezium.unwrapWithMeta(
+          Debezium.snapshotThenStream(snapshot, updates), c.schema),
+        keys = Seq("c_custkey"), orderCols = Seq("ts_ms"))
+      merged.select(c.columns.map(col).toIndexedSeq: _*)
+    }),
+
+    // K2 alone: last-wins upsert over a natural key on testdata — keep the
+    // final lineitem per order (reference: cassandra-init.cql upsert-by-PK)
+    // orderCols form a total order over the projected columns so the
+    // survivor is deterministic even with duplicate line numbers
+    "k2_upsert" -> ((s, dir) =>
+      Sinks.upsertLastWins(t(s, dir, "lineitem"),
+        keys = Seq("l_orderkey"),
+        orderCols = Seq("l_linenumber", "l_partkey", "l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")),
+
+    // K3: the declared five-table schema catalog as an
+    // information_schema-style relation (reference: init-db.sql:3-49)
+    "k3_catalog" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.ddlRows.toDF("table_name", "column_name", "data_type", "ordinal")
+    }))
+
+  private val k3Values: String = Catalog.ddlRows
+    .map { case (t, c, d, i) => s"('$t','$c','$d',$i)" }
+    .mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "c2_unwrap" ->
+      "SELECT * FROM orders WHERE o_orderstatus IN ('O', 'F')",
+    "c3_route_map" ->
+      """SELECT n_nationkey AS nation_id, n_name AS name,
+         n_regionkey AS region_id FROM nation""",
+    "c7_snapshot_upsert" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+           AS c_acctbal,
+         c_mktsegment FROM customer""",
+    "k2_upsert" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+         QUALIFY row_number() OVER
+           (PARTITION BY l_orderkey
+            ORDER BY l_linenumber DESC, l_partkey DESC, l_quantity DESC) = 1""",
+    "k3_catalog" ->
+      s"""SELECT * FROM (VALUES $k3Values)
+          AS t(table_name, column_name, data_type, ordinal)""")
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Testdata table loaders + cross-engine determinism helpers.
+  *
+  * Every judged query must hash-match a DuckDB oracle on the same parquet
+  * (TESTDATA.md). Two engine-difference hazards are handled centrally:
+  *
+  *  1. `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+  *     rejects; we read it as epoch-nanos long
+  *     (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+  *     microseconds — the exact value DuckDB produces with
+  *     `CAST(ts AS TIMESTAMP)`.
+  *  2. Double aggregation order differs between engines (and between runs
+  *     of a parallel engine), so judged sums go through exact,
+  *     order-independent decimal arithmetic: cast each term to a decimal
+  *     whose scale matches the data's true decimal structure (money/qty
+  *     columns are 2-decimal; two-factor products 4; three-factor 6), sum
+  *     exactly, cast the total back to double. Identical in any engine at
+  *     any parallelism — this is also the right 100 TB answer, since it
+  *     makes results independent of partitioning and retries.
+  */
+object Tables {
+
+  /** One parquet table from the sf dir. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with ts normalized to microsecond TimestampType (see above). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact decimal image of a double column at the data's decimal scale. */
+  def dec(c: Column, scale: Int): Column = c.cast(DecimalType(38, scale))
+
+  /** Order-independent sum of a double column: exact decimal sum → double. */
+  def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast(DoubleType)
+
+  /** Decimal-typed sum (for ratios computed in double afterwards). */
+  def dsumDec(c: Column, scale: Int): Column = sum(dec(c, scale))
+}
