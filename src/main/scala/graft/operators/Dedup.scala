@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for LLM-data pipelines (north star §2.6):
+  * exact, MinHash+LSH banding, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB): every path is group-by/join on a derived key —
+  * never an all-pairs comparison. Exact dedup is one hash exchange on the
+  * key; MinHash banding turns near-dup search into an equi-join on band
+  * buckets (candidate pairs only); SimHash reduces a document to one
+  * 32-bit key groupable/joinable at any scale. The only quadratic
+  * operator, [[ngramJaccardPairs]], is for verifying candidate pairs and
+  * must be fed a bounded candidate set (e.g. LSH bucket mates), not a
+  * corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row (min of `keep`) per equal `key`, with the
+    * duplicate count — `dropDuplicates` plus lineage. One shuffle.
+    */
+  def exact(df: DataFrame, key: Column, keep: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(keep).as("kept"), count(lit(1)).as("n_copies"))
+
+  /** k MinHash signatures over a shingle array column. Each signature is
+    * the lexicographic min of a salted md5 over the shingles — engine-
+    * portable (any md5 implementation agrees) and order-independent.
+    */
+  def minhashSignatures(shingles: Column, k: Int): Seq[Column] =
+    (0 until k).map { j =>
+      array_min(transform(shingles,
+        s => md5(concat(lit(s"$j|"), s).cast(BinaryType)))).as(s"sig_$j")
+    }
+
+  /** LSH band keys from minhash signature columns: `bands` groups of
+    * `rowsPerBand` signatures hashed together. Docs sharing any band key
+    * are near-dup candidates.
+    */
+  def bandKeys(sigCols: Seq[Column], bands: Int): Seq[Column] = {
+    val rowsPerBand = sigCols.size / bands
+    (0 until bands).map { b =>
+      md5(concat(sigCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
+        .cast(BinaryType)).as(s"band_$b")
+    }
+  }
+
+  /** MinHash-LSH candidate pairs: df must carry an id column and a
+    * shingle array column. Returns distinct (id_a, id_b) with id_a < id_b
+    * sharing at least one band. Equi-join on the band key — shuffle on
+    * band, no cross join.
+    */
+  def minhashCandidatePairs(df: DataFrame, id: String, shingles: String,
+                            k: Int = 8, bands: Int = 4): DataFrame = {
+    val sigs = df.select(col(id) +: minhashSignatures(col(shingles), k): _*)
+    val banded = sigs.select(
+      col(id) +: bandKeys((0 until k).map(j => col(s"sig_$j")), bands): _*)
+    val long = banded.select(col(id), explode(array(
+      (0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+    val a = long.as("a")
+    val b = long.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over a token array: per token take 32 bits of md5;
+    * each bit position accumulates +1/-1; the sign vector is the hash.
+    * Pure expression tree (transform/aggregate over the bit positions) —
+    * no UDF, no shuffle.
+    */
+  def simhash(tokens: Column): Column = {
+    // 32-bit token hash from the first 8 md5 hex chars
+    val tokHash = (t: Column) =>
+      conv(substring(md5(t.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+    val bitSums = (0 until 32).map { j =>
+      aggregate(tokens, lit(0L),
+        (acc, t) => acc +
+          when(shiftright(tokHash(t), j) % 2 === 1, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhashes (for near-dup thresholding). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard similarity for a bounded candidate-pair set.
+    * `df(id)`, `df(shingles)` (pre-distinct shingle arrays). Computes
+    * |A∩B| / |A∪B| via explode + equi-join on shingle — for candidate
+    * verification, not corpus-wide search.
+    */
+  def ngramJaccardPairs(df: DataFrame, id: String, shingles: String): DataFrame = {
+    val sh = df.select(col(id).as("doc"), explode(col(shingles)).as("s"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col("na.doc"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.doc"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast(DoubleType) /
+          (col("na.n") + col("nb.n") - col("n_common"))).as("jaccard"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector-similarity search over embedding columns (north star §2.6).
+  *
+  * Scale design (100 TB): [[bruteForceTopK]] against a single query
+  * vector is a narrow map + TakeOrdered — linear scan, no shuffle, fine
+  * at any corpus size for one query. All-pairs / many-query search must
+  * go through [[lshBuckets]]: sign-random-projection buckets turn the
+  * search into a bucket equi-join (candidates only). Never cross-join a
+  * corpus against itself.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length float-array columns, accumulated in
+    * double via a codegen-friendly fold (deterministic: array order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, p) => acc + p)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in plain double arithmetic. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Engine-portable cosine: element products are computed in double
+    * (IEEE-identical anywhere), quantized to fixed-point longs via
+    * `floor(p · 1e7)` (floor of an identical double is identical
+    * everywhere — no rounding-mode ambiguity), summed exactly as longs
+    * (order-independent), and only then returned to double. Matches any
+    * engine that follows the same recipe bit-for-bit — used by the
+    * judged oracle query; quantization loss is ~1e-7 per element.
+    */
+  def cosineExact(a: Column, b: Column): Column = {
+    val scale = 1e7
+    def fsum(arr: Column): Column =
+      aggregate(arr, lit(0L),
+        (acc, p) => acc + floor(p * scale).cast(LongType))
+        .cast(DoubleType) / scale
+    val dotD = fsum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
+    val naD = fsum(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)))
+    val nbD = fsum(transform(b, x => x.cast(DoubleType) * x.cast(DoubleType)))
+    dotD / (sqrt(naD) * sqrt(nbD))
+  }
+
+  /** Brute-force top-k most-similar rows to one query vector.
+    * Plan: scan → map (cosine) → TakeOrderedAndProject. No exchange.
+    */
+  def bruteForceTopK(corpus: DataFrame, id: String, vec: String,
+                     query: Seq[Float], k: Int,
+                     scorer: (Column, Column) => Column = cosine): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    corpus
+      .select(col(id), scorer(col(vec), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane component for plane `j`,
+    * dimension `i` — seeded by md5, so every executor (and any engine)
+    * derives the same planes with no driver-side state.
+    */
+  private def planeSign(j: Int, i: Column): Column =
+    when(conv(substring(md5(concat(lit(s"plane$j|"), i.cast(StringType))
+      .cast(BinaryType)), 1, 4), 16, 10).cast(LongType) % 2 === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** Sign-random-projection LSH bucket id over `nPlanes` hyperplanes:
+    * bucket = bit vector of sign(v · plane_j). Vectors in the same bucket
+    * are ANN candidates. Pure expression — the 100 TB path hashes the
+    * corpus once, then joins queries to bucket mates only.
+    */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast(DoubleType) * planeSign(j, i)),
+        lit(0.0), (acc, p) => acc + p)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN top-k for one query vector: restrict the scan to the
+    * query's LSH bucket, then exact cosine within it. Recall < 1 by
+    * construction; widen with multi-probe (nPlanes↓) when needed.
+    */
+  def lshTopK(corpus: DataFrame, id: String, vec: String,
+              query: Seq[Float], k: Int, nPlanes: Int = 8): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    corpus
+      .withColumn("__bucket", lshBucket(col(vec), nPlanes))
+      .where(col("__bucket") === lshBucket(q, nPlanes))
+      .select(col(id), cosine(col(vec), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
+}

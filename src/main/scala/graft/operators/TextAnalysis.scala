@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM-data pipelines (north star §2.6):
+  * tokenization, quality scoring, language ID, token counting, document
+  * fingerprinting. All are pure Column expressions — whole-stage-codegen
+  * friendly, no UDFs — so at 100 TB they run as a narrow map stage fused
+  * into the parquet scan.
+  */
+object TextAnalysis {
+
+  /** Word tokens: lowercase, split on non-alphanumerics, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace-ish token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single
+    * punctuation — the shape of a byte-pair pre-tokenizer's word split.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Fraction of characters that are neither alphanumeric nor space. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(lower(text), "[a-z0-9 ]", "")))
+      .cast(DoubleType) / length(text)
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val tk = tokens(text)
+    size(filter(tk, t => t.isInCollection(stopwords))).cast(DoubleType) /
+      size(tk)
+  }
+
+  /** Per-language stopword marker sets for the n-gram/stopword language
+    * heuristic. Deliberately tiny: language ID here is a scoring shape,
+    * not a model.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "una", "por"))
+
+  /** Number of tokens hitting a marker set. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** Deterministic argmax over [[langMarkers]] scores (first language in
+    * list order wins ties) — 'und' (undetermined) when nothing hits.
+    */
+  def detectLang(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), alt) =>
+      when(s === best && s > 0, lit(l)).otherwise(alt)
+    }
+    pick
+  }
+
+  /** Canonical-form document fingerprint: md5 of the text stripped to
+    * lowercase alphanumerics. Equal fingerprints = exact near-identity
+    * (whitespace/punctuation-insensitive duplicate).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", "").cast(BinaryType))
+
+  /** Distinct character n-gram shingles (for Jaccard similarity).
+    * Guarded: Spark's `sequence(1, 0)` counts DOWN, so short texts must
+    * short-circuit to an empty array.
+    */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), length(text) - (n - 1)),
+          i => lower(text).substr(i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Distinct word-bigram shingles (for MinHash). */
+  def wordShingles(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) > 1,
+      array_distinct(transform(
+        sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Composite quality score features (length / punctuation / stopword
+    * ratios) — the standard cheap pre-filter for LLM training corpora.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> tokenCount(text),
+    "n_bpe_tokens" -> bpeTokenCount(text),
+    "avg_token_len" ->
+      (length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast(DoubleType)
+        / tokenCount(text)),
+    "punct_ratio" -> punctRatio(text),
+    "stopword_ratio" -> stopwordRatio(text, langMarkers.flatMap(_._2)))
+}

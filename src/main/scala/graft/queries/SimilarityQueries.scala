@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Judged queries for similarity search (north star §2.6 E2) over
+  * `embeddings` (64-dim float vectors).
+  *
+  * `e2_topk` carries a full value oracle via [[Similarity.cosineExact]]
+  * (decimal-quantized, engine-portable arithmetic). `e2_topk_double` is
+  * the production double-arithmetic operator — same top-k structure,
+  * declared without SQL oracle since cross-engine float summation order
+  * differs. `e2_lsh_topk` is the bucketed ANN scale path.
+  */
+object SimilarityQueries {
+  import Tables._
+
+  /** The query vector: embeddings row vec_id=0, as a broadcast 1-row
+    * frame (no driver collect; at 100 TB this is a broadcast of 256
+    * bytes).
+    */
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    broadcast(t(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(col("embedding").as("qe")))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-10 with engine-portable decimal arithmetic
+    "e2_topk" -> ((s, dir) =>
+      t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .crossJoin(queryVec(s, dir))
+        .select(col("vec_id"),
+          Similarity.cosineExact(col("embedding"), col("qe")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)),
+
+    // Production double-arithmetic variant (rows-only check):
+    // scan → map → TakeOrderedAndProject, no exchange
+    "e2_topk_double" -> ((s, dir) =>
+      t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .crossJoin(queryVec(s, dir))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qe")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)),
+
+    // LSH-bucketed ANN: corpus hashed once, search confined to the
+    // query's bucket (rows-only check; recall-vs-cost documented)
+    "e2_lsh_topk" -> ((s, dir) => {
+      val withBucket = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .withColumn("__bucket", Similarity.lshBucket(col("embedding"), 4))
+      withBucket
+        .join(queryVec(s, dir).select(col("qe"),
+          Similarity.lshBucket(col("qe"), 4).as("__qbucket")),
+          col("__bucket") === col("__qbucket"))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qe")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }))
+
+  private val prodSql = (a: String, b: String) =>
+    s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e7) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "e2_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          p AS (SELECT e.vec_id,
+              SUM(${prodSql("e.embedding[g.i]", "q.qe[g.i]")}) AS dotf,
+              SUM(${prodSql("e.embedding[g.i]", "e.embedding[g.i]")}) AS naf,
+              SUM(${prodSql("q.qe[g.i]", "q.qe[g.i]")}) AS nqf
+            FROM embeddings e, q, generate_series(1, 64) AS g(i)
+            WHERE e.vec_id <> 0
+            GROUP BY e.vec_id)
+          SELECT vec_id, (CAST(dotf AS DOUBLE) / 1e7) /
+              (sqrt(CAST(naf AS DOUBLE) / 1e7) * sqrt(CAST(nqf AS DOUBLE) / 1e7))
+            AS cosine
+          FROM p ORDER BY cosine DESC, vec_id LIMIT 10""")
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Judged queries for the text-analysis operator set (north star §2.6 E4)
+  * over the `documents` table, all through [[graft.operators.TextAnalysis]]
+  * expressions with full DuckDB oracles.
+  */
+object TextQueries {
+  import Tables._
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Term frequency: tokenize → explode → count; top-100 deterministic
+    "e4_tf" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100)),
+
+    // Quality-score features per document
+    "e4_quality" -> ((s, dir) => {
+      val cols = TextAnalysis.qualityFeatures(col("text"))
+        .map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(col("doc_id") +: cols: _*)
+    }),
+
+    // Language-ID heuristic (stopword-marker argmax)
+    "e4_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.detectLang(col("text")).as("detected"))),
+
+    // Token counting: whitespace-ish + BPE-ish regex segmentation
+    "e4_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    // Document fingerprint (canonical-form md5)
+    "e4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))))
+
+  private val markerSql = TextAnalysis.langMarkers.map { case (l, ms) =>
+    l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+  }.toMap
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "e4_tf" ->
+      s"""SELECT token, count(*) AS n
+          FROM (SELECT unnest($tokensSql) AS token FROM documents)
+          GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    "e4_quality" -> {
+      val all = TextAnalysis.langMarkers.flatMap(_._2)
+        .map(m => s"'$m'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+          len($tokensSql) AS n_tokens,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            AS n_bpe_tokens,
+          CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+            / len($tokensSql) AS avg_token_len,
+          CAST(len(text) - len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+            AS DOUBLE) / len(text) AS punct_ratio,
+          CAST(len(list_filter($tokensSql, x -> list_contains($all, x)))
+            AS DOUBLE) / len($tokensSql) AS stopword_ratio
+          FROM documents"""
+    },
+    "e4_langid" -> {
+      val score = (l: String) =>
+        s"len(list_filter($tokensSql, x -> list_contains(${markerSql(l)}, x)))"
+      s"""WITH sc AS (SELECT doc_id,
+            ${score("en")} AS s_en, ${score("de")} AS s_de,
+            ${score("fr")} AS s_fr, ${score("es")} AS s_es
+          FROM documents)
+          SELECT doc_id, CASE
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0
+              THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+            WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'und' END AS detected
+          FROM sc"""
+    },
+    "e4_tokens" ->
+      s"""SELECT doc_id, len($tokensSql) AS n_ws,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            AS n_bpe
+          FROM documents""",
+    "e4_fingerprint" ->
+      """SELECT doc_id,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+         FROM documents""")
+}
