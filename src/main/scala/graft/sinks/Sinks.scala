@@ -46,4 +46,14 @@ object Sinks {
       : (Dataset[Row], Long) => Unit = { (batch, _) =>
     appendParquet(upsertLastWins(batch.toDF(), keys, orderCols), path)
   }
+
+  /** Read-side upsert view of an appended sink log: last-wins per key
+    * across all appended batches — the parquet analog of Cassandra's
+    * SSTable-append + read-path merge, which is exactly how the
+    * reference's sink turns at-least-once redelivery into upserts. Run
+    * periodically as compaction at scale.
+    */
+  def sinkState(spark: org.apache.spark.sql.SparkSession, path: String,
+                keys: Seq[String], orderCols: Seq[String]): DataFrame =
+    upsertLastWins(spark.read.parquet(path), keys, orderCols)
 }

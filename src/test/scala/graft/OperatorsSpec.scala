@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Unit tests for the LLM-pipeline operator set (north star §2.6). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecDf(vs: (Long, Seq[Float])*) =
+    vs.toSeq.toDF("vec_id", "embedding")
+
+  test("cosine(v, v) = 1 ± ε; orthogonal = 0") {
+    val df = vecDf(1L -> Seq(1f, 2f, 3f))
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
+    val ortho = Seq((Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(ortho.as[Double].head() === 0.0)
+  }
+
+  test("cosineExact tracks double cosine within quantization error") {
+    val df = vecDf(1L -> Seq(0.31f, -0.45f, 0.12f, 0.09f),
+      2L -> Seq(-0.11f, 0.41f, 0.33f, -0.27f))
+    val both = df.crossJoin(df.select(col("embedding").as("e2"),
+        col("vec_id").as("v2")))
+      .select(Similarity.cosine(col("embedding"), col("e2")).as("d"),
+        Similarity.cosineExact(col("embedding"), col("e2")).as("x"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (d, x) => assert(math.abs(d - x) < 1e-4) }
+  }
+
+  test("bruteForceTopK returns k rows, descending, self excluded by caller") {
+    val corpus = vecDf((1L to 20L).map(i =>
+      i -> Seq(i.toFloat, (21 - i).toFloat, 1f)): _*)
+    val out = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      Seq(20f, 1f, 1f), k = 5)
+    val rows = out.as[(Long, Double)].collect()
+    assert(rows.length === 5)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.reverse.toSeq)
+    assert(rows.head._1 === 20L) // most aligned with the query
+  }
+
+  test("lshTopK results agree with brute-force scores for returned ids") {
+    val corpus = vecDf((1L to 30L).map(i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 7 + j).toFloat)): _*)
+    val q = Seq.tabulate(8)(j => math.sin(7 + j).toFloat) // ≈ vector 1
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 30)
+      .as[(Long, Double)].collect().toMap
+    val ann = Similarity.lshTopK(corpus, "vec_id", "embedding", q, 5, nPlanes = 4)
+      .as[(Long, Double)].collect()
+    assert(ann.nonEmpty && ann.length <= 5)
+    ann.foreach { case (id, c) => assert(math.abs(brute(id) - c) < 1e-12) }
+    assert(ann.map(_._1).contains(1L)) // the near-identical vector survives
+  }
+
+  test("exact dedup counts copies and keeps min id (E1)") {
+    val docs = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .orderBy("dedup_key").collect()
+    assert(out.toSeq === Seq(Row("aa", 1L, 2L), Row("bb", 2L, 1L)))
+  }
+
+  test("minhash signatures are order-independent and identity-stable (E1)") {
+    val a = Seq((1L, Seq("x y", "y z", "z w"))).toDF("id", "sh")
+    val b = Seq((1L, Seq("z w", "x y", "y z"))).toDF("id", "sh")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.select(Dedup.minhashSignatures(col("sh"), 4): _*).head()
+    assert(sigs(a) === sigs(b))
+  }
+
+  test("minhashCandidatePairs finds near-identical docs via band join (E1)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words about spark query engines"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.wordShingles(col("text")).as("sh"))
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "sh", 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical texts collide; hamming self-distance 0 (E1)") {
+    val df = Seq((1L, "spark scans parquet fast"),
+      (2L, "spark scans parquet fast"),
+      (3L, "entirely other content here"))
+      .toDF("id", "text")
+      .select(col("id"), Dedup.simhash(TextAnalysis.tokens(col("text"))).as("h"))
+    val hs = df.as[(Long, Long)].collect().toMap
+    assert(hs(1L) === hs(2L))
+    val dist = df.select(Dedup.hammingDistance(lit(hs(1L)), lit(hs(3L))))
+      .as[Int].head()
+    assert(dist > 0)
+  }
+
+  test("ngram jaccard: identical docs = 1.0; disjoint docs absent (E1)") {
+    val docs = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "xyzuvw"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.charShingles(col("text"), 3).as("sh"))
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "sh")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("text analysis: tokens, ratios, language id, fingerprint (E4)") {
+    val df = Seq("The, fast fox!").toDF("text")
+    assert(df.select(TextAnalysis.tokens(col("text"))).as[Seq[String]].head()
+      === Seq("the", "fast", "fox"))
+    assert(df.select(TextAnalysis.bpeTokens(col("text"))).as[Seq[String]].head()
+      === Seq("the", ",", "fast", "fox", "!"))
+    val en = Seq("the cat and the hat of things").toDF("text")
+      .select(TextAnalysis.detectLang(col("text"))).as[String].head()
+    assert(en === "en")
+    val de = Seq("der hund und die katze nicht").toDF("text")
+      .select(TextAnalysis.detectLang(col("text"))).as[String].head()
+    assert(de === "de")
+    val und = Seq("zzz qqq").toDF("text")
+      .select(TextAnalysis.detectLang(col("text"))).as[String].head()
+    assert(und === "und")
+    // fingerprint is whitespace/punctuation-blind
+    val fps = Seq("Hello, World!", "hello world", "hello  world.")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")))
+      .as[String].collect()
+    assert(fps.distinct.length === 1)
+  }
+
+  test("charShingles guards short texts (no descending sequence)") {
+    val out = Seq("ab").toDF("text")
+      .select(TextAnalysis.charShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(out === Seq.empty)
+  }
+
+  test("multimodal stub pipeline: binary plumbing + per-partition decode (§2.6)") {
+    val docs = Seq((1L, "hello world", "en", "s", 11L),
+      (2L, "spark engine", "en", "s", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fixture = Multimodal.fixtureFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.toMediaDataset(fixture), resizeStride = 4)
+      .collect().sortBy(_.doc_id)
+    assert(feats.length === 2)
+    feats.foreach { f =>
+      assert(f.n_bytes === 16)       // md5 payload
+      assert(f.thumb.length === 4)   // every 4th of 16 bytes
+      assert(f.mean_byte >= 0 && f.mean_byte <= 255)
+    }
+    // deterministic: same input, same features
+    val again = Multimodal.extractFeatures(
+      Multimodal.toMediaDataset(fixture), resizeStride = 4)
+      .collect().sortBy(_.doc_id)
+    assert(again.map(_.mean_byte).toSeq === feats.map(_.mean_byte).toSeq)
+  }
+}

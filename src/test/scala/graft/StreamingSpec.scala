@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.cdc.Debezium
+import graft.sinks.Sinks
+import graft.streaming.Pipeline
+
+/** Streaming runtime tests (SURVEY.md §2.4 C5–C7, §2.6 E5): MemoryStream
+  * CDC feed → unwrap/route → checkpointed idempotent sink; watermarked
+  * windows dropping late data.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def envelope(id: Int, symbol: String, price: Double, op: String,
+                       tsMs: Long, table: String = "latest_prices"): String =
+    s"""{"before":null,"after":{"id":$id,"symbol":"$symbol","price":$price},
+        "op":"$op","ts_ms":$tsMs,
+        "source":{"table":"$table"}}""".replaceAll("\n\\s*", "")
+
+  test("CDC stream → route → unwrap → idempotent sink, with redelivery (C2,C3,C5,C6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-stream").toString
+    val input = MemoryStream[String]
+    val feed = input.toDF().select(col("value"),
+      lit(Debezium.topicFor("latest_prices")).as("topic"))
+
+    val route = Pipeline.referenceRoutes.find(_.table == "latest_prices").get
+      .copy(schema = org.apache.spark.sql.types.StructType(
+        graft.schemas.Catalog.latestPrices.take(3)),
+        mapping = Seq("id" -> "id", "symbol" -> "symbol", "price" -> "price"))
+
+    val Seq(query) = Pipeline.run(feed, Seq(route), s"$base/out",
+      s"$base/ckpt", trigger = Trigger.AvailableNow())
+
+    // snapshot read (op=r), then an update, then a redelivered duplicate
+    input.addData(
+      envelope(1, "BTC", 100.0, "r", 0L),
+      envelope(2, "ETH", 50.0, "r", 0L),
+      envelope(1, "BTC", 111.0, "u", 1L),
+      envelope(1, "BTC", 111.0, "u", 1L), // redelivery
+      envelope(2, "ETH", 50.0, "d", 2L))  // delete → dropped
+    query.processAllAvailable()
+    query.stop()
+
+    val state = Sinks.sinkState(spark, s"$base/out/latest_prices",
+      Seq("id"), Seq("ts_ms")).orderBy("id")
+      .select("id", "symbol", "price").collect()
+    assert(state.toSeq === Seq(Row(1, "BTC", 111.0), Row(2, "ETH", 50.0)))
+  }
+
+  test("watermarked tumbling window drops late events (E5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "v")
+    val agg = Pipeline.windowedCounts(events, "ts", "30 minutes", "1 hour")
+    val query = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((t(10, 0), 1L), (t(10, 5), 2L))
+    query.processAllAvailable()
+    // advance watermark far past the 10:00 window → it finalizes
+    input.addData((t(12, 0), 3L))
+    query.processAllAvailable()
+    // late event for 10:00, behind the watermark → dropped
+    input.addData((t(10, 10), 4L))
+    query.processAllAvailable()
+    // close the 12:00 window too
+    input.addData((t(15, 0), 5L))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("winagg")
+      .as[(Timestamp, Long)].collect().toMap
+    assert(out(t(10, 0)) === 2L) // late arrival did not bump it to 3
+    assert(out(t(12, 0)) === 1L)
+  }
+
+  test("referenceRoutes mirror the five-table sink mapping (C3,C4)") {
+    val routes = Pipeline.referenceRoutes
+    assert(routes.map(_.table) ===
+      Seq("latest_prices", "order_book", "recent_trades", "klines",
+        "ticker_24hr"))
+    routes.foreach { r =>
+      assert(r.keys === Seq("id")) // PK upsert key, cassandra-init.cql:4
+      assert(r.mapping.forall { case (a, b) => a == b }) // identity mapping
+    }
+  }
+}
