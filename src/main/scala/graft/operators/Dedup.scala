@@ -25,15 +25,43 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(keep).as("kept"), count(lit(1)).as("n_copies"))
 
-  /** k MinHash signatures over a shingle array column. Each signature is
-    * the lexicographic min of a salted md5 over the shingles — engine-
-    * portable (any md5 implementation agrees) and order-independent.
+  /** Universal-hash MinHash parameters: k deterministic (a, b) pairs for
+    * h_j(x) = (a·x + b) mod P. Seeded constants baked into the plan as
+    * literals — identical on every executor and reproducible in SQL.
+    */
+  val minhashPrime: Long = 4294967311L // smallest prime > 2^32
+
+  def minhashParams(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 32-bit base hash of a shingle (md5 computed ONCE per shingle; the k
+    * signatures are cheap linear permutations of it — a·x < 2^63, no
+    * overflow).
+    */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+
+  /** k MinHash signatures from a PRE-PROJECTED shingle-hash array
+    * column (see [[tokenHashes]]): min over shingles of (a_j·h + b_j)
+    * mod P — k multiply-add passes over longs, md5 not re-run.
+    * Engine-portable (exact integer arithmetic) and order-independent.
+    */
+  def minhashSignaturesFromHashes(hashes: Column, k: Int): Seq[Column] =
+    minhashParams(k).zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(hashes,
+        h => (lit(a) * h + lit(b)) % minhashPrime)).as(s"sig_$j")
+    }
+
+  /** Single-expression convenience form. Expression trees duplicate
+    * (no CSE across lambdas), so in hot paths project
+    * [[tokenHashes]] first and use [[minhashSignaturesFromHashes]] —
+    * otherwise the md5 pass runs k times.
     */
   def minhashSignatures(shingles: Column, k: Int): Seq[Column] =
-    (0 until k).map { j =>
-      array_min(transform(shingles,
-        s => md5(concat(lit(s"$j|"), s).cast(BinaryType)))).as(s"sig_$j")
-    }
+    minhashSignaturesFromHashes(transform(shingles, s => shingleHash(s)), k)
 
   /** LSH band keys from minhash signature columns: `bands` groups of
     * `rowsPerBand` signatures hashed together. Docs sharing any band key
@@ -42,7 +70,8 @@ object Dedup {
   def bandKeys(sigCols: Seq[Column], bands: Int): Seq[Column] = {
     val rowsPerBand = sigCols.size / bands
     (0 until bands).map { b =>
-      md5(concat(sigCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
+      md5(concat_ws("_",
+        sigCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
         .cast(BinaryType)).as(s"band_$b")
     }
   }
@@ -54,7 +83,10 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, id: String, shingles: String,
                             k: Int = 8, bands: Int = 4): DataFrame = {
-    val sigs = df.select(col(id) +: minhashSignatures(col(shingles), k): _*)
+    val hashed = df.select(col(id),
+      transform(col(shingles), s => shingleHash(s)).as("__sh_hashes"))
+    val sigs = hashed.select(
+      col(id) +: minhashSignaturesFromHashes(col("__sh_hashes"), k): _*)
     val banded = sigs.select(
       col(id) +: bandKeys((0 until k).map(j => col(s"sig_$j")), bands): _*)
     val long = banded.select(col(id), explode(array(
@@ -67,24 +99,31 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash over a token array: per token take 32 bits of md5;
-    * each bit position accumulates +1/-1; the sign vector is the hash.
-    * Pure expression tree (transform/aggregate over the bit positions) —
-    * no UDF, no shuffle.
+  /** Per-token 32-bit hashes (md5 computed once per token). Compute this
+    * into its own projected column before [[simhashOfHashes]] so the 32
+    * bit-sums reuse one hash array instead of re-hashing per bit.
     */
-  def simhash(tokens: Column): Column = {
-    // 32-bit token hash from the first 8 md5 hex chars
-    val tokHash = (t: Column) =>
-      conv(substring(md5(t.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+  def tokenHashes(tokens: Column): Column = transform(tokens, h => shingleHash(h))
+
+  /** 32-bit SimHash from a precomputed token-hash array: each bit
+    * position accumulates +1/-1 by the token hash's bit; the sign vector
+    * is the hash. Pure expression tree — no UDF, no shuffle.
+    */
+  def simhashOfHashes(hashes: Column): Column = {
     val bitSums = (0 until 32).map { j =>
-      aggregate(tokens, lit(0L),
-        (acc, t) => acc +
-          when(shiftright(tokHash(t), j) % 2 === 1, 1L).otherwise(-1L))
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
     }
     bitSums.zipWithIndex.map { case (s, j) =>
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Convenience single-expression form (hashes inlined — prefer the
+    * two-step projection in hot paths so md5 runs once per token).
+    */
+  def simhash(tokens: Column): Column = simhashOfHashes(tokenHashes(tokens))
 
   /** Hamming distance between two simhashes (for near-dup thresholding). */
   def hammingDistance(a: Column, b: Column): Column =

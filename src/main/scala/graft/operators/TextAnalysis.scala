@@ -84,15 +84,20 @@ object TextAnalysis {
           i => lower(text).substr(i, lit(n)))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** Distinct word-bigram shingles (for MinHash). */
-  def wordShingles(text: Column): Column = {
-    val tk = tokens(text)
+  /** Distinct word-bigram shingles from a PRE-PROJECTED token array —
+    * project [[tokens]] into a column first so the split/filter pass
+    * isn't duplicated across the guard and both element_at lookups.
+    */
+  def wordShinglesFromTokens(tk: Column): Column =
     when(size(tk) > 1,
       array_distinct(transform(
         sequence(lit(1), size(tk) - 1),
         i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1)))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
+
+  /** Single-expression convenience form (tokenization inlined). */
+  def wordShingles(text: Column): Column =
+    wordShinglesFromTokens(tokens(text))
 
   /** Composite quality score features (length / punctuation / stopword
     * ratios) — the standard cheap pre-filter for LLM training corpora.

@@ -26,28 +26,35 @@ object DedupQueries {
       Dedup.exact(t(s, dir, "documents"),
         TextAnalysis.fingerprint(col("text")), col("doc_id"))),
 
-    // MinHash signatures (k=4 shown; salted-md5 min over word bigrams)
+    // MinHash signatures (k=4 shown; universal-hash min over word
+    // bigrams). Each derivation stage is its own projection —
+    // tokens → shingles → hashes → signatures — so no pass recomputes
+    // (expression trees don't CSE across lambdas).
     "e1_minhash_sig" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .where(size(TextAnalysis.tokens(col("text"))) > 1)
-        .select(col("doc_id"), TextAnalysis.wordShingles(col("text")).as("sh"))
-      docs.select(col("doc_id") +: Dedup.minhashSignatures(col("sh"), 4): _*)
+      val hashed = stagedShingleHashes(s, dir)
+      hashed.select(col("doc_id") +:
+        Dedup.minhashSignaturesFromHashes(col("hs"), 4): _*)
     }),
 
     // MinHash-LSH candidate pairs (k=8, 4 bands of 2) — the scale path:
     // equi-join on band keys, never all-pairs
     "e1_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .where(size(TextAnalysis.tokens(col("text"))) > 1)
-        .select(col("doc_id"), TextAnalysis.wordShingles(col("text")).as("sh"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 1)
+        .select(col("doc_id"),
+          TextAnalysis.wordShinglesFromTokens(col("tk")).as("sh"))
       Dedup.minhashCandidatePairs(docs, "doc_id", "sh", minhashK, bands)
     }),
 
-    // SimHash (32-bit, expression-only) per document
+    // SimHash (32-bit, expression-only) per document; token hashes are
+    // projected once, then 32 bit-folds reuse the array
     "e1_simhash" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        Dedup.simhash(TextAnalysis.tokens(col("text"))).as("simhash"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+        .select(col("doc_id"),
+          Dedup.simhashOfHashes(col("th")).as("simhash"))),
 
     // n-gram Jaccard on a bounded candidate set (doc_id < 30 → ≤435
     // pairs): the verification stage that follows LSH candidate gen
@@ -57,6 +64,16 @@ object DedupQueries {
           TextAnalysis.charShingles(col("text"), 3).as("sh"))
       Dedup.ngramJaccardPairs(docs, "doc_id", "sh")
     }))
+
+  /** tokens → shingles → shingle-hashes, one projection per stage. */
+  private def stagedShingleHashes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 1)
+      .select(col("doc_id"),
+        TextAnalysis.wordShinglesFromTokens(col("tk")).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), x => Dedup.shingleHash(x)).as("hs"))
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -68,8 +85,13 @@ object DedupQueries {
                FROM (SELECT doc_id, tk,
                        unnest(generate_series(1, len(tk)-1)) AS i FROM toks))"""
 
+  // mirror of Dedup.minhashSignatures: one md5 per shingle, k linear
+  // permutations (a_j·h + b_j) mod P, min per signature
   private def sigExprs(k: Int): String =
-    (0 until k).map(j => s"min(md5('$j|' || s)) AS sig_$j").mkString(", ")
+    Dedup.minhashParams(k).zipWithIndex.map { case ((a, b), j) =>
+      s"""min(($a * CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) + $b)
+          % ${Dedup.minhashPrime}) AS sig_$j"""
+    }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
     "e1_exact" ->
@@ -87,8 +109,10 @@ object DedupQueries {
       s"""WITH $shingleCte,
           sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
           band AS (SELECT doc_id, unnest([
-            md5(sig_0 || sig_1), md5(sig_2 || sig_3),
-            md5(sig_4 || sig_5), md5(sig_6 || sig_7)]) AS band FROM sig)
+            md5(concat_ws('_', sig_0, sig_1)),
+            md5(concat_ws('_', sig_2, sig_3)),
+            md5(concat_ws('_', sig_4, sig_5)),
+            md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig)
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id""",
     "e1_simhash" ->

@@ -90,18 +90,15 @@ object RelationalQueries {
     // first/last by time, weighted average, change, min/max, volume
     "q7_ticker" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      // l_extendedprice last: (orderkey, linenumber) pairs can repeat, and
-      // ties across the full tuple then imply equal price → same output
-      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"))
-      val wAsc = Window.partitionBy("l_returnflag").orderBy(ord: _*)
-      val wDesc = Window.partitionBy("l_returnflag").orderBy(ord.map(_.desc): _*)
-      val withRn = li
-        .withColumn("rna", row_number().over(wAsc))
-        .withColumn("rnd", row_number().over(wDesc))
-      val first = max(when(col("rna") === 1, col("l_extendedprice")))
-      val last = max(when(col("rnd") === 1, col("l_extendedprice")))
-      withRn.groupBy(col("l_returnflag").as("symbol")).agg(
+      // single-pass min_by/max_by over a total-order struct instead of two
+      // window sorts: one hash aggregation, no global sort — the plan that
+      // survives 100×. l_extendedprice is last in the tuple so full-tuple
+      // ties imply equal price → deterministic output either way.
+      val ordStruct = struct(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      val first = min_by(col("l_extendedprice"), ordStruct)
+      val last = max_by(col("l_extendedprice"), ordStruct)
+      li.groupBy(col("l_returnflag").as("symbol")).agg(
         (last - first).as("price_change"),
         ((last - first) / first * lit(100)).as("price_change_percent"),
         (dsumDec(col("l_extendedprice") * col("l_quantity"), 4).cast("double")
