@@ -16,8 +16,8 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Whitespace-ish token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace-ish token count (long, matching ANSI count types). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
   /** BPE-ish subword segmentation: letter runs, digit runs, single
     * punctuation — the shape of a byte-pair pre-tokenizer's word split.
@@ -25,7 +25,8 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast(LongType)
 
   /** Fraction of characters that are neither alphanumeric nor space. */
   def punctRatio(text: Column): Column =

@@ -123,8 +123,8 @@ object DedupQueries {
             FROM tok, generate_series(0, 31) AS g(j)
             GROUP BY doc_id, g.j)
           SELECT doc_id,
-            SUM(CASE WHEN bsum > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
-              AS simhash
+            CAST(SUM(CASE WHEN bsum > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+              AS BIGINT) AS simhash
           FROM bits GROUP BY doc_id""",
     "e1_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),

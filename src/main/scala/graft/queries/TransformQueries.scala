@@ -65,7 +65,7 @@ object TransformQueries {
           slice(reverse(col("embedding")), 1, 5).as("asks"))
         .select(col("vec_id"), posexplode(arrays_zip(col("bids"), col("asks"))))
         .select(
-          col("vec_id"), col("pos"),
+          col("vec_id"), col("pos").cast(LongType).as("pos"),
           col("col.bids").cast(DoubleType).as("bid"),
           col("col.asks").cast(DoubleType).as("ask"))),
 
