@@ -29,13 +29,28 @@ object Sinks {
   }
 
   /** K1: append a batch to a parquet "table" directory — the harness's
-    * stand-in for `df.write.format("jdbc").mode("append")`; same semantics
-    * (blind append, no keys). JDBC option shape kept for documentation:
-    * batchsize maps to the reference sink's 32-record batches
-    * (reference: cassandra-sink-config.json:11).
+    * stand-in for [[appendJdbc]]; same semantics (blind append, no keys).
     */
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  /** K1, live form: JDBC append with the reference sink's knobs mapped —
+    * `batchsize` = the 32-record micro-batches, `numPartitions` bounds
+    * concurrent connections like `maxConcurrentRequests`, and
+    * `queryTimeout` the 30 s CQL timeout (reference:
+    * cassandra-sink-config.json:10-12; JDBC append etl.py:181-187).
+    * Untestable in the zero-egress harness; the parquet form above is
+    * the tested execution path.
+    */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties = new java.util.Properties(),
+                 batchSize: Int = 32, maxConnections: Int = 8,
+                 queryTimeoutSec: Int = 30): Unit =
+    df.coalesce(maxConnections).write
+      .mode("append")
+      .option("batchsize", batchSize)
+      .option("queryTimeout", queryTimeoutSec)
+      .jdbc(url, table, props)
 
   /** C6: foreachBatch writer for streaming — dedup-by-key within the batch
     * (redelivered records collapse), then append. With checkpointing this

@@ -108,4 +108,16 @@ object Pipeline {
       .groupBy(window(col(tsCol), window_).as("w"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("n"))
+
+  /** E1 streaming form: exact dedup on a stream with bounded state —
+    * duplicates of `keys` arriving within the watermark horizon are
+    * dropped, and state for keys older than the watermark is evicted
+    * (`dropDuplicatesWithinWatermark`), so 100 TB/day of events never
+    * accumulates unbounded dedup state.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
 }

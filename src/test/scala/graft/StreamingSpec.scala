@@ -82,6 +82,25 @@ class StreamingSpec extends SparkSpec {
     assert(out(t(12, 0)) === 1L)
   }
 
+  test("streaming exact dedup drops in-horizon duplicates with bounded state (E1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "id", "v")
+    val deduped = Pipeline.dedupStream(events, "ts", "30 minutes", Seq("id"))
+    val q = deduped.writeStream.format("memory").queryName("dedupst")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((t(10, 0), 1L, "first"), (t(10, 1), 1L, "dup"),
+      (t(10, 2), 2L, "other"))
+    q.processAllAvailable()
+    input.addData((t(10, 3), 1L, "dup-again"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedupst").as[(Timestamp, Long, String)].collect()
+    assert(out.map(_._2).sorted.toSeq === Seq(1L, 2L))
+    assert(out.find(_._2 == 1L).get._3 === "first")
+  }
+
   test("referenceRoutes mirror the five-table sink mapping (C3,C4)") {
     val routes = Pipeline.referenceRoutes
     assert(routes.map(_.table) ===
