@@ -20,15 +20,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TransformQueries.all ++ CdcQueries.all ++ RelationalQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      WindowQueries.all ++ MiscQueries.all
+      JoinQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ WindowQueries.all ++ MiscQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     TransformQueries.oracles ++ CdcQueries.oracles ++
-      RelationalQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      WindowQueries.oracles ++ MiscQueries.oracles
+      RelationalQueries.oracles ++ JoinQueries.oracles ++
+      TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ WindowQueries.oracles ++
+      MiscQueries.oracles
 }
