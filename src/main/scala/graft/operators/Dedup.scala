@@ -129,6 +129,45 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Jaccard similarity computed ONLY for given candidate pairs (the
+    * verification stage after LSH): explode each doc's distinct
+    * shingles, count shared shingles per pair via equi-joins on the
+    * pair ids — cost proportional to candidate count, not corpus².
+    */
+  def jaccardForPairs(pairs: DataFrame, docs: DataFrame, id: String,
+                      shingles: String): DataFrame = {
+    val sh = docs.select(col(id).as("doc"), explode(col(shingles)).as("s"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("a"), col("id_a") === col("a.doc"))
+      .join(sh.as("b"), col("id_b") === col("b.doc") && col("a.s") === col("b.s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.as("na"), col("id_a") === col("na.doc"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.doc"))
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
+          (col("na.n") + col("nb.n") - coalesce(col("n_common"), lit(0L))))
+          .as("jaccard"))
+  }
+
+  /** End-to-end near-dup removal: MinHash+LSH candidates → Jaccard
+    * verification → greedy keep-lowest-id (every id_b of a verified
+    * pair is dropped). Returns the surviving rows of `df`. Every stage
+    * is an equi-join/group-by — the full pipeline a training corpus
+    * dedup runs at scale.
+    */
+  def nearDupRemove(df: DataFrame, id: String, shingles: String,
+                    k: Int = 8, bands: Int = 4,
+                    minJaccard: Double = 0.3): DataFrame = {
+    val pairs = minhashCandidatePairs(df, id, shingles, k, bands)
+    val verified = jaccardForPairs(pairs, df, id, shingles)
+      .where(col("jaccard") >= minJaccard)
+    df.join(verified.select(col("id_b").as(id)).distinct(),
+      Seq(id), "left_anti")
+  }
+
   /** n-gram Jaccard similarity for a bounded candidate-pair set.
     * `df(id)`, `df(shingles)` (pre-distinct shingle arrays). Computes
     * |A∩B| / |A∪B| via explode + equi-join on shingle — for candidate

@@ -63,6 +63,29 @@ object DedupQueries {
         .select(col("doc_id"),
           TextAnalysis.charShingles(col("text"), 3).as("sh"))
       Dedup.ngramJaccardPairs(docs, "doc_id", "sh")
+    }),
+
+    // The full near-dup removal pipeline: LSH candidates → Jaccard
+    // verify → greedy drop id_b — returns surviving doc ids
+    "e1_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 1)
+        .select(col("doc_id"),
+          TextAnalysis.wordShinglesFromTokens(col("tk")).as("sh"))
+      Dedup.nearDupRemove(docs, "doc_id", "sh", minhashK, bands,
+        minJaccard = 0.3).select("doc_id")
+    }),
+
+    // Deterministic hash split: the train/val/test assignment a training
+    // pipeline derives from a stable id hash (engine-portable via md5)
+    "e8_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 4), 16, 10).cast("long") % 100
+      t(s, dir, "documents").select(
+        col("doc_id"), bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
     }))
 
   /** tokens → shingles → shingle-hashes, one projection per stage. */
@@ -142,5 +165,42 @@ object DedupQueries {
             CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
           FROM inter
           JOIN sizes na ON id_a = na.doc_id
-          JOIN sizes nb ON id_b = nb.doc_id""")
+          JOIN sizes nb ON id_b = nb.doc_id""",
+    "e1_dedup_pipeline" ->
+      s"""WITH $shingleCte,
+          sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
+          band AS (SELECT doc_id, unnest([
+            md5(concat_ws('_', sig_0, sig_1)),
+            md5(concat_ws('_', sig_2, sig_3)),
+            md5(concat_ws('_', sig_4, sig_5)),
+            md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT p.id_a, p.id_b, count(*) AS n_common
+            FROM pairs p
+            JOIN sh a ON p.id_a = a.doc_id
+            JOIN sh b ON p.id_b = b.doc_id AND a.s = b.s
+            GROUP BY p.id_a, p.id_b),
+          verified AS (SELECT p.id_a, p.id_b,
+              CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                / (na.n + nb.n - COALESCE(i.n_common, 0)) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+            JOIN sizes na ON p.id_a = na.doc_id
+            JOIN sizes nb ON p.id_b = nb.doc_id)
+          SELECT t.doc_id FROM toks t
+          WHERE t.doc_id NOT IN
+            (SELECT id_b FROM verified WHERE jaccard >= 0.3)""",
+    "e8_split" ->
+      """SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+           % 100 AS bucket,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) % 100 < 90 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents""")
 }

@@ -43,7 +43,20 @@ object TextQueries {
     "e4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))))
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Corpus accounting per language slice: docs, chars, tokens —
+    // integer sums are exact so no decimal detour is needed
+    "e4_corpus_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("tc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("tc")).as("total_tokens"),
+          (sum(col("tc")).cast("double") / count(lit(1)))
+            .as("avg_doc_tokens"))))
 
   private val markerSql = TextAnalysis.langMarkers.map { case (l, ms) =>
     l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
@@ -96,5 +109,12 @@ object TextQueries {
     "e4_fingerprint" ->
       """SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
-         FROM documents""")
+         FROM documents""",
+    "e4_corpus_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(SUM(len($tokensSql)) AS BIGINT) AS total_tokens,
+          CAST(SUM(len($tokensSql)) AS DOUBLE) / count(*)
+            AS avg_doc_tokens
+          FROM documents GROUP BY lang""")
 }
