@@ -161,8 +161,16 @@ object Dedup {
   def nearDupRemove(df: DataFrame, id: String, shingles: String,
                     k: Int = 8, bands: Int = 4,
                     minJaccard: Double = 0.3): DataFrame = {
-    val pairs = minhashCandidatePairs(df, id, shingles, k, bands)
-    val verified = jaccardForPairs(pairs, df, id, shingles)
+    // persist the (small) candidate set: the lazy DAG references it from
+    // three branches, and at scale this stage boundary is where a real
+    // pipeline would checkpoint anyway
+    val pairs = minhashCandidatePairs(df, id, shingles, k, bands).persist()
+    val candIds = pairs.select(col("id_a").as(id))
+      .union(pairs.select(col("id_b").as(id))).distinct()
+    // shingle explosion for verification touches candidate docs only,
+    // not the corpus
+    val cand = df.join(candIds, Seq(id), "left_semi").persist()
+    val verified = jaccardForPairs(pairs, cand, id, shingles)
       .where(col("jaccard") >= minJaccard)
     df.join(verified.select(col("id_b").as(id)).distinct(),
       Seq(id), "left_anti")
