@@ -100,4 +100,41 @@ object Similarity {
       .orderBy(col("cosine").desc, col(id))
       .limit(k)
   }
+
+  /** IVF (inverted-file) coarse quantization: assign each vector to its
+    * nearest centroid by cosine — the bucket key for an IVF index. The
+    * centroid list is small (≤ a few thousand) and goes into the plan
+    * as literals / a broadcast; at 100 TB the corpus is written
+    * partitioned by `ivf_cell` so a probe reads only `nprobe`
+    * partitions.
+    */
+  def ivfCell(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }
+    greatest(scored: _*).getField("i")
+  }
+
+  /** IVF ANN top-k: probe the query's cell (plus `nprobe - 1` next-best
+    * cells would be the multi-probe extension), exact cosine within.
+    * `centroids` would come from a k-means sample in production; any
+    * fixed representative set works for the index structure.
+    */
+  def ivfTopK(corpus: DataFrame, id: String, vec: String,
+              query: Seq[Float], k: Int,
+              centroids: Seq[Seq[Float]]): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val qCell = centroids.zipWithIndex.maxBy { case (c, _) =>
+      val dot = c.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+      dot / n
+    }._2
+    corpus
+      .withColumn("__cell", ivfCell(col(vec), centroids))
+      .where(col("__cell") === qCell)
+      .select(col(id), cosine(col(vec), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(id))
+      .limit(k)
+  }
 }

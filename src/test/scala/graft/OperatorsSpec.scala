@@ -55,6 +55,31 @@ class OperatorsSpec extends SparkSpec {
     assert(ann.map(_._1).contains(1L)) // the near-identical vector survives
   }
 
+  test("ivfTopK probes only the query's cell with exact cosine inside (E2)") {
+    // two clear clusters around (1,0) and (0,1)
+    val corpus = vecDf(
+      1L -> Seq(0.9f, 0.1f), 2L -> Seq(0.95f, 0.05f), 3L -> Seq(0.85f, 0.2f),
+      4L -> Seq(0.1f, 0.9f), 5L -> Seq(0.05f, 0.95f))
+    val centroids = Seq(Seq(1f, 0f), Seq(0f, 1f))
+    val out = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      query = Seq(0.92f, 0.08f), k = 10, centroids = centroids)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSet === Set(1L, 2L, 3L)) // cluster-1 members only
+    assert(out.map(_._2).toSeq === out.map(_._2).sorted.reverse.toSeq)
+  }
+
+  test("nearDupRemove drops verified near-duplicates, keeps lowest id (E1)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight indeed"),
+      (3L, "completely different text about distributed query engines"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.wordShingles(col("text")).as("sh"))
+    val out = Dedup.nearDupRemove(docs, "doc_id", "sh", k = 8, bands = 4,
+      minJaccard = 0.3).select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L)) // 2 is a near-dup of 1 → dropped
+  }
+
   test("exact dedup counts copies and keeps min id (E1)") {
     val docs = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("doc_id", "text")
     val out = Dedup.exact(docs, col("text"), col("doc_id"))
