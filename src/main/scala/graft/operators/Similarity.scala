@@ -28,6 +28,20 @@ object Similarity {
   /** Cosine similarity in plain double arithmetic. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine via the native codegen `vec_dot` expression
+    * ([[graft.functions.FloatVecDot]]) — bit-identical to [[cosine]]
+    * (same left-to-right summation) but with no per-row intermediate
+    * array allocation; the hot-loop form for large fan-out scoring.
+    * Requires the function registered on the session
+    * ([[graft.functions.GraftFunctions.register]] /
+    * `spark.sql.extensions=graft.functions.GraftExtensions`).
+    */
+  def cosineNative(a: Column, b: Column): Column = {
+    val d = call_function("vec_dot", a, b)
+    d / (sqrt(call_function("vec_dot", a, a)) *
+      sqrt(call_function("vec_dot", b, b)))
+  }
+
   /** Engine-portable cosine: element products are computed in double
     * (IEEE-identical anywhere), quantized to fixed-point longs via
     * `floor(p · 1e7)` (floor of an identical double is identical

@@ -44,6 +44,20 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)),
 
+    // Native-codegen variant: same plan as e2_topk_double but scoring
+    // through the FloatVecDot Catalyst expression (bit-identical math,
+    // no per-row zipped-array allocation); rows-only for the same
+    // float-order reason
+    "e2_topk_native" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .crossJoin(queryVec(s, dir))
+        .select(col("vec_id"),
+          Similarity.cosineNative(col("embedding"), col("qe")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // LSH-bucketed ANN: corpus hashed once, search confined to the
     // query's bucket (rows-only check; recall-vs-cost documented)
     "e2_lsh_topk" -> ((s, dir) => {

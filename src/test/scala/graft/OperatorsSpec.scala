@@ -55,6 +55,26 @@ class OperatorsSpec extends SparkSpec {
     assert(ann.map(_._1).contains(1L)) // the near-identical vector survives
   }
 
+  test("native vec_dot expression is bit-identical to the fold-based dot (E2)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = vecDf(
+      1L -> Seq(0.31f, -0.45f, 0.12f, 0.09f),
+      2L -> Seq(-0.11f, 0.41f, 0.33f, -0.27f),
+      3L -> Seq(1f, 2f, 3f, 4f))
+    val pairs = df.crossJoin(df.select(col("embedding").as("e2")))
+    val both = pairs.select(
+      Similarity.cosine(col("embedding"), col("e2")).as("fold"),
+      Similarity.cosineNative(col("embedding"), col("e2")).as("native"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (f, n) => assert(f === n) } // exact, not approx
+    // and through SQL after extension-style registration
+    df.createOrReplaceTempView("vt")
+    val viaSql = spark.sql(
+      "SELECT vec_dot(embedding, embedding) FROM vt WHERE vec_id = 3")
+      .as[Double].head()
+    assert(viaSql === (1.0 + 4.0 + 9.0 + 16.0))
+  }
+
   test("ivfTopK probes only the query's cell with exact cosine inside (E2)") {
     // two clear clusters around (1,0) and (0,1)
     val corpus = vecDf(
