@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.cdc.Debezium
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.transforms.Transforms
+
+/** The algebraic properties promised in SURVEY.md §5.3, with seeded
+  * scalacheck generators (deterministic — no flaky sampling).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val seed0 = org.scalacheck.rng.Seed(7L)
+    (0 until n).scanLeft(seed0)((s, _) => s.next).flatMap(s =>
+      g.apply(Gen.Parameters.default, s))
+  }
+
+  private val rowsGen = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(1, 100), Gen.alphaNumStr.map(_.take(6)),
+      Gen.choose(-1e6, 1e6)))
+
+  test("rename ∘ inverse-rename = id") {
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("id", "symbol", "price")
+      val there = Debezium.mappingSelect(df,
+        Seq("id" -> "k", "symbol" -> "s", "price" -> "p"))
+      val back = Debezium.mappingSelect(there,
+        Seq("k" -> "id", "s" -> "symbol", "p" -> "price"))
+      assert(back.collect().toSeq === df.collect().toSeq)
+      assert(back.schema === df.schema)
+    }
+  }
+
+  test("projection is idempotent") {
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("id", "symbol", "price")
+      val once = df.select("id", "price")
+      val twice = once.select("id", "price")
+      assert(once.collect().toSeq === twice.collect().toSeq)
+    }
+  }
+
+  test("limit(n) yields at most n rows") {
+    samples(Gen.zip(rowsGen, Gen.choose(0, 20)), 5).foreach { case (rows, n) =>
+      assert(rows.toDF("id", "symbol", "price").limit(n).count() <= n)
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("id", "symbol", "price")
+      val once = df.dropDuplicates("symbol")
+      val twice = once.dropDuplicates("symbol")
+      assert(once.count() === twice.count())
+      assert(Dedup.exact(df, col("symbol"), col("id")).count() ===
+        df.select("symbol").distinct().count())
+    }
+  }
+
+  test("suppressNulls is idempotent and never adds rows") {
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("id", "symbol", "price")
+        .withColumn("maybe", when(col("id") % 3 === 0, col("price")))
+      val once = Transforms.suppressNulls(df, Seq("maybe"))
+      val twice = Transforms.suppressNulls(once, Seq("maybe"))
+      assert(once.count() === twice.count())
+      assert(once.count() <= df.count())
+    }
+  }
+
+  test("cosine(v, v) = 1 ± 1e-9 for arbitrary non-zero vectors") {
+    val vecGen = Gen.nonEmptyListOf(Gen.choose(-10f, 10f))
+      .map(_.take(16)).suchThat(v => v.exists(x => math.abs(x) > 1e-3f))
+    samples(vecGen, 8).foreach { v =>
+      val c = Seq(Tuple1(v)).toDF("v")
+        .select(Similarity.cosine(col("v"), col("v"))).as[Double].head()
+      assert(math.abs(c - 1.0) < 1e-9, s"cosine(v,v)=$c for $v")
+    }
+  }
+
+  test("fingerprint is invariant to whitespace/punctuation noise") {
+    val wordGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString))
+    samples(wordGen, 6).foreach { words =>
+      val variants = Seq(
+        words.mkString(" "), words.mkString("  "), words.mkString(", "),
+        words.mkString(" ").toUpperCase + "!")
+      val fps = variants.toDF("text")
+        .select(TextAnalysis.fingerprint(col("text"))).as[String]
+        .collect().distinct
+      assert(fps.length === 1, s"fingerprints diverged for $words")
+    }
+  }
+
+  test("minhash signatures are invariant under shingle permutation") {
+    val shGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(5).mkString))
+      .map(_.distinct)
+    samples(shGen, 5).foreach { sh =>
+      def sigs(s: Seq[String]) = Seq(Tuple1(s)).toDF("sh")
+        .select(Dedup.minhashSignatures(col("sh"), 4): _*).head()
+      assert(sigs(sh) === sigs(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(1)).shuffle(sh)))
+    }
+  }
+}
