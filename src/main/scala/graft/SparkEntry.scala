@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TransformQueries.all ++ CdcQueries.all ++ RelationalQueries.all ++
-      JoinQueries.all ++ SqlSurfaceQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      JoinQueries.all ++ SqlSurfaceQueries.all ++ StatsQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ WindowQueries.all ++ MiscQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,7 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TransformQueries.oracles ++ CdcQueries.oracles ++
       RelationalQueries.oracles ++ JoinQueries.oracles ++
-      SqlSurfaceQueries.oracles ++
+      SqlSurfaceQueries.oracles ++ StatsQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ WindowQueries.oracles ++
       MiscQueries.oracles

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistics + reshaping surface: variance/stddev/correlation computed
+  * from exact decimal sums (order-independent — the only way a
+  * distributed engine can reproduce these bit-for-bit), exact
+  * rank-based median, pivot and unpivot.
+  */
+object StatsQueries {
+  import Tables._
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Variance / stddev / correlation from exact sums: every input to
+    // the final double formula is an exact decimal total, so the result
+    // is partition-invariant and oracle-reproducible
+    "q19_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val n = count(lit(1)).cast("double")
+      val sx = dsumDec(col("l_quantity"), 2).cast("double")
+      val sxx = dsumDec(col("l_quantity") * col("l_quantity"), 4).cast("double")
+      val sy = dsumDec(col("l_extendedprice"), 2).cast("double")
+      val syy = dsumDec(col("l_extendedprice") * col("l_extendedprice"), 4)
+        .cast("double")
+      val sxy = dsumDec(col("l_quantity") * col("l_extendedprice"), 4)
+        .cast("double")
+      li.groupBy("l_returnflag").agg(
+        ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_qty"),
+        sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("stddev_qty"),
+        ((sxy - sx * sy / n) /
+          (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)))
+          .as("corr_qty_price"),
+        count(lit(1)).as("n"))
+    }),
+
+    // Exact lower-median per group via rank (no interpolation — the
+    // picked value is an actual data element, identical in any engine)
+    "q20_median" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("l_returnflag")))
+        .where(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
+    }),
+
+    // Pivot: order counts by status × priority (explicit value list →
+    // stable output columns)
+    "q22_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_finished"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))),
+
+    // Unpivot (melt): wide numeric columns → (key, metric, value) rows
+    "q23_unpivot" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")),
+          "metric", "value")))
+
+  val oracles: Map[String, String] = Map(
+    "q19_stats" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)"
+      val sxx = "CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE)"
+      val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)"
+      val syy = "CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)"
+      val sxy = "CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)"
+      s"""SELECT l_returnflag,
+          (($sxx) - ($sx) * ($sx) / ($n)) / (($n) - 1.0) AS var_qty,
+          sqrt((($sxx) - ($sx) * ($sx) / ($n)) / (($n) - 1.0)) AS stddev_qty,
+          (($sxy) - ($sx) * ($sy) / ($n)) /
+            (sqrt(($sxx) - ($sx) * ($sx) / ($n))
+             * sqrt(($syy) - ($sy) * ($sy) / ($n))) AS corr_qty_price,
+          count(*) AS n
+          FROM lineitem GROUP BY l_returnflag"""
+    },
+    "q20_median" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS cnt
+         FROM lineitem)
+         SELECT l_returnflag, l_extendedprice AS median_price
+         FROM r WHERE rn = (cnt + 1) // 2""",
+    "q22_pivot" ->
+      """SELECT o_orderpriority,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+         SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+         FROM orders GROUP BY o_orderpriority""",
+    "q23_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+         FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+         FROM part""")
+}
