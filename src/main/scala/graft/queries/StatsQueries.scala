@@ -26,11 +26,15 @@ object StatsQueries {
         .cast("double")
       val sxy = dsumDec(col("l_quantity") * col("l_extendedprice"), 4)
         .cast("double")
+      // round(_, 8): the exact sums make inputs identical, but compiled
+      // double expression trees can still differ by one ULP across
+      // engines (fused-multiply-add contraction of a - b*c); 8 decimals
+      // leaves a ~1e6-ULP safety margin at these magnitudes
       li.groupBy("l_returnflag").agg(
-        ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_qty"),
-        sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("stddev_qty"),
-        ((sxy - sx * sy / n) /
-          (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)))
+        round((sxx - sx * sx / n) / (n - lit(1.0)), 8).as("var_qty"),
+        round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), 8).as("stddev_qty"),
+        round((sxy - sx * sy / n) /
+          (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 8)
           .as("corr_qty_price"),
         count(lit(1)).as("n"))
     }),
@@ -79,11 +83,12 @@ object StatsQueries {
       val syy = "CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)"
       val sxy = "CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)"
       s"""SELECT l_returnflag,
-          (($sxx) - ($sx) * ($sx) / ($n)) / (($n) - 1.0) AS var_qty,
-          sqrt((($sxx) - ($sx) * ($sx) / ($n)) / (($n) - 1.0)) AS stddev_qty,
-          (($sxy) - ($sx) * ($sy) / ($n)) /
+          round((($sxx) - ($sx) * ($sx) / ($n)) / (($n) - 1.0), 8) AS var_qty,
+          round(sqrt((($sxx) - ($sx) * ($sx) / ($n)) / (($n) - 1.0)), 8)
+            AS stddev_qty,
+          round((($sxy) - ($sx) * ($sy) / ($n)) /
             (sqrt(($sxx) - ($sx) * ($sx) / ($n))
-             * sqrt(($syy) - ($sy) * ($sy) / ($n))) AS corr_qty_price,
+             * sqrt(($syy) - ($sy) * ($sy) / ($n))), 8) AS corr_qty_price,
           count(*) AS n
           FROM lineitem GROUP BY l_returnflag"""
     },
