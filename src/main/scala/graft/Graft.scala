@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** graft — a Spark-native analytics engine with the data-processing
+  * surface of the reference real-time ETL pipeline plus the operator
+  * set a large-scale LLM-training-data pipeline needs.
+  *
+  * Quick start:
+  * {{{
+  * import graft.Graft
+  *
+  * // the reference's transform surface
+  * val prices = Graft.transforms.latestPrices(parsedJson)
+  *
+  * // CDC: unwrap a Debezium topic into a typed table
+  * val rows = Graft.cdc.unwrap(kafkaFrame, schema)
+  *
+  * // LLM-pipeline operators
+  * val clean   = Graft.dedup.nearDupRemove(docs, "doc_id", "sh")
+  * val topK    = Graft.similarity.bruteForceTopK(corpus, "id", "vec", q, 10)
+  * val quality = docs.select(Graft.text.qualityFeatures(col("text")).map {
+  *   case (n, c) => c.as(n) }: _*)
+  *
+  * // native codegen functions (vec_dot) on an existing session
+  * Graft.registerFunctions(spark)
+  * }}}
+  *
+  * Every operator is a declarative Catalyst plan — see SCALE.md for the
+  * 100 TB design notes and COVERAGE.md for the operator-by-operator
+  * correctness evidence.
+  */
+object Graft {
+  val transforms: graft.transforms.Transforms.type = graft.transforms.Transforms
+  val cdc: graft.cdc.Debezium.type = graft.cdc.Debezium
+  val sinks: graft.sinks.Sinks.type = graft.sinks.Sinks
+  val sources: graft.sources.FixtureSource.type = graft.sources.FixtureSource
+  val pipeline: graft.streaming.Pipeline.type = graft.streaming.Pipeline
+  val ingest: graft.streaming.Ingest.type = graft.streaming.Ingest
+  val text: graft.operators.TextAnalysis.type = graft.operators.TextAnalysis
+  val dedup: graft.operators.Dedup.type = graft.operators.Dedup
+  val similarity: graft.operators.Similarity.type = graft.operators.Similarity
+  val multimodal: graft.operators.Multimodal.type = graft.operators.Multimodal
+  val asof: graft.operators.AsofJoin.type = graft.operators.AsofJoin
+  val skew: graft.operators.Skew.type = graft.operators.Skew
+  val catalog: graft.schemas.Catalog.type = graft.schemas.Catalog
+
+  /** Register the engine's native SQL functions (`vec_dot`) on a live
+    * session; alternatively set
+    * `spark.sql.extensions=graft.functions.GraftExtensions`.
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
+
+  /** As-of join convenience forwarding. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightVals: Seq[(String, String)], tiebreak: Column): DataFrame =
+    graft.operators.AsofJoin.asofJoin(left, right, keys, leftTs, rightTs,
+      rightVals, tiebreak)
+}
