@@ -34,7 +34,7 @@ case class FloatVecDot(left: Expression, right: Expression)
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"vec_dot requires two array<float> arguments, got " +
-          s"${l.simpleString(10)} and ${r.simpleString(10)}")
+          s"${l.simpleString} and ${r.simpleString}")
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
