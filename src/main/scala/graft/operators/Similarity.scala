@@ -75,25 +75,34 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane component for plane `j`,
-    * dimension `i` — seeded by md5, so every executor (and any engine)
-    * derives the same planes with no driver-side state.
+  /** Deterministic ±1 hyperplane sign matrix, derived from
+    * md5("plane<j>|<i>") parity ONCE on the driver and shipped as plan
+    * literals — every executor sees identical planes with zero runtime
+    * hashing (the previous expression-level derivation cost one md5 per
+    * row × plane × dimension).
     */
-  private def planeSign(j: Int, i: Column): Column =
-    when(conv(substring(md5(concat(lit(s"plane$j|"), i.cast(StringType))
-      .cast(BinaryType)), 1, 4), 16, 10).cast(LongType) % 2 === 0, lit(1.0))
-      .otherwise(lit(-1.0))
+  def planeSigns(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { j =>
+      Array.tabulate(dim) { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane$j|$i".getBytes("UTF-8"))
+        // first 2 md5 bytes = substr(hex, 1, 4): same parity derivation
+        val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+        if (v % 2 == 0) 1.0 else -1.0
+      }
+    }
 
   /** Sign-random-projection LSH bucket id over `nPlanes` hyperplanes:
     * bucket = bit vector of sign(v · plane_j). Vectors in the same bucket
     * are ANN candidates. Pure expression — the 100 TB path hashes the
     * corpus once, then joins queries to bucket mates only.
     */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val signs = planeSigns(nPlanes, dim)
     val bits = (0 until nPlanes).map { j =>
+      val plane = array(signs(j).map(lit).toIndexedSeq: _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeSign(j, i)),
+        zip_with(vec, plane, (x, s) => x.cast(DoubleType) * s),
         lit(0.0), (acc, p) => acc + p)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -107,9 +116,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, id: String, vec: String,
               query: Seq[Float], k: Int, nPlanes: Int = 8): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
+    val dim = query.length
     corpus
-      .withColumn("__bucket", lshBucket(col(vec), nPlanes))
-      .where(col("__bucket") === lshBucket(q, nPlanes))
+      .withColumn("__bucket", lshBucket(col(vec), nPlanes, dim))
+      .where(col("__bucket") === lshBucket(q, nPlanes, dim))
       .select(col(id), cosine(col(vec), q).as("cosine"))
       .orderBy(col("cosine").desc, col(id))
       .limit(k)

@@ -62,10 +62,10 @@ object SimilarityQueries {
     // query's bucket (rows-only check; recall-vs-cost documented)
     "e2_lsh_topk" -> ((s, dir) => {
       val withBucket = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
-        .withColumn("__bucket", Similarity.lshBucket(col("embedding"), 4))
+        .withColumn("__bucket", Similarity.lshBucket(col("embedding"), 4, 64))
       withBucket
         .join(queryVec(s, dir).select(col("qe"),
-          Similarity.lshBucket(col("qe"), 4).as("__qbucket")),
+          Similarity.lshBucket(col("qe"), 4, 64).as("__qbucket")),
           col("__bucket") === col("__qbucket"))
         .select(col("vec_id"),
           Similarity.cosine(col("embedding"), col("qe")).as("cosine"))
