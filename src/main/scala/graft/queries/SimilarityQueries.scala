@@ -76,6 +76,50 @@ object SimilarityQueries {
   private val prodSql = (a: String, b: String) =>
     s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e7) AS BIGINT)"
 
+  /** Sequential double fold identical to Spark's `aggregate` (DuckDB's
+    * list_reduce starts at x1; Spark starts at 0.0 + x1 = x1 — same
+    * IEEE sequence, bit-equal results).
+    */
+  private def foldDot(a: String, b: String) =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+        (acc, x) -> acc + x)"""
+
+  private val doubleCosineSql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        sc AS (SELECT e.vec_id,
+            ${foldDot("e.embedding", "q.qe")} AS dot,
+            ${foldDot("e.embedding", "e.embedding")} AS na,
+            ${foldDot("q.qe", "q.qe")} AS nb
+          FROM embeddings e, q WHERE e.vec_id <> 0)
+        SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
+        FROM sc ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+  /** The same plane-sign matrix the Spark operator bakes into its plan,
+    * as SQL list literals (shared derivation: Similarity.planeSigns).
+    */
+  private val lshSql: String = {
+    val signs = Similarity.planeSigns(4, 64)
+    def proj(vec: String, j: Int) =
+      s"""list_reduce(list_transform(generate_series(1, 64),
+          i -> CAST($vec[i] AS DOUBLE) *
+               (${signs(j).mkString("[", ", ", "]")})[i]),
+          (acc, x) -> acc + x)"""
+    def bucket(vec: String) = (0 until 4).map { j =>
+      s"(CASE WHEN ${proj(vec, j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT embedding AS qe, ${bucket("embedding")} AS qb
+          FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT vec_id, embedding, ${bucket("embedding")} AS b
+          FROM embeddings WHERE vec_id <> 0)
+        SELECT c.vec_id,
+          ${foldDot("c.embedding", "q.qe")} /
+            (sqrt(${foldDot("c.embedding", "c.embedding")})
+             * sqrt(${foldDot("q.qe", "q.qe")})) AS cosine
+        FROM c, q WHERE c.b = q.qb
+        ORDER BY cosine DESC, c.vec_id LIMIT 10"""
+  }
+
   val oracles: Map[String, String] = Map(
     "e2_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -89,5 +133,8 @@ object SimilarityQueries {
           SELECT vec_id, (CAST(dotf AS DOUBLE) / 1e7) /
               (sqrt(CAST(naf AS DOUBLE) / 1e7) * sqrt(CAST(nqf AS DOUBLE) / 1e7))
             AS cosine
-          FROM p ORDER BY cosine DESC, vec_id LIMIT 10""")
+          FROM p ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "e2_topk_double" -> doubleCosineSql,
+    "e2_topk_native" -> doubleCosineSql,
+    "e2_lsh_topk" -> lshSql)
 }
