@@ -125,6 +125,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus once,
+    * compare only bucket mates, keep pairs above `minCosine` — the
+    * embedding-space analog of MinHash near-dup detection. Equi-join on
+    * the bucket key; never all-pairs.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
+                         nPlanes: Int, dim: Int,
+                         minCosine: Double): DataFrame = {
+    val b = corpus.select(col(id), col(vec),
+      lshBucket(col(vec), nPlanes, dim).as("__b"))
+    b.as("x").join(b.as("y"),
+        col("x.__b") === col("y.__b") && col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"),
+        cosine(col(s"x.$vec"), col(s"y.$vec")).as("cosine"))
+      .where(col("cosine") > minCosine)
+  }
+
   /** IVF (inverted-file) coarse quantization: assign each vector to its
     * nearest centroid by cosine — the bucket key for an IVF index. The
     * centroid list is small (≤ a few thousand) and goes into the plan

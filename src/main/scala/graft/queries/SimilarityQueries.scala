@@ -58,6 +58,12 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Embedding-cosine near-dup pairs: bucket equi-join + threshold,
+    // the embedding-space dedup method (never all-pairs)
+    "e1_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nPlanes = 4, dim = 64, minCosine = 0.25)),
+
     // LSH-bucketed ANN: corpus hashed once, search confined to the
     // query's bucket (rows-only check; recall-vs-cost documented)
     "e2_lsh_topk" -> ((s, dir) => {
@@ -136,5 +142,26 @@ object SimilarityQueries {
           FROM p ORDER BY cosine DESC, vec_id LIMIT 10""",
     "e2_topk_double" -> doubleCosineSql,
     "e2_topk_native" -> doubleCosineSql,
-    "e2_lsh_topk" -> lshSql)
+    "e2_lsh_topk" -> lshSql,
+    "e1_embed_neardup" -> {
+      val signs = Similarity.planeSigns(4, 64)
+      def proj(vec: String, j: Int) =
+        s"""list_reduce(list_transform(generate_series(1, 64),
+            i -> CAST($vec[i] AS DOUBLE) *
+                 (${signs(j).mkString("[", ", ", "]")})[i]),
+            (acc, x) -> acc + x)"""
+      def bucket(vec: String) = (0 until 4).map { j =>
+        s"(CASE WHEN ${proj(vec, j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bk
+            FROM embeddings)
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+            ${foldDot("x.embedding", "y.embedding")} /
+              (sqrt(${foldDot("x.embedding", "x.embedding")})
+               * sqrt(${foldDot("y.embedding", "y.embedding")})) AS cosine
+          FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id
+          WHERE ${foldDot("x.embedding", "y.embedding")} /
+              (sqrt(${foldDot("x.embedding", "x.embedding")})
+               * sqrt(${foldDot("y.embedding", "y.embedding")})) > 0.25"""
+    })
 }
