@@ -35,6 +35,20 @@ object SqlSurfaceQueries {
         lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
         trim(lit("  x  ")).as("trimmed"))),
 
+    // Array-function surface over real array columns
+    "q21_arrays" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        sort_array(slice(col("embedding"), 1, 4)).as("first4_sorted"),
+        sort_array(array_distinct(array(col("label"), col("label"), lit(0))))
+          .as("label_set"),
+        array_contains(array(lit(1), lit(2), lit(3)), col("label"))
+          .as("label_low"),
+        element_at(reverse(col("embedding")), 1).cast("double").as("last_elem"),
+        flatten(array(slice(col("embedding"), 1, 2),
+          slice(col("embedding"), 3, 2))).as("first4"))),
+
     // Datetime-function surface (functions with identical cross-engine
     // definitions; day-of-week numbering differs by engine so it is
     // expressed via an explicit epoch-day formula on both sides)
@@ -65,6 +79,15 @@ object SqlSurfaceQueries {
          lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
          trim('  x  ') AS trimmed
          FROM part""",
+    "q21_arrays" ->
+      """SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         list_sort(embedding[1:4]) AS first4_sorted,
+         list_sort(list_distinct([label, label, 0])) AS label_set,
+         list_contains([1, 2, 3], label) AS label_low,
+         CAST(list_reverse(embedding)[1] AS DOUBLE) AS last_elem,
+         flatten([embedding[1:2], embedding[3:4]]) AS first4
+         FROM embeddings""",
     "q18_datetime" ->
       """SELECT o_orderkey,
          CAST(year(o_orderdate) AS BIGINT) AS y,

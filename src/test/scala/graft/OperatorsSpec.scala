@@ -192,6 +192,12 @@ class OperatorsSpec extends SparkSpec {
       assert(f.thumb.length === 4)   // every 4th of 16 bytes
       assert(f.mean_byte >= 0 && f.mean_byte <= 255)
     }
+    // frame sampling: 16 bytes / 4-byte frames, every 2nd → frames 0 and 2
+    val frames = Multimodal.StubCodec.frameSample(
+      Array.tabulate(16)(_.toByte), frameSize = 4, everyK = 2)
+    assert(frames.length === 2)
+    assert(frames(0).toSeq === Seq[Byte](0, 1, 2, 3))
+    assert(frames(1).toSeq === Seq[Byte](8, 9, 10, 11))
     // deterministic: same input, same features
     val again = Multimodal.extractFeatures(
       Multimodal.toMediaDataset(fixture), resizeStride = 4)
