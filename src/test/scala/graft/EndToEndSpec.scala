@@ -12,6 +12,7 @@ import graft.transforms.Transforms
   * append sink (reference: etl.py:189-240 whole main loop).
   */
 class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
 
   private val priceSchema = StructType(Seq(
     StructField("symbol", StringType), StructField("price", StringType)))
@@ -47,5 +48,9 @@ class EndToEndSpec extends SparkSpec {
     // the sink rows carry exactly the declared latest_prices columns
     val declared = graft.schemas.Catalog.latestPrices.fieldNames.toSet
     assert(spark.read.parquet(sink).columns.toSet === declared)
+    // the scale-path id variant is unique (not contiguous)
+    val ids = Ingest.withSerialIdAtScale(transformed)
+      .select("id").as[Long].collect()
+    assert(ids.distinct.length === ids.length)
   }
 }

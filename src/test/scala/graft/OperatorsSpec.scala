@@ -198,6 +198,9 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.length === 2)
     assert(frames(0).toSeq === Seq[Byte](0, 1, 2, 3))
     assert(frames(1).toSeq === Seq[Byte](8, 9, 10, 11))
+    // the fixture frame matches the declared media schema
+    assert(fixture.schema.fieldNames.toSeq ===
+      Multimodal.mediaSchema.fieldNames.toSeq)
     // deterministic: same input, same features
     val again = Multimodal.extractFeatures(
       Multimodal.toMediaDataset(fixture), resizeStride = 4)

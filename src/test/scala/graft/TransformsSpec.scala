@@ -113,6 +113,18 @@ class TransformsSpec extends SparkSpec {
       67300.1, 67205.11, 36000.0)))
   }
 
+  test("replay tags each captured poll and applies the per-poll limit (S1,P5)") {
+    val payloads = Seq(
+      """[{"symbol":"A","price":"1"},{"symbol":"B","price":"2"}]""",
+      """[{"symbol":"C","price":"3"}]""")
+    val out = FixtureSource.replay(spark, payloads, priceSchema)
+      .orderBy("poll", "symbol").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((0, "A"), (0, "B"), (1, "C")))
+    assert(FixtureSource.replay(spark, payloads, priceSchema,
+      limitPerPoll = Some(2)).count() === 2)
+  }
+
   test("declared catalog matches the five-table DDL shape (K3)") {
     assert(Catalog.tableNames.toSet === Catalog.tables.keySet)
     assert(Catalog.tables("klines").fieldNames.toSeq === Seq("id", "symbol",
