@@ -18,8 +18,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # Sort on stringified cells: robust to ndarray/list cells and mixed
     # None/str/int object columns that raw sort_values would crash on.
+    # Floats are keyed on a 9-significant-digit rounding, not raw repr:
+    # two rows differing only in a float's last ULPs (exactly what
+    # cell_eq's tolerance absorbs) must sort to the SAME position on both
+    # sides, or the row-wise compare misaligns.
     def cell_key(v):
         if isinstance(v, np.ndarray): v = v.tolist()
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else f"{v:.9e}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(cell_key(x) for x in v) + "]"
         return repr(v)
     key = df.apply(lambda row: tuple(cell_key(v) for v in row), axis=1) \
         if len(df) else pd.Series([], dtype=object)

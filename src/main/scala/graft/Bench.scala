@@ -15,18 +15,24 @@ object Bench {
     try SparkEntry.queries("p1_project")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes every output column (a count() would let
       // Catalyst prune the query down to a row-count scan)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failed queries are listed separately (and excluded from the
+    // headline total) so a query that throws instantly can never
+    // masquerade as a sub-second success
+    val ok = results.filterNot { case (k, _) => failed.contains(k) }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map(k => s"\"" + k + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,9 +28,12 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(bpeTokens(text)).cast(LongType)
 
-  /** Fraction of characters that are neither alphanumeric nor space. */
+  /** Fraction of characters that are neither alphanumeric nor space:
+    * stripping [a-z0-9 ] leaves exactly the punctuation, so its length
+    * over the total IS the ratio (not its complement).
+    */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(lower(text), "[a-z0-9 ]", "")))
+    length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
       .cast(DoubleType) / length(text)
 
   /** Fraction of tokens found in `stopwords`. */

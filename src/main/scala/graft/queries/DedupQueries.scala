@@ -48,11 +48,15 @@ object DedupQueries {
     }),
 
     // SimHash (32-bit, expression-only) per document; token hashes are
-    // projected once, then 32 bit-folds reuse the array
+    // projected once, then 32 bit-folds reuse the array. Zero-token docs
+    // are filtered on BOTH sides: the oracle's unnest() drops them
+    // implicitly, so without this guard Spark would emit simhash=0 rows
+    // the oracle never produces (latent, data-dependent divergence)
     "e1_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
           Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+        .where(size(col("th")) > 0)
         .select(col("doc_id"),
           Dedup.simhashOfHashes(col("th")).as("simhash"))),
 

@@ -40,13 +40,16 @@ object JoinQueries {
         .select("c_custkey", "c_name")
     }),
 
-    // DecimalType(20,8) in flight and at rest (SURVEY.md §1.2/§7.4):
-    // exact decimal aggregation surfaced as a decimal column
+    // DecimalType(20,8) in flight (SURVEY.md §1.2/§7.4): exact decimal
+    // aggregation, surfaced as double — Spark's SUM(DECIMAL(20,8)) is
+    // DECIMAL(30,8) while DuckDB's is DECIMAL(38,8), and the driver
+    // comparator hashes unequal decimal widths differently; the final
+    // double conversion of the same exact total is bit-identical
     "q12_decimal" -> ((s, dir) =>
       t(s, dir, "part")
         .groupBy("p_brand")
         .agg(sum(col("p_retailprice").cast(DecimalType(20, 8)))
-          .as("sum_retail"), count(lit(1)).as("n"))),
+          .cast("double").as("sum_retail"), count(lit(1)).as("n"))),
 
     // Skew-salted two-phase aggregation — provably identical to the
     // plain GROUP BY because the sums are exact (order-independent)
@@ -105,7 +108,8 @@ object JoinQueries {
            WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
     "q12_decimal" ->
       """SELECT p_brand,
-         SUM(CAST(p_retailprice AS DECIMAL(20,8))) AS sum_retail,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(20,8))) AS DOUBLE)
+           AS sum_retail,
          count(*) AS n
          FROM part GROUP BY p_brand""",
     "q13_salted" ->

@@ -7,23 +7,31 @@ import graft.operators.Multimodal
 /** Remaining judged extension queries: approximate distinct (E3) and the
   * multimodal binary-column pipeline (§2.6).
   *
-  * `e3_approx_distinct` has no value oracle by design: Spark's HLL++ and
-  * DuckDB's approx sketches legitimately disagree (measured: 151 vs 150
-  * true on sf0.001 o_custkey), so the driver records the rows-only check;
-  * the exact-count companions in the same row make the estimate's
-  * quality visible in the dump.
+  * `e3_approx_distinct` cannot expose the raw HLL++ estimate to the
+  * value oracle (Spark's and DuckDB's sketches legitimately disagree:
+  * 151 vs 150 true on sf0.001 o_custkey), so the judged columns are the
+  * exact counts plus a boolean asserting the HLL++ estimate landed
+  * within ±10% of exact (rsd=0.02 → that is a ≥5-sigma bound; HLL is
+  * deterministic per dataset, so the check is stable). The oracle
+  * computes the exact counts and expects TRUE — a full hash-checked
+  * verdict on the approx path instead of a rows-only count.
   */
 object MiscQueries {
   import Tables._
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // E3: HLL++ approximate distinct + exact companions (rows-only)
-    "e3_approx_distinct" -> ((s, dir) =>
+    // E3: HLL++ approximate distinct, judged via exact counts + an
+    // in-bounds assertion on the estimate
+    "e3_approx_distinct" -> ((s, dir) => {
+      def ok(c: String) =
+        (approx_count_distinct(col(c), 0.02).cast("double") /
+          countDistinct(col(c))).between(0.9, 1.1)
       t(s, dir, "orders").agg(
-        approx_count_distinct(col("o_custkey")).as("approx_custkeys"),
         countDistinct(col("o_custkey")).as("exact_custkeys"),
-        approx_count_distinct(col("o_orderpriority")).as("approx_priorities"),
-        countDistinct(col("o_orderpriority")).as("exact_priorities"))),
+        ok("o_custkey").as("approx_custkeys_ok"),
+        countDistinct(col("o_orderpriority")).as("exact_priorities"),
+        ok("o_orderpriority").as("approx_priorities_ok"))
+    }),
 
     // Multimodal: binary media column + metadata → per-partition stub
     // decode → features (mean byte value is exactly reproducible in SQL)
@@ -37,6 +45,12 @@ object MiscQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "e3_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+         TRUE AS approx_custkeys_ok,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS exact_priorities,
+         TRUE AS approx_priorities_ok
+         FROM orders""",
     // md5(text) = 16 payload bytes; mean byte value reproduced from the
     // hex string; thumb = every 4th byte of 16 → 4 bytes
     "e6_media_features" ->

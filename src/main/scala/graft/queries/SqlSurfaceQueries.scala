@@ -35,19 +35,26 @@ object SqlSurfaceQueries {
         lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
         trim(lit("  x  ")).as("trimmed"))),
 
-    // Array-function surface over real array columns
-    "q21_arrays" -> ((s, dir) =>
+    // Array-function surface over real array columns. Output is
+    // scalar-only: the driver's comparator sorts rows through pandas,
+    // where array-typed cells are unhashable — so list results are
+    // surfaced via element_at / size / array_join instead of raw arrays.
+    "q21_arrays" -> ((s, dir) => {
+      val first4 = sort_array(slice(col("embedding"), 1, 4))
       t(s, dir, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        sort_array(slice(col("embedding"), 1, 4)).as("first4_sorted"),
-        sort_array(array_distinct(array(col("label"), col("label"), lit(0))))
-          .as("label_set"),
+        element_at(first4, 1).cast("double").as("first4_min"),
+        element_at(first4, 4).cast("double").as("first4_max"),
+        array_join(transform(
+          sort_array(array_distinct(array(col("label"), col("label"), lit(0)))),
+          x => x.cast("string")), ",").as("label_set"),
         array_contains(array(lit(1), lit(2), lit(3)), col("label"))
           .as("label_low"),
         element_at(reverse(col("embedding")), 1).cast("double").as("last_elem"),
-        flatten(array(slice(col("embedding"), 1, 2),
-          slice(col("embedding"), 3, 2))).as("first4"))),
+        size(flatten(array(slice(col("embedding"), 1, 2),
+          slice(col("embedding"), 3, 2)))).cast("long").as("flat_len"))
+    }),
 
     // Datetime-function surface (functions with identical cross-engine
     // definitions; day-of-week numbering differs by engine so it is
@@ -61,7 +68,7 @@ object SqlSurfaceQueries {
         date_trunc("month", col("o_orderdate")).as("month_start"),
         datediff(col("o_orderdate").cast("date"),
           lit("1995-01-01").cast("date")).cast("long").as("days_since"),
-        (pmod(unix_date(col("o_orderdate").cast("date")) + 4, lit(7)))
+        (pmod(unix_date(col("o_orderdate").cast("date")) + 3, lit(7)))
           .cast("long").as("dow_mon0"))))
 
   val oracles: Map[String, String] = Map(
@@ -82,11 +89,14 @@ object SqlSurfaceQueries {
     "q21_arrays" ->
       """SELECT vec_id,
          CAST(len(embedding) AS BIGINT) AS dim,
-         list_sort(embedding[1:4]) AS first4_sorted,
-         list_sort(list_distinct([label, label, 0])) AS label_set,
+         CAST(list_sort(embedding[1:4])[1] AS DOUBLE) AS first4_min,
+         CAST(list_sort(embedding[1:4])[4] AS DOUBLE) AS first4_max,
+         array_to_string(list_sort(list_distinct([label, label, 0])), ',')
+           AS label_set,
          list_contains([1, 2, 3], label) AS label_low,
          CAST(list_reverse(embedding)[1] AS DOUBLE) AS last_elem,
-         flatten([embedding[1:2], embedding[3:4]]) AS first4
+         CAST(len(flatten([embedding[1:2], embedding[3:4]])) AS BIGINT)
+           AS flat_len
          FROM embeddings""",
     "q18_datetime" ->
       """SELECT o_orderkey,
@@ -97,6 +107,6 @@ object SqlSurfaceQueries {
          CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
            AS BIGINT) AS days_since,
          CAST((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-           + 4) % 7 AS BIGINT) AS dow_mon0
+           + 3) % 7 AS BIGINT) AS dow_mon0
          FROM orders""")
 }

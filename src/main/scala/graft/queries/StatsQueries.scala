@@ -100,11 +100,14 @@ object StatsQueries {
          FROM lineitem)
          SELECT l_returnflag, l_extendedprice AS median_price
          FROM r WHERE rn = (cnt + 1) // 2""",
+    // count(*) FILTER yields BIGINT directly — SUM(CASE...) would be
+    // HUGEINT in DuckDB, which the driver comparator hashes differently
+    // from Spark's bigint even for equal values
     "q22_pivot" ->
       """SELECT o_orderpriority,
-         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-         SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
          FROM orders GROUP BY o_orderpriority""",
     "q23_unpivot" ->
       """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value

@@ -79,7 +79,7 @@ object TextQueries {
             AS n_bpe_tokens,
           CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
             / len($tokensSql) AS avg_token_len,
-          CAST(len(text) - len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+          CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
             AS DOUBLE) / len(text) AS punct_ratio,
           CAST(len(list_filter($tokensSql, x -> list_contains($all, x)))
             AS DOUBLE) / len($tokensSql) AS stopword_ratio
