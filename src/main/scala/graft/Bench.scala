@@ -22,6 +22,9 @@ object Bench {
       // Catalyst prune the query down to a row-count scan)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => failed += name }
+      // operators persist stage boundaries (dedup candidates, shingle
+      // frames); drop them so caches never accumulate across queries
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     // failed queries are listed separately (and excluded from the

@@ -129,16 +129,24 @@ object Similarity {
     * compare only bucket mates, keep pairs above `minCosine` — the
     * embedding-space analog of MinHash near-dup detection. Equi-join on
     * the bucket key; never all-pairs.
+    *
+    * Each row's L2 norm is computed ONCE before the self-join (a pair
+    * inside a bucket of n rows would otherwise fold each norm ~n times);
+    * per-pair work is a single dot-product fold. `dotFn` swaps in the
+    * native codegen `vec_dot` (bit-identical fold, no per-pair array
+    * allocation) when the session has it registered.
     */
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
-                         nPlanes: Int, dim: Int,
-                         minCosine: Double): DataFrame = {
+                         nPlanes: Int, dim: Int, minCosine: Double,
+                         dotFn: (Column, Column) => Column = dot): DataFrame = {
     val b = corpus.select(col(id), col(vec),
-      lshBucket(col(vec), nPlanes, dim).as("__b"))
+      lshBucket(col(vec), nPlanes, dim).as("__b"),
+      sqrt(dotFn(col(vec), col(vec))).as("__n"))
     b.as("x").join(b.as("y"),
         col("x.__b") === col("y.__b") && col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"),
-        cosine(col(s"x.$vec"), col(s"y.$vec")).as("cosine"))
+        (dotFn(col(s"x.$vec"), col(s"y.$vec")) /
+          (col("x.__n") * col("y.__n"))).as("cosine"))
       .where(col("cosine") > minCosine)
   }
 

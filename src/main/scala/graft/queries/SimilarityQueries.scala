@@ -59,10 +59,15 @@ object SimilarityQueries {
     }),
 
     // Embedding-cosine near-dup pairs: bucket equi-join + threshold,
-    // the embedding-space dedup method (never all-pairs)
-    "e1_embed_neardup" -> ((s, dir) =>
+    // the embedding-space dedup method (never all-pairs). Pair scoring
+    // goes through the native codegen vec_dot — bit-identical fold to
+    // Similarity.dot, so the oracle is unchanged
+    "e1_embed_neardup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", nPlanes = 4, dim = 64, minCosine = 0.25)),
+        "vec_id", "embedding", nPlanes = 4, dim = 64, minCosine = 0.25,
+        dotFn = (a, b) => call_function("vec_dot", a, b))
+    }),
 
     // LSH-bucketed ANN: corpus hashed once, search confined to the
     // query's bucket (rows-only check; recall-vs-cost documented)
