@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TransformQueries.all ++ CdcQueries.all ++ RelationalQueries.all ++
-      JoinQueries.all ++ SqlSurfaceQueries.all ++ StatsQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      JoinQueries.all ++ SqlSurfaceQueries.all ++ Surface2Queries.all ++
+      StatsQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ WindowQueries.all ++ MiscQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,7 +30,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TransformQueries.oracles ++ CdcQueries.oracles ++
       RelationalQueries.oracles ++ JoinQueries.oracles ++
-      SqlSurfaceQueries.oracles ++ StatsQueries.oracles ++
+      SqlSurfaceQueries.oracles ++ Surface2Queries.oracles ++
+      StatsQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ WindowQueries.oracles ++
       MiscQueries.oracles

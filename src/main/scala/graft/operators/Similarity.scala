@@ -150,6 +150,23 @@ object Similarity {
       .where(col("cosine") > minCosine)
   }
 
+  /** Deterministic synthetic centroid set for the IVF index structure,
+    * derived like [[planeSigns]] from md5("cent<j>|<i>") → a float in
+    * [-1, 1]. Production would k-means a sample; the index mechanics
+    * (cell assignment, probe-only-your-cell) are identical, and the
+    * derivation is reproducible driver-side AND in oracle SQL (the float
+    * literals round-trip exactly through their double decimal form).
+    */
+  def syntheticCentroids(n: Int, dim: Int): Seq[Seq[Float]] =
+    Seq.tabulate(n) { j =>
+      Seq.tabulate(dim) { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"cent$j|$i".getBytes("UTF-8"))
+        val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+        (v.toFloat / 65535f) * 2f - 1f
+      }
+    }
+
   /** IVF (inverted-file) coarse quantization: assign each vector to its
     * nearest centroid by cosine — the bucket key for an IVF index. The
     * centroid list is small (≤ a few thousand) and goes into the plan

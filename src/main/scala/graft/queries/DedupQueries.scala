@@ -83,14 +83,39 @@ object DedupQueries {
 
     // Deterministic hash split: the train/val/test assignment a training
     // pipeline derives from a stable id hash (engine-portable via md5)
-    "e8_split" -> ((s, dir) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")
-        .cast("binary")), 1, 4), 16, 10).cast("long") % 100
+    "e8_split" -> ((s, dir) =>
       t(s, dir, "documents").select(
-        col("doc_id"), bucket.as("bucket"),
-        when(bucket < 90, "train").when(bucket < 95, "val")
-          .otherwise("test").as("split"))
+        col("doc_id"), splitBucket.as("bucket"), splitName.as("split"))),
+
+    // Cross-split contamination check: evaluation (val/test) documents
+    // whose canonical fingerprint also appears in the train split — the
+    // decontamination pass every training pipeline runs before eval.
+    // Semi join on the fingerprint key: one shuffle, no pairs
+    "e10_contam" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        splitName.as("split"))
+      val trainFps = d.where(col("split") === "train").select("fp").distinct()
+      d.where(col("split") =!= "train")
+        .join(trainFps, Seq("fp"), "left_semi")
+        .select("doc_id", "fp", "split")
     }))
+
+  /** md5-derived percentile bucket of doc_id (shared by e8/e10). */
+  private def splitBucket = conv(substring(md5(col("doc_id").cast("string")
+    .cast("binary")), 1, 4), 16, 10).cast("long") % 100
+
+  private def splitName =
+    when(splitBucket < 90, "train").when(splitBucket < 95, "val")
+      .otherwise("test")
+
+  private val splitBucketSql =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+
+  private val splitNameSql =
+    s"""CASE WHEN $splitBucketSql < 90 THEN 'train'
+        WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END"""
 
   /** tokens → shingles → shingle-hashes, one projection per stage. */
   private def stagedShingleHashes(s: SparkSession, dir: String): DataFrame =
@@ -198,13 +223,14 @@ object DedupQueries {
           WHERE t.doc_id NOT IN
             (SELECT id_b FROM verified WHERE jaccard >= 0.3)""",
     "e8_split" ->
-      """SELECT doc_id,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
-           % 100 AS bucket,
-         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-                AS BIGINT) % 100 < 90 THEN 'train'
-              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-                AS BIGINT) % 100 < 95 THEN 'val'
-              ELSE 'test' END AS split
-         FROM documents""")
+      s"""SELECT doc_id, $splitBucketSql AS bucket, $splitNameSql AS split
+          FROM documents""",
+    "e10_contam" ->
+      s"""WITH d AS (SELECT doc_id,
+            md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+            $splitNameSql AS split
+          FROM documents)
+          SELECT doc_id, fp, split FROM d
+          WHERE split <> 'train'
+            AND fp IN (SELECT fp FROM d WHERE split = 'train')""")
 }

@@ -16,6 +16,11 @@ import graft.operators.Similarity
 object SimilarityQueries {
   import Tables._
 
+  /** IVF centroid count (small on purpose: the oracle SQL embeds
+    * ivfN × 64 literal doubles).
+    */
+  private val ivfN = 4
+
   /** The query vector: embeddings row vec_id=0, as a broadcast 1-row
     * frame (no driver collect; at 100 TB this is a broadcast of 256
     * bytes).
@@ -67,6 +72,31 @@ object SimilarityQueries {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
         "vec_id", "embedding", nPlanes = 4, dim = 64, minCosine = 0.25,
         dotFn = (a, b) => call_function("vec_dot", a, b))
+    }),
+
+    // Per-vector L2 norm — the normalization pass every embedding
+    // pipeline runs before cosine search (norm precomputation turns
+    // later cosines into plain dots). Narrow map, no exchange.
+    "e2_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("l2"))),
+
+    // IVF ANN: corpus assigned to its nearest synthetic centroid (the
+    // inverted-file cell), probe confined to the query's cell, exact
+    // cosine within. At 100 TB the corpus is written partitioned by
+    // cell so a probe reads only its partitions.
+    "e2_ivf" -> ((s, dir) => {
+      val cents = Similarity.syntheticCentroids(ivfN, 64)
+      val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .withColumn("__cell", Similarity.ivfCell(col("embedding"), cents))
+      val q = queryVec(s, dir).select(col("qe"),
+        Similarity.ivfCell(col("qe"), cents).as("__qcell"))
+      corpus.join(broadcast(q), col("__cell") === col("__qcell"))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qe")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
     }),
 
     // LSH-bucketed ANN: corpus hashed once, search confined to the
@@ -131,7 +161,47 @@ object SimilarityQueries {
         ORDER BY cosine DESC, c.vec_id LIMIT 10"""
   }
 
+  /** The same centroid matrix the Spark operator bakes into its plan, as
+    * SQL literal double lists (each float's shortest-double repr parses
+    * back to the identical IEEE value).
+    */
+  private val ivfSql: String = {
+    val cents = graft.operators.Similarity.syntheticCentroids(ivfN, 64)
+    val centLit = cents.map(_.map(_.toDouble.toString)
+      .mkString("[", ", ", "]"))
+    // mirrors Similarity.cosine(vec, centroid_j): dot / (norm(v)·norm(c))
+    def score(vec: String, j: Int) =
+      s"""(${foldDot(vec, centLit(j))} /
+          (sqrt(${foldDot(vec, vec)}) *
+           sqrt(${foldDot(centLit(j), centLit(j))})))"""
+    // mirrors greatest(struct(s, i)).getField("i"): lexicographic max on
+    // (score, index) — descending >= CASE chain gives ties to higher j
+    def cell(vec: String) = {
+      val ss = (0 until ivfN).map(j => score(vec, j))
+      val cases = (ivfN - 1 to 1 by -1).map { j =>
+        val ge = (0 until j).map(o => s"${ss(j)} >= ${ss(o)}")
+          .mkString(" AND ")
+        s"WHEN $ge THEN $j"
+      }.mkString(" ")
+      s"(CASE $cases ELSE 0 END)"
+    }
+    s"""WITH q AS (SELECT embedding AS qe, ${cell("embedding")} AS qcell
+          FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT vec_id, embedding, ${cell("embedding")} AS cell
+          FROM embeddings WHERE vec_id <> 0)
+        SELECT c.vec_id,
+          ${foldDot("c.embedding", "q.qe")} /
+            (sqrt(${foldDot("c.embedding", "c.embedding")})
+             * sqrt(${foldDot("q.qe", "q.qe")})) AS cosine
+        FROM c, q WHERE c.cell = q.qcell
+        ORDER BY cosine DESC, c.vec_id LIMIT 10"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "e2_norms" ->
+      s"""SELECT vec_id, sqrt(${foldDot("embedding", "embedding")}) AS l2
+          FROM embeddings""",
+    "e2_ivf" -> ivfSql,
     "e2_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
           p AS (SELECT e.vec_id,

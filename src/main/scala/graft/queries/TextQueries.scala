@@ -45,6 +45,23 @@ object TextQueries {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // Sequence packing: assign documents to fixed-size context-window
+    // bins (2048 tokens) via a running token total — the batching pass a
+    // training pipeline runs before tokenized-example serialization.
+    // Packing is inherently sequential per stream, so it is partitioned
+    // by a shard key (lang here); each shard's running sum is one
+    // window, no global sort — the 100 TB shape
+    "e9_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Long.MinValue, 0)
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum_tok - n_tok) div 2048"))
+    }),
+
     // Corpus accounting per language slice: docs, chars, tokens —
     // integer sums are exact so no decimal detour is needed
     "e4_corpus_stats" -> ((s, dir) =>
@@ -110,6 +127,17 @@ object TextQueries {
       """SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
          FROM documents""",
+    "e9_pack" ->
+      s"""WITH tc AS (SELECT lang, doc_id, CAST(len($tokensSql) AS BIGINT)
+            AS n_tok FROM documents)
+          SELECT lang, doc_id, n_tok,
+            CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tok,
+            CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+              AS BIGINT) // 2048 AS bin
+          FROM tc""",
     "e4_corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars,

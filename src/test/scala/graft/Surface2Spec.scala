@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Unit tests for the round-3 additions: IVF cell assignment, sequence
+  * packing, cross-split contamination, and the range-join/full-outer
+  * query shapes.
+  */
+class Surface2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("syntheticCentroids is deterministic and in [-1, 1]") {
+    val a = Similarity.syntheticCentroids(4, 64)
+    val b = Similarity.syntheticCentroids(4, 64)
+    assert(a === b)
+    assert(a.flatten.forall(v => v >= -1f && v <= 1f))
+    // distinct centroids (no two identical rows)
+    assert(a.distinct.size === 4)
+  }
+
+  test("ivfCell assigns a vector nearest its own centroid") {
+    val cents = Similarity.syntheticCentroids(4, 8).map(_.take(8))
+    // a vector exactly on centroid j must land in cell j (cosine = 1)
+    val df = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("i", "v")
+      .select(col("i"), Similarity.ivfCell(col("v"), cents).as("cell"))
+    df.as[(Long, Int)].collect().foreach { case (i, cell) =>
+      assert(cell === i.toInt, s"centroid $i landed in cell $cell")
+    }
+  }
+
+  test("e9 packing: bins are contiguous and cumulative sums monotone") {
+    val docs = (1L to 100L).map(i => (i, "tok " * (i % 17 + 1).toInt, "en"))
+      .toDF("doc_id", "text", "lang")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id").rowsBetween(Long.MinValue, 0)
+    val packed = docs
+      .select(col("lang"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum_tok - n_tok) div 64"))
+      .orderBy("doc_id")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // cum strictly increasing; bin nondecreasing, no gaps
+    packed.sliding(2).foreach { case Array(p, n) =>
+      assert(n._4 > p._4)
+      assert(n._5 >= p._5 && n._5 <= p._5 + 1)
+    }
+    // each doc's bin derives from the PRE-doc total (first doc in bin 0)
+    assert(packed.head._5 === 0L)
+  }
+
+  test("e10 contamination finds exactly the eval docs sharing a train fingerprint") {
+    // doc 1 (train bucket by construction varies) — instead force splits
+    // via explicit frame: the operator shape is fingerprint semi-join
+    val d = Seq(
+      (1L, "The cat sat.", "train"),
+      (2L, "the CAT sat!!", "test"),  // same canonical form as 1
+      (3L, "dogs run fast", "test"),
+      (4L, "dogs run fast", "val"),   // dup within eval only — NOT contaminated
+      (5L, "unique text here", "train")).toDF("doc_id", "text", "split")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val train = d.where(col("split") === "train").select("fp").distinct()
+    val contam = d.where(col("split") =!= "train")
+      .join(train, Seq("fp"), "left_semi")
+      .select("doc_id").as[Long].collect().sorted
+    assert(contam === Array(2L))
+  }
+
+  test("range-join bands partition the price domain (each row exactly one band)") {
+    val bands = Seq((0.0, 10.0, "low"), (10.0, 20.0, "mid"),
+      (20.0, 1e9, "high")).toDF("lo", "hi", "band")
+    val vals = (0 until 50).map(i => i.toDouble * 0.9).toDF("v")
+    val joined = vals.join(broadcast(bands),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    assert(joined.count() === 50)
+    assert(joined.groupBy("v").count().where(col("count") =!= 1).count() === 0)
+  }
+}
