@@ -41,6 +41,7 @@ object Graft {
   val dedup: graft.operators.Dedup.type = graft.operators.Dedup
   val similarity: graft.operators.Similarity.type = graft.operators.Similarity
   val multimodal: graft.operators.Multimodal.type = graft.operators.Multimodal
+  val corpus: graft.operators.Corpus.type = graft.operators.Corpus
   val asof: graft.operators.AsofJoin.type = graft.operators.AsofJoin
   val skew: graft.operators.Skew.type = graft.operators.Skew
   val catalog: graft.schemas.Catalog.type = graft.schemas.Catalog

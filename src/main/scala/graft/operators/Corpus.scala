@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-management operators for training-data pipelines: stable hash
+  * splits, context-window sequence packing, and cross-split
+  * decontamination.
+  *
+  * Scale design (100 TB): the split is a pure narrow expression of the
+  * document id (no state, no shuffle — identical assignment on any
+  * cluster and under retries); packing shuffles once on the shard key
+  * and sorts only within shards (never a global order); contamination
+  * is one semi join on a constant-width fingerprint key.
+  */
+object Corpus {
+
+  /** Deterministic percentile bucket of a stable id: md5-derived,
+    * engine-portable, independent of partitioning — the property that
+    * makes a train/test split reproducible across engines and reruns.
+    */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    conv(substring(md5(id.cast(StringType).cast(BinaryType)), 1, 4), 16, 10)
+      .cast(LongType) % buckets
+
+  /** Split assignment from the hash bucket (defaults: 90/5/5). */
+  def splitName(bucket: Column, trainPct: Int = 90, valPct: Int = 5): Column =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+
+  /** Context-window sequence packing: assign each row to a fixed-size
+    * bin by the running total of `weight` (token count) per shard. The
+    * bin is derived from the PRE-row total, so a row starts a new bin
+    * only when the previous rows filled the current one. Sequential by
+    * nature → partitioned by `shard`: one exchange, per-shard sort.
+    */
+  def packSequences(df: DataFrame, shard: String, order: String,
+                    weight: String, windowTokens: Int,
+                    cumCol: String = "cum_tok",
+                    binCol: String = "bin"): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(cumCol, sum(col(weight)).over(w))
+      .withColumn(binCol, expr(s"($cumCol - $weight) div $windowTokens"))
+  }
+
+  /** Cross-split contamination: rows of non-train splits whose `key`
+    * (canonical fingerprint) also appears in the train split. The
+    * decontamination pass run before any evaluation set is trusted.
+    */
+  def contamination(df: DataFrame, key: String, split: String): DataFrame = {
+    val train = df.where(col(split) === "train").select(key).distinct()
+    df.where(col(split) =!= "train").join(train, Seq(key), "left_semi")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Corpus, Dedup, TextAnalysis}
 
 /** Judged queries for the dedup operator set (north star §2.6 E1):
   * exact, fingerprint-keyed, MinHash signatures + LSH band candidate
@@ -85,30 +85,22 @@ object DedupQueries {
     // pipeline derives from a stable id hash (engine-portable via md5)
     "e8_split" -> ((s, dir) =>
       t(s, dir, "documents").select(
-        col("doc_id"), splitBucket.as("bucket"), splitName.as("split"))),
+        col("doc_id"),
+        Corpus.hashBucket(col("doc_id")).as("bucket"),
+        Corpus.splitName(Corpus.hashBucket(col("doc_id"))).as("split"))),
 
     // Cross-split contamination check: evaluation (val/test) documents
     // whose canonical fingerprint also appears in the train split — the
     // decontamination pass every training pipeline runs before eval.
     // Semi join on the fingerprint key: one shuffle, no pairs
-    "e10_contam" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        splitName.as("split"))
-      val trainFps = d.where(col("split") === "train").select("fp").distinct()
-      d.where(col("split") =!= "train")
-        .join(trainFps, Seq("fp"), "left_semi")
-        .select("doc_id", "fp", "split")
-    }))
-
-  /** md5-derived percentile bucket of doc_id (shared by e8/e10). */
-  private def splitBucket = conv(substring(md5(col("doc_id").cast("string")
-    .cast("binary")), 1, 4), 16, 10).cast("long") % 100
-
-  private def splitName =
-    when(splitBucket < 90, "train").when(splitBucket < 95, "val")
-      .otherwise("test")
+    "e10_contam" -> ((s, dir) =>
+      Corpus.contamination(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          Corpus.splitName(Corpus.hashBucket(col("doc_id"))).as("split")),
+        key = "fp", split = "split")
+        .select("doc_id", "fp", "split")))
 
   private val splitBucketSql =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"

@@ -52,6 +52,27 @@ object StatsQueries {
         .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
     }),
 
+    // Exact per-group quartiles via rank positions (no interpolation:
+    // picked values are actual data elements, identical in any engine;
+    // the max(CASE) collapse emits one row per group so coinciding
+    // positions in tiny groups cannot change the row count)
+    "q31_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("rn") === expr("(cnt + 1) div 4"),
+            col("l_extendedprice"))).as("q1_price"),
+          max(when(col("rn") === expr("(cnt + 1) div 2"),
+            col("l_extendedprice"))).as("median_price"),
+          max(when(col("rn") === expr("(3 * (cnt + 1)) div 4"),
+            col("l_extendedprice"))).as("q3_price"))
+    }),
+
     // Pivot: order counts by status × priority (explicit value list →
     // stable output columns)
     "q22_pivot" -> ((s, dir) =>
@@ -100,6 +121,20 @@ object StatsQueries {
          FROM lineitem)
          SELECT l_returnflag, l_extendedprice AS median_price
          FROM r WHERE rn = (cnt + 1) // 2""",
+    "q31_quantiles" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS cnt
+         FROM lineitem)
+         SELECT l_returnflag,
+           max(CASE WHEN rn = (cnt + 1) // 4 THEN l_extendedprice END)
+             AS q1_price,
+           max(CASE WHEN rn = (cnt + 1) // 2 THEN l_extendedprice END)
+             AS median_price,
+           max(CASE WHEN rn = (3 * (cnt + 1)) // 4 THEN l_extendedprice END)
+             AS q3_price
+         FROM r GROUP BY l_returnflag""",
     // count(*) FILTER yields BIGINT directly — SUM(CASE...) would be
     // HUGEINT in DuckDB, which the driver comparator hashes differently
     // from Spark's bigint even for equal values

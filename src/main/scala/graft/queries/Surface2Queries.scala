@@ -76,6 +76,40 @@ object Surface2Queries {
       """)
     }),
 
+    // Regex scalar surface (patterns restricted to the dialect
+    // intersection: character classes + groups, no lookaround)
+    "q32_regex" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(lower(col("p_name")), "^([a-z]+)", 1).as("first_word"),
+        col("p_type").rlike("BRUSHED").as("is_brushed"),
+        regexp_count(col("p_name"), lit("a")).cast("long").as("n_a"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_devoweled"))),
+
+    // UNION ALL via unionByName (column order intentionally reversed on
+    // one side) then re-aggregated
+    "q33_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val open = o.where(col("o_orderstatus") === "O")
+        .select(col("o_custkey"), lit("open").as("src"))
+      val pending = o.where(col("o_orderstatus") === "P")
+        .select(lit("pending").as("src"), col("o_custkey"))
+      open.unionByName(pending)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+    }),
+
+    // Collect/array_agg surface: per-nation sorted distinct segment
+    // list, serialized to a scalar for the comparator
+    "q35_collect" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+            .as("segments"),
+          count(lit(1)).as("n_cust"))),
+
     // Non-equi range join: each order banded by a tiny price-band
     // dimension (broadcast nested loop over 3 rows — the only sane plan
     // for a band join against a literal dimension)
@@ -143,6 +177,27 @@ object Surface2Queries {
             WHERE o_totalprice >
               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
                  / count(*) FROM orders))""",
+    "q32_regex" ->
+      """SELECT p_partkey,
+         regexp_extract(lower(p_name), '^([a-z]+)', 1) AS first_word,
+         regexp_matches(p_type, 'BRUSHED') AS is_brushed,
+         CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+         regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled
+         FROM part""",
+    "q33_union" ->
+      """SELECT src, count(*) AS n, count(DISTINCT o_custkey) AS n_cust
+         FROM (SELECT o_custkey, 'open' AS src FROM orders
+               WHERE o_orderstatus = 'O'
+               UNION ALL
+               SELECT o_custkey, 'pending' AS src FROM orders
+               WHERE o_orderstatus = 'P')
+         GROUP BY src""",
+    "q35_collect" ->
+      """SELECT c_nationkey,
+         array_to_string(list_sort(list_distinct(array_agg(c_mktsegment))), ',')
+           AS segments,
+         count(*) AS n_cust
+         FROM customer GROUP BY c_nationkey""",
     "q29_range_join" ->
       """SELECT band, count(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total

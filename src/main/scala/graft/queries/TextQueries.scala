@@ -39,6 +39,25 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")).as("n_ws"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    // PII-style scrubbing: digit-run redaction (the cheap regex pass a
+    // corpus pipeline runs before anything leaves the trust boundary)
+    "e4_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("redacted"))),
+
+    // Within-document repetition: distinct-token ratio, the standard
+    // boilerplate/spam signal (low ratio = highly repetitive doc)
+    "e4_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+          (size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
+            .as("distinct_ratio"))),
+
     // Document fingerprint (canonical-form md5)
     "e4_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -51,16 +70,13 @@ object TextQueries {
     // Packing is inherently sequential per stream, so it is partitioned
     // by a shard key (lang here); each shard's running sum is one
     // window, no global sort — the 100 TB shape
-    "e9_pack" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Long.MinValue, 0)
-      t(s, dir, "documents")
-        .select(col("lang"), col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tok"))
-        .withColumn("cum_tok", sum(col("n_tok")).over(w))
-        .withColumn("bin", expr("(cum_tok - n_tok) div 2048"))
-    }),
+    "e9_pack" -> ((s, dir) =>
+      graft.operators.Corpus.packSequences(
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        shard = "lang", order = "doc_id", weight = "n_tok",
+        windowTokens = 2048)),
 
     // Corpus accounting per language slice: docs, chars, tokens —
     // integer sums are exact so no decimal detour is needed
@@ -123,6 +139,17 @@ object TextQueries {
           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
             AS n_bpe
           FROM documents""",
+    "e4_redact" ->
+      """SELECT doc_id,
+         regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted
+         FROM documents""",
+    "e4_repetition" ->
+      s"""SELECT doc_id,
+          CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct($tokensSql)) AS BIGINT) AS n_distinct,
+          CAST(len(list_distinct($tokensSql)) AS DOUBLE) / len($tokensSql)
+            AS distinct_ratio
+          FROM documents WHERE len($tokensSql) > 0""",
     "e4_fingerprint" ->
       """SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
