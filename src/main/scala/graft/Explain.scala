@@ -18,9 +18,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("p1_project", "q1_agg", "q3_join", "q4_window",
-        "e2_topk_double", "e1_minhash_pairs", "e5_session", "c2_unwrap")
+    val names = if (args.nonEmpty) {
+      if (args.sameElements(Array("all"))) SparkEntry.queries.keys.toSeq.sorted
+      else args.toSeq
+    } else Seq("p1_project", "q1_agg", "q3_join", "q4_window",
+      "e2_topk_double", "e1_minhash_pairs", "e5_session", "c2_unwrap",
+      "e2_ivf", "e9_pack", "q29_range_join", "e10_contam")
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
