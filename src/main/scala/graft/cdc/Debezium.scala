@@ -68,6 +68,32 @@ object Debezium {
       .where(col("e.op").isin(upsertOps: _*))
       .select(col("e.after.*"), col("e.ts_ms"), col("e.op"))
 
+  /** C1 fixture side for deletes: Debezium delete events carry the old
+    * row in `before` with `after` null.
+    */
+  def wrapDelete(df: DataFrame, table: String, tsMs: Column): DataFrame =
+    df.select(to_json(struct(
+      struct(df.columns.map(col).toIndexedSeq: _*).as("before"),
+      lit("d").as("op"),
+      tsMs.as("ts_ms"),
+      struct(lit(table).as("table")).as("source"))).as("value"))
+
+  /** C2 variant that KEEPS deletes (the reference's SMT drops them; a
+    * complete engine must be able to reduce them): the row image comes
+    * from `after` for c/r/u and from `before` for d, with metadata for
+    * the last-wins + tombstone reduction
+    * ([[graft.sinks.Sinks.applyChangeLog]]).
+    */
+  def unwrapWithDeletes(raw: DataFrame, row: StructType,
+                        valueCol: String = "value"): DataFrame =
+    raw
+      .select(from_json(col(valueCol).cast(StringType), envelopeSchema(row)).as("e"))
+      .where(col("e.op").isin((upsertOps :+ "d"): _*))
+      .select(when(col("e.op") === "d", col("e.before"))
+        .otherwise(col("e.after")).as("r"),
+        col("e.ts_ms"), col("e.op"))
+      .select(col("r.*"), col("ts_ms"), col("op"))
+
   /** Topic naming: `<serverName>.public.<table>`
     * (reference: debezium-config.json:10; cassandra-sink-config.json:6).
     */

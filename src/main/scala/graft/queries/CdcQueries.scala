@@ -63,6 +63,26 @@ object CdcQueries {
       merged.select(c.columns.map(col).toIndexedSeq: _*)
     }),
 
+    // C2+C7+K2 with tombstones: snapshot ∪ updates ∪ DELETES reduced to
+    // final state — the delete-aware change-log application the
+    // reference's sink sidesteps (its SMT drops deletes); keys whose
+    // final event is a delete vanish from the table
+    "c8_tombstone" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val snapshot = Debezium.wrap(c, lit("r"), "customer", lit(0L))
+      val updates = Debezium.wrap(
+        c.where(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0),
+        lit("u"), "customer", lit(1L))
+      val deletes = Debezium.wrapDelete(
+        c.where(col("c_custkey") % 5 === 0), "customer", lit(2L))
+      val log = Debezium.unwrapWithDeletes(
+        snapshot.unionByName(updates).unionByName(deletes), c.schema)
+      Sinks.applyChangeLog(log, keys = Seq("c_custkey"),
+        orderCols = Seq("ts_ms"))
+        .select(c.columns.map(col).toIndexedSeq: _*)
+    }),
+
     // K2 alone: last-wins upsert over a natural key on testdata — keep the
     // final lineitem per order (reference: cassandra-init.cql upsert-by-PK)
     // orderCols form a total order over the projected columns so the
@@ -95,6 +115,11 @@ object CdcQueries {
          CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
            AS c_acctbal,
          c_mktsegment FROM customer""",
+    "c8_tombstone" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+           AS c_acctbal,
+         c_mktsegment FROM customer WHERE c_custkey % 5 <> 0""",
     "k2_upsert" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
          QUALIFY row_number() OVER

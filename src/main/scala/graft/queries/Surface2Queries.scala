@@ -110,6 +110,15 @@ object Surface2Queries {
             .as("segments"),
           count(lit(1)).as("n_cust"))),
 
+    // HAVING through the SQL entry path
+    "q36_having" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v3")
+      s.sql("""
+        SELECT o_custkey, count(*) AS n FROM orders_v3
+        GROUP BY o_custkey HAVING count(*) >= 20
+      """)
+    }),
+
     // Non-equi range join: each order banded by a tiny price-band
     // dimension (broadcast nested loop over 3 rows — the only sane plan
     // for a band join against a literal dimension)
@@ -177,6 +186,9 @@ object Surface2Queries {
             WHERE o_totalprice >
               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
                  / count(*) FROM orders))""",
+    "q36_having" ->
+      """SELECT o_custkey, count(*) AS n FROM orders
+         GROUP BY o_custkey HAVING count(*) >= 20""",
     "q32_regex" ->
       """SELECT p_partkey,
          regexp_extract(lower(p_name), '^([a-z]+)', 1) AS first_word,

@@ -32,6 +32,24 @@ object WindowQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
         .select(col("w.start").as("win_start"), col("n"), col("sum_value"))),
 
+    // Lag-based sessionization (gaps-and-islands): the portable
+    // mechanism behind session_window, expressed with lag + cumulative
+    // break count — same single exchange on user_id, sort within
+    // partitions only
+    "e5_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wc = w.rowsBetween(Long.MinValue, 0)
+      events(s, dir)
+        .withColumn("brk",
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            < 600000000L, 0).otherwise(1))
+        .withColumn("sid", sum(col("brk")).over(wc))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("session_start"),
+          count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+    }),
+
     // Session windows per user, 10-minute gap
     "e5_session" -> ((s, dir) =>
       events(s, dir)
@@ -59,6 +77,22 @@ object WindowQueries {
               AS win_start, value FROM events)
           SELECT win_start, count(*) AS n, $dsumSql AS sum_value
           FROM b GROUP BY 1""",
+    "e5_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                       value FROM events),
+          m AS (SELECT user_id, event_id, ts, value,
+                  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                    < 600000000 THEN 0 ELSE 1 END AS brk
+                FROM e),
+          g AS (SELECT user_id, ts, value,
+                  CAST(SUM(brk) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS sid
+                FROM m)
+          SELECT user_id, sid, min(ts) AS session_start,
+            count(*) AS n, $dsumSql AS sum_value
+          FROM g GROUP BY user_id, sid""",
     "e5_session" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
                      FROM events),

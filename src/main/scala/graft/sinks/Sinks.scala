@@ -28,6 +28,16 @@ object Sinks {
       .drop("__rn")
   }
 
+  /** C2+K2 composition with DELETE handling: reduce a full change log
+    * (c/r/u/d ops) to final table state — last-wins per key, then keys
+    * whose final event is a delete are dropped (tombstone semantics the
+    * reference's sink sidesteps by discarding deletes). Same single
+    * shuffle as [[upsertLastWins]].
+    */
+  def applyChangeLog(changeLog: DataFrame, keys: Seq[String],
+                     orderCols: Seq[String], opCol: String = "op"): DataFrame =
+    upsertLastWins(changeLog, keys, orderCols).where(col(opCol) =!= "d")
+
   /** K1: append a batch to a parquet "table" directory — the harness's
     * stand-in for [[appendJdbc]]; same semantics (blind append, no keys).
     */

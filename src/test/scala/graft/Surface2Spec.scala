@@ -68,6 +68,30 @@ class Surface2Spec extends SparkSpec {
     assert(contam === Array(2L))
   }
 
+  test("change-log application: tombstoned keys vanish, last update wins") {
+    import graft.cdc.Debezium
+    import graft.sinks.Sinks
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    val snapshot = Debezium.wrap(base, lit("r"), "t", lit(0L))
+    val update = Debezium.wrap(
+      Seq((2L, 99.0)).toDF("id", "v"), lit("u"), "t", lit(1L))
+    val delete = Debezium.wrapDelete(
+      Seq((3L, 30.0)).toDF("id", "v"), "t", lit(2L))
+    val log = Debezium.unwrapWithDeletes(
+      snapshot.unionByName(update).unionByName(delete), base.schema)
+    val state = Sinks.applyChangeLog(log, Seq("id"), Seq("ts_ms"))
+      .select("id", "v").as[(Long, Double)].collect().sortBy(_._1)
+    assert(state === Array((1L, 10.0), (2L, 99.0)))
+    // a delete followed by a re-create resurrects the key
+    val recreate = Debezium.wrap(
+      Seq((3L, 31.0)).toDF("id", "v"), lit("c"), "t", lit(3L))
+    val log2 = Debezium.unwrapWithDeletes(
+      snapshot.unionByName(delete).unionByName(recreate), base.schema)
+    val ids = Sinks.applyChangeLog(log2, Seq("id"), Seq("ts_ms"))
+      .select("id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 3L))
+  }
+
   test("range-join bands partition the price domain (each row exactly one band)") {
     val bands = Seq((0.0, 10.0, "low"), (10.0, 20.0, "mid"),
       (20.0, 1e9, "high")).toDF("lo", "hi", "band")
