@@ -39,6 +39,30 @@ object StatsQueries {
         count(lit(1)).as("n"))
     }),
 
+    // Population skewness + excess kurtosis from exact decimal moment
+    // sums (same recipe as q19: every input to the double formula is an
+    // order-independent exact total; round(_, 8) absorbs fma contraction)
+    "q38_moments" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val n = count(lit(1)).cast("double")
+      val s1 = dsumDec(col("l_quantity"), 2).cast("double")
+      val s2 = dsumDec(col("l_quantity") * col("l_quantity"), 4).cast("double")
+      val s3 = dsumDec(col("l_quantity") * col("l_quantity")
+        * col("l_quantity"), 6).cast("double")
+      val s4 = dsumDec(col("l_quantity") * col("l_quantity")
+        * col("l_quantity") * col("l_quantity"), 8).cast("double")
+      val mean = s1 / n
+      val m2 = s2 / n - mean * mean
+      val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+      val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+        lit(6.0) * mean * mean * (s2 / n) -
+        lit(3.0) * mean * mean * mean * mean
+      li.groupBy("l_returnflag").agg(
+        round(m3 / sqrt(m2 * m2 * m2), 8).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 8).as("kurtosis_excess"),
+        count(lit(1)).as("n"))
+    }),
+
     // Exact lower-median per group via rank (no interpolation — the
     // picked value is an actual data element, identical in any engine)
     "q20_median" -> ((s, dir) => {
@@ -113,6 +137,29 @@ object StatsQueries {
           count(*) AS n
           FROM lineitem GROUP BY l_returnflag"""
     },
+    "q38_moments" ->
+      """WITH t AS (SELECT l_returnflag,
+           CAST(count(*) AS DOUBLE) AS n,
+           count(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+             AS s2,
+           CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,6)))
+             AS DOUBLE) AS s3,
+           CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity
+             AS DECIMAL(38,8))) AS DOUBLE) AS s4
+         FROM lineitem GROUP BY l_returnflag),
+         m AS (SELECT l_returnflag, cnt,
+           s2/n - (s1/n)*(s1/n) AS m2,
+           s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n) AS m3,
+           s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+             - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+         FROM t)
+         SELECT l_returnflag,
+           round(m3 / sqrt(m2*m2*m2), 8) AS skewness,
+           round(m4 / (m2*m2) - 3.0, 8) AS kurtosis_excess,
+           cnt AS n
+         FROM m""",
     "q20_median" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice,
            row_number() OVER (PARTITION BY l_returnflag

@@ -110,6 +110,19 @@ object Surface2Queries {
             .as("segments"),
           count(lit(1)).as("n_cust"))),
 
+    // Correlated scalar subquery per row (SQL path): each customer's
+    // max order value — compiles to a left outer aggregate join
+    "q37_correlated_scalar" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v4")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v4")
+      s.sql("""
+        SELECT c_custkey,
+          (SELECT max(o_totalprice) FROM orders_v4
+           WHERE o_custkey = c_custkey) AS max_order
+        FROM customer_v4
+      """)
+    }),
+
     // HAVING through the SQL entry path
     "q36_having" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_v3")
@@ -186,6 +199,11 @@ object Surface2Queries {
             WHERE o_totalprice >
               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
                  / count(*) FROM orders))""",
+    "q37_correlated_scalar" ->
+      """SELECT c_custkey,
+         (SELECT max(o_totalprice) FROM orders
+          WHERE o_custkey = c_custkey) AS max_order
+         FROM customer""",
     "q36_having" ->
       """SELECT o_custkey, count(*) AS n FROM orders
          GROUP BY o_custkey HAVING count(*) >= 20""",
