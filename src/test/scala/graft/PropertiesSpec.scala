@@ -95,6 +95,54 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("hashBucket is total, stable, and in range for arbitrary ids") {
+    import graft.operators.Corpus
+    samples(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)), 5)
+      .foreach { ids =>
+        val df = ids.toDF("id")
+          .select(Corpus.hashBucket(col("id")).as("b")).as[Long].collect()
+        assert(df.forall(b => b >= 0 && b < 100))
+        // stable: recomputation gives identical assignment
+        val again = ids.toDF("id")
+          .select(Corpus.hashBucket(col("id")).as("b")).as[Long].collect()
+        assert(df === again)
+      }
+  }
+
+  test("packSequences: partition-count invariant, bins derive from pre-row totals") {
+    import graft.operators.Corpus
+    val docs = (1L to 60L).map(i => ("s" + (i % 3), i, (i % 7 + 1)))
+      .toDF("shard", "id", "w")
+    def run(parts: Int) =
+      Corpus.packSequences(docs.repartition(parts), "shard", "id", "w", 10)
+        .orderBy("shard", "id")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(run(1) === run(7))
+    // within a shard, cum is strictly increasing and bin = (cum-w) div 10
+    run(4).groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._2).foreach { case (_, _, w, cum, bin) =>
+        assert(bin === (cum - w) / 10)
+      }
+    }
+  }
+
+  test("applyChangeLog is idempotent over duplicate delivery (at-least-once)") {
+    import graft.cdc.Debezium
+    import graft.sinks.Sinks
+    val base = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val log = Debezium.unwrapWithDeletes(
+      Debezium.wrap(base, lit("r"), "t", lit(0L))
+        .unionByName(Debezium.wrapDelete(
+          Seq((2L, 2.0)).toDF("id", "v"), "t", lit(1L))),
+      base.schema)
+    val once = Sinks.applyChangeLog(log, Seq("id"), Seq("ts_ms"))
+    // redelivered (duplicated) log reduces to the same state
+    val twice = Sinks.applyChangeLog(log.unionByName(log),
+      Seq("id"), Seq("ts_ms"))
+    assert(once.select("id").as[Long].collect().sorted ===
+      twice.select("id").as[Long].collect().sorted)
+  }
+
   test("minhash signatures are invariant under shingle permutation") {
     val shGen = Gen.nonEmptyListOf(
       Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(5).mkString))
