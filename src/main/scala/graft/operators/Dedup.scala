@@ -89,8 +89,11 @@ object Dedup {
       col(id) +: minhashSignaturesFromHashes(col("__sh_hashes"), k): _*)
     val banded = sigs.select(
       col(id) +: bandKeys((0 until k).map(j => col(s"sig_$j")), bands): _*)
+    // both sides of the self-join read this frame: persist it so the
+    // md5 + signature derivation over the corpus runs once, not twice
     val long = banded.select(col(id), explode(array(
       (0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+      .persist()
     val a = long.as("a")
     val b = long.as("b")
     a.join(b, col("a.band") === col("b.band") &&
