@@ -78,6 +78,20 @@ object TextQueries {
         shard = "lang", order = "doc_id", weight = "n_tok",
         windowTokens = 2048)),
 
+    // The composed corpus-curation gate: token-count band + punctuation
+    // ceiling + identified language — the standard pre-training filter
+    // pipeline, as one narrow scan-fused predicate (no shuffle)
+    "e11_quality_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.punctRatio(col("text")).as("pr"),
+        TextAnalysis.detectLang(col("text")).as("det"))
+      d.where(col("n_tok").between(5, 100000) &&
+          col("pr") < 0.2 && col("det") =!= "und")
+        .select("doc_id", "lang", "n_tok", "det")
+    }),
+
     // Corpus accounting per language slice: docs, chars, tokens —
     // integer sums are exact so no decimal detour is needed
     "e4_corpus_stats" -> ((s, dir) =>
@@ -165,6 +179,27 @@ object TextQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
               AS BIGINT) // 2048 AS bin
           FROM tc""",
+    "e11_quality_gate" -> {
+      val score = (l: String) =>
+        s"len(list_filter($tokensSql, x -> list_contains(${markerSql(l)}, x)))"
+      s"""WITH sc AS (SELECT doc_id, lang,
+            CAST(len($tokensSql) AS BIGINT) AS n_tok,
+            CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+              AS DOUBLE) / len(text) AS pr,
+            ${score("en")} AS s_en, ${score("de")} AS s_de,
+            ${score("fr")} AS s_fr, ${score("es")} AS s_es
+          FROM documents),
+          d AS (SELECT doc_id, lang, n_tok, pr, CASE
+              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0
+                THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+              WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+              WHEN s_es > 0 THEN 'es'
+              ELSE 'und' END AS det
+            FROM sc)
+          SELECT doc_id, lang, n_tok, det FROM d
+          WHERE n_tok BETWEEN 5 AND 100000 AND pr < 0.2 AND det <> 'und'"""
+    },
     "e4_corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
