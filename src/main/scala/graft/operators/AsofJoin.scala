@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions._
   * Tie semantics: a right row at exactly leftTs IS visible (<=); among
   * multiple right rows with equal (key, ts) the greatest `tiebreak`
   * wins — deterministic by construction.
+  *
+  * `tolerance` bounds staleness (pandas `merge_asof(tolerance=...)`):
+  * when set, a carried value older than `leftTs - tolerance` is nulled
+  * — the matched row's own timestamp is carried alongside the values,
+  * so the bound costs one extra window column, not a second join.
   */
 object AsofJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightVals: Seq[(String, String)],
-               tiebreak: Column): DataFrame = {
+               tiebreak: Column,
+               tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__ts", col(leftTs))
@@ -37,6 +43,9 @@ object AsofJoin {
       .select((keys.map(col) :+ col(rightTs).as("__ts") :+
         lit(0).as("__side") :+ tiebreak.cast("long").as("__tie")) ++
         rightVals.map { case (_, dst) => col(s"__rv_$dst") }: _*)
+      // carry the right row's own timestamp with its values so a
+      // staleness bound can be applied after the fill
+      .withColumn("__rv___rts", col("__ts"))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right rows sort before left rows at equal ts (__side 0 < 1), and
     // among equal right timestamps the greatest tiebreak sorts last →
@@ -44,11 +53,19 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(unioned) { case (df, (_, dst)) =>
+    val carried = rightVals.map { case (_, dst) => dst } :+ "__rts"
+    val filled = carried.foldLeft(unioned) { (df, dst) =>
       df.withColumn(dst, last(col(s"__rv_$dst"), ignoreNulls = true).over(w))
     }
-    filled
-      .where(col("__side") === 1)
+    val base = filled.where(col("__side") === 1)
+    val bounded = tolerance match {
+      case Some(tol) => rightVals.foldLeft(base) { case (df, (_, dst)) =>
+        df.withColumn(dst,
+          when(col("__rts") >= col("__ts") - tol, col(dst)))
+      }
+      case None => base
+    }
+    bounded
       .select(leftCols.map(col) ++ rightVals.map { case (_, dst) => col(dst) }: _*)
   }
 }

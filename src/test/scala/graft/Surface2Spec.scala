@@ -68,6 +68,28 @@ class Surface2Spec extends SparkSpec {
     assert(contam === Array(2L))
   }
 
+  test("as-of join tolerance nulls stale matches, keeps fresh ones") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 100L), (2L, 200L)).toDF("k", "t")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"))
+    // right rows: k=1 at t=98 (fresh for tol=5), k=2 at t=150 (stale)
+    val right = Seq((1L, 98L, 7.0, 1L), (2L, 150L, 9.0, 2L))
+      .toDF("k", "t", "v", "rid")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"),
+        col("v"), col("rid"))
+    def run(tol: Option[String]) =
+      AsofJoin.asofJoin(left, right, Seq("k"), "ts", "ts",
+        Seq("v" -> "last_v"), col("rid"),
+        tolerance = tol.map(expr))
+        .select("k", "last_v").as[(Long, Option[Double])]
+        .collect().sortBy(_._1)
+    // unbounded: both match
+    assert(run(None) === Array((1L, Some(7.0)), (2L, Some(9.0))))
+    // 5-second bound: k=2's match is 50s stale → null
+    assert(run(Some("INTERVAL 5 SECONDS")) ===
+      Array((1L, Some(7.0)), (2L, None)))
+  }
+
   test("change-log application: tombstoned keys vanish, last update wins") {
     import graft.cdc.Debezium
     import graft.sinks.Sinks
