@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   * when set, a carried value older than `leftTs - tolerance` is nulled
   * — the matched row's own timestamp is carried alongside the values,
   * so the bound costs one extra window column, not a second join.
+  *
+  * `direction`: "backward" (default — latest right row at or before
+  * leftTs) or "forward" (earliest right row at or after leftTs); the
+  * forward form is the same union-then-window plan with the timestamp
+  * sort flipped, and its tolerance bound flips to `leftTs + tolerance`.
   */
 object AsofJoin {
 
@@ -32,7 +37,11 @@ object AsofJoin {
                leftTs: String, rightTs: String,
                rightVals: Seq[(String, String)],
                tiebreak: Column,
-               tolerance: Option[Column] = None): DataFrame = {
+               tolerance: Option[Column] = None,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     val leftCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__ts", col(leftTs))
@@ -50,8 +59,12 @@ object AsofJoin {
     // right rows sort before left rows at equal ts (__side 0 < 1), and
     // among equal right timestamps the greatest tiebreak sorts last →
     // last(ignoreNulls) picks it
+    // forward direction: scan timestamps descending so rows "earlier in
+    // the sort" are those at-or-after the left row; the last non-null
+    // before the current row is then the EARLIEST such right row
+    val tsOrder = if (fwd) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .orderBy(tsOrder, col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightVals.map { case (_, dst) => dst } :+ "__rts"
     val filled = carried.foldLeft(unioned) { (df, dst) =>
@@ -60,8 +73,9 @@ object AsofJoin {
     val base = filled.where(col("__side") === 1)
     val bounded = tolerance match {
       case Some(tol) => rightVals.foldLeft(base) { case (df, (_, dst)) =>
-        df.withColumn(dst,
-          when(col("__rts") >= col("__ts") - tol, col(dst)))
+        val inBound = if (fwd) col("__rts") <= col("__ts") + tol
+          else col("__rts") >= col("__ts") - tol
+        df.withColumn(dst, when(inBound, col(dst)))
       }
       case None => base
     }

@@ -105,6 +105,20 @@ object JoinQueries {
         rightVals = Seq("value" -> "last_view_value"),
         tiebreak = col("event_id"),
         tolerance = Some(expr("INTERVAL 30 MINUTES")))
+    }),
+
+    // Forward as-of: the NEXT view at or after each purchase (the
+    // attribution-window direction)
+    "e7_asof_fwd" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where(col("event_type") === "view")
+        .select("user_id", "ts", "value", "event_id")
+      AsofJoin.asofJoin(purchases, views,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("value" -> "next_view_value"),
+        tiebreak = col("event_id"), direction = "forward")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -159,5 +173,13 @@ object JoinQueries {
               CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
           ORDER BY CAST(v.ts AS TIMESTAMP) DESC, v.event_id DESC
           LIMIT 1) AS last_view_value
+         FROM events p WHERE p.event_type = 'purchase'""",
+    "e7_asof_fwd" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+         (SELECT v.value FROM events v
+          WHERE v.user_id = p.user_id AND v.event_type = 'view'
+            AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+          ORDER BY CAST(v.ts AS TIMESTAMP) ASC, v.event_id DESC
+          LIMIT 1) AS next_view_value
          FROM events p WHERE p.event_type = 'purchase'""")
 }

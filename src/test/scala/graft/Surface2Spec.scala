@@ -88,6 +88,21 @@ class Surface2Spec extends SparkSpec {
     // 5-second bound: k=2's match is 50s stale → null
     assert(run(Some("INTERVAL 5 SECONDS")) ===
       Array((1L, Some(7.0)), (2L, None)))
+    // forward direction: k=1 has no view at/after t=100 → null;
+    // k=2 has none either (150 < 200) → null; flip data to check match
+    val fwd = AsofJoin.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("v" -> "next_v"), col("rid"), direction = "forward")
+      .select("k", "next_v").as[(Long, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(fwd === Array((1L, None), (2L, None)))
+    val rightLater = Seq((1L, 102L, 5.0, 3L)).toDF("k", "t", "v", "rid")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"),
+        col("v"), col("rid"))
+    val fwd2 = AsofJoin.asofJoin(left, rightLater, Seq("k"), "ts", "ts",
+      Seq("v" -> "next_v"), col("rid"), direction = "forward")
+      .select("k", "next_v").as[(Long, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(fwd2 === Array((1L, Some(5.0)), (2L, None)))
   }
 
   test("change-log application: tombstoned keys vanish, last update wins") {
