@@ -15,6 +15,11 @@ run / fork := true
 // prefix): the driver parses graft.Bench's single JSON line from
 // stdout, and the prefix would break a strict json parse of the line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line: the driver
+// reads only the LAST ~2000 chars of output, and that trailer eats
+// budget the bench JSON line needs to fit entirely inside the tail.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
