@@ -57,17 +57,35 @@ object TextAnalysis {
   def langScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(markers)))
 
-  /** Deterministic argmax over [[langMarkers]] scores (first language in
-    * list order wins ties) — 'und' (undetermined) when nothing hits.
+  /** Marker-hit counts from a PRE-PROJECTED token array — stage
+    * [[tokens]] as a real column first so the split/filter pass runs
+    * once, not once per language (Catalyst does not CSE across lambda
+    * bodies, so the single-Column [[detectLang]] re-tokenizes for every
+    * score it compares).
     */
-  def detectLang(text: Column): Column = {
-    val scores = langMarkers.map { case (l, m) => l -> langScore(text, m) }
+  def langScoresFromTokens(tk: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, m) =>
+      l -> size(filter(tk, t => t.isInCollection(m)))
+    }
+
+  /** Deterministic argmax over already-MATERIALIZED score columns (first
+    * language in [[langMarkers]] order wins ties) — 'und' when nothing
+    * hits. Callers must stage the scores as real columns; passing raw
+    * score expressions here duplicates them across the CASE chain.
+    */
+  def pickLang(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und")) { case ((l, s), alt) =>
+    scores.foldRight(lit("und")) { case ((l, s), alt) =>
       when(s === best && s > 0, lit(l)).otherwise(alt)
     }
-    pick
   }
+
+  /** Single-Column convenience form of language ID. Prefer the staged
+    * [[langScoresFromTokens]]+[[pickLang]] path on wide scans — this
+    * form re-derives the token array inside every score comparison.
+    */
+  def detectLang(text: Column): Column =
+    pickLang(langMarkers.map { case (l, m) => l -> langScore(text, m) })
 
   /** Canonical-form document fingerprint: md5 of the text stripped to
     * lowercase alphanumerics. Equal fingerprints = exact near-identity
@@ -105,7 +123,21 @@ object TextAnalysis {
 
   /** Composite quality score features (length / punctuation / stopword
     * ratios) — the standard cheap pre-filter for LLM training corpora.
+    * Token-array-derived features read from the pre-projected `tk`
+    * column (see [[langScoresFromTokens]] for why staging matters).
     */
+  def qualityFeaturesFromTokens(text: Column, tk: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> size(tk).cast(LongType),
+    "n_bpe_tokens" -> bpeTokenCount(text),
+    "avg_token_len" ->
+      (length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast(DoubleType)
+        / size(tk).cast(LongType)),
+    "punct_ratio" -> punctRatio(text),
+    "stopword_ratio" ->
+      (size(filter(tk, t => t.isInCollection(langMarkers.flatMap(_._2))))
+        .cast(DoubleType) / size(tk)))
+
+  /** Single-Column convenience form (tokenization inlined per feature). */
   def qualityFeatures(text: Column): Seq[(String, Column)] = Seq(
     "n_tokens" -> tokenCount(text),
     "n_bpe_tokens" -> bpeTokenCount(text),

@@ -19,18 +19,31 @@ object TextQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(100)),
 
-    // Quality-score features per document
+    // Quality-score features per document. The token array is staged as
+    // its own projection so the tokenize pass runs once per row, not
+    // once per feature (Catalyst has no CSE across lambda bodies)
     "e4_quality" -> ((s, dir) => {
-      val cols = TextAnalysis.qualityFeatures(col("text"))
+      val cols = TextAnalysis
+        .qualityFeaturesFromTokens(col("text"), col("tk"))
         .map { case (n, c) => c.as(n) }
-      t(s, dir, "documents").select(col("doc_id") +: cols: _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id") +: cols: _*)
     }),
 
-    // Language-ID heuristic (stopword-marker argmax)
-    "e4_langid" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.detectLang(col("text")).as("detected"))),
+    // Language-ID heuristic (stopword-marker argmax), staged: tokens →
+    // per-language score columns → argmax over the materialized scores
+    "e4_langid" -> ((s, dir) => {
+      val scoreCols = TextAnalysis.langScoresFromTokens(col("tk"))
+        .map { case (l, c) => c.as(s"s_$l") }
+      val picked = TextAnalysis.pickLang(
+        TextAnalysis.langMarkers.map { case (l, _) => l -> col(s"s_$l") })
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id") +: scoreCols: _*)
+        .select(col("doc_id"), picked.as("detected"))
+    }),
 
     // Token counting: whitespace-ish + BPE-ish regex segmentation
     "e4_tokens" -> ((s, dir) =>
@@ -82,12 +95,19 @@ object TextQueries {
     // ceiling + identified language — the standard pre-training filter
     // pipeline, as one narrow scan-fused predicate (no shuffle)
     "e11_quality_gate" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        TextAnalysis.tokenCount(col("text")).as("n_tok"),
-        TextAnalysis.punctRatio(col("text")).as("pr"),
-        TextAnalysis.detectLang(col("text")).as("det"))
-      d.where(col("n_tok").between(5, 100000) &&
+      val scoreCols = TextAnalysis.langScoresFromTokens(col("tk"))
+        .map { case (l, c) => c.as(s"s_$l") }
+      val picked = TextAnalysis.pickLang(
+        TextAnalysis.langMarkers.map { case (l, _) => l -> col(s"s_$l") })
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokens(col("text")).as("tk"))
+        .select(Seq(col("doc_id"), col("lang"),
+          size(col("tk")).cast("long").as("n_tok"),
+          TextAnalysis.punctRatio(col("text")).as("pr")) ++ scoreCols: _*)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("pr"),
+          picked.as("det"))
+        .where(col("n_tok").between(5, 100000) &&
           col("pr") < 0.2 && col("det") =!= "und")
         .select("doc_id", "lang", "n_tok", "det")
     }),
