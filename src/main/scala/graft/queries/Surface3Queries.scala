@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Third relational/extension tranche (round 4): classic star-join
+  * analytics, EXISTS, LATERAL explode, map construction, RANGE window
+  * frames, sorted listagg, the date-arithmetic scalar surface, and the
+  * corpus bigram/LM-scoring pair. All outputs are scalar primitives and
+  * every query carries a full DuckDB value oracle.
+  */
+object Surface3Queries {
+  import Tables._
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q3 shape: filtered dimension (broadcast) ⋈ orders ⋈ lineitem,
+    // revenue per order, top-10. The customer side is explicitly
+    // broadcast — a filtered dimension is exactly the side a 1000-executor
+    // plan must ship to the fact scan instead of shuffling 100 TB of fact
+    "q39_tpch3" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // EXISTS / NOT EXISTS correlated subqueries (SQL entry path) — both
+    // compile to semi/anti hash joins, never a per-row probe
+    "q40_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_s3")
+      t(s, dir, "orders").createOrReplaceTempView("orders_s3")
+      s.sql("""
+        SELECT c_custkey, c_acctbal,
+          EXISTS (SELECT 1 FROM orders_s3 o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000) AS has_big,
+          NOT EXISTS (SELECT 1 FROM orders_s3 o
+                      WHERE o.o_custkey = c.c_custkey) AS no_orders
+        FROM customer_s3 c
+      """)
+    }),
+
+    // LATERAL explode of a derived array (SQL LATERAL VIEW) — the
+    // row-generator join a normalization pass uses; stays a narrow map
+    "q41_lateral" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_s3")
+      s.sql("""
+        SELECT p_partkey, w
+        FROM part_s3 LATERAL VIEW explode(split(p_name, ' ')) x AS w
+      """)
+    }),
+
+    // Map construction + keyed extraction: per-nation map of
+    // mktsegment → customer count, then fixed-key lookups. The map is
+    // built with map_from_entries over a pre-aggregated frame (two
+    // shuffle-free-after-agg stages), extracted back to scalars
+    "q42_maps" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("c_nationkey")
+        .agg(map_from_entries(collect_list(struct(col("c_mktsegment"),
+          col("n")))).as("m"))
+        .select(col("c_nationkey"),
+          coalesce(element_at(col("m"), "BUILDING"), lit(0L)).as("n_building"),
+          coalesce(element_at(col("m"), "AUTOMOBILE"), lit(0L)).as("n_auto"),
+          size(map_keys(col("m"))).cast("long").as("n_segments"))),
+
+    // RANGE window frame over a day-number ordering key: per customer,
+    // rolling 31-day order total (peer rows share the frame, so the
+    // result is order-independent — the deterministic form of a
+    // time-range rolling aggregate)
+    "q43_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("od_day")
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("od_day"),
+          dec(col("o_totalprice"), 2).as("p"))
+        .select(col("o_orderkey"), col("o_custkey"), col("od_day"),
+          sum(col("p")).over(w).cast("double").as("rolling_31d"))
+    }),
+
+    // Sorted listagg (string_agg): the canonical serialized-group output
+    "q44_listagg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"),
+          count(lit(1)).as("n"))),
+
+    // Date-arithmetic scalar surface: month-end, day/month offsets,
+    // quarter truncation — the calendar toolkit of any reporting layer.
+    // DATE results are surfaced as midnight timestamps: the comparator
+    // reads a parquet DATE as datetime.date but DuckDB's as Timestamp,
+    // so bare DATE output columns never compare equal
+    "q45_dates" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        last_day(col("o_orderdate").cast("date")).cast("timestamp")
+          .as("month_end"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("timestamp")
+          .as("plus30"),
+        add_months(col("o_orderdate").cast("date"), 2).cast("timestamp")
+          .as("plus2mo"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_trunc("quarter", col("o_orderdate")).as("q_start"))),
+
+    // Corpus bigram term frequency: staged tokens → distinct word
+    // bigrams per doc → explode → count → top-100 (deterministic order)
+    "e12_bigram_tf" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("tk"))
+        .select(explode(TextAnalysis.wordShinglesFromTokens(col("tk")))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg")).limit(100)),
+
+    // Bigram-frequency LM score: each document scored by the mean corpus
+    // document-frequency of its distinct bigrams — the cheap
+    // "how much does this doc look like the corpus" signal (a real LM
+    // perplexity filter has this exact join shape: doc n-grams ⋈ n-gram
+    // stats). Integer sums keep it exact at any parallelism; the bigram
+    // frame feeds both the stats build and the scoring join, so persist
+    "e13_lm_score" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordShinglesFromTokens(col("tk"))).as("bg"))
+        .persist()
+      val stats = bg.groupBy("bg").agg(count(lit(1)).as("df_n"))
+      bg.join(stats, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("df_n")).as("sum_df"),
+          (sum(col("df_n")).cast("double") / count(lit(1))).as("lm_score"))
+    }))
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  // distinct word bigrams from the token list (1-based list indexing;
+  // range(1, n) is empty for n <= 1, matching the Spark-side size guard)
+  private val bigramsSql =
+    s"list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))"
+
+  val oracles: Map[String, String] = Map(
+    "q39_tpch3" ->
+      """SELECT l_orderkey, o_orderdate,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4)))
+           AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q40_exists" ->
+      """SELECT c_custkey, c_acctbal,
+         EXISTS (SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice > 400000) AS has_big,
+         NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey) AS no_orders
+         FROM customer c""",
+    "q41_lateral" ->
+      """SELECT p_partkey, u.w
+         FROM part, LATERAL unnest(string_split(p_name, ' ')) AS u(w)""",
+    "q42_maps" ->
+      """SELECT c_nationkey,
+         count(*) FILTER (c_mktsegment = 'BUILDING') AS n_building,
+         count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS n_auto,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+         FROM customer GROUP BY c_nationkey""",
+    "q43_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS BIGINT) AS od_day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE))
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS rolling_31d
+         FROM orders""",
+    "q44_listagg" ->
+      """SELECT n_regionkey,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations,
+         count(*) AS n
+         FROM nation GROUP BY n_regionkey""",
+    "q45_dates" ->
+      """SELECT o_orderkey,
+         CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+         CAST(date_add(CAST(o_orderdate AS DATE), 30) AS TIMESTAMP) AS plus30,
+         CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP)
+           AS plus2mo,
+         CAST(quarter(o_orderdate) AS BIGINT) AS q,
+         date_trunc('quarter', o_orderdate) AS q_start
+         FROM orders""",
+    "e12_bigram_tf" ->
+      s"""WITH tk AS (SELECT $tokensSql AS tk FROM documents)
+          SELECT bg, count(*) AS n
+          FROM (SELECT unnest($bigramsSql) AS bg FROM tk)
+          GROUP BY bg ORDER BY n DESC, bg LIMIT 100""",
+    "e13_lm_score" ->
+      s"""WITH bg AS (
+            SELECT doc_id, unnest($bigramsSql) AS bg
+            FROM (SELECT doc_id, $tokensSql AS tk FROM documents)),
+          stats AS (SELECT bg, count(*) AS df_n FROM bg GROUP BY bg)
+          SELECT doc_id,
+            count(*) AS n_bigrams,
+            CAST(SUM(df_n) AS BIGINT) AS sum_df,
+            CAST(SUM(df_n) AS DOUBLE) / count(*) AS lm_score
+          FROM bg JOIN stats USING (bg)
+          GROUP BY doc_id""")
+}
