@@ -120,4 +120,25 @@ object Pipeline {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream inner interval join: pair each left event with right
+    * events on `key` whose timestamp lands in [leftTs, leftTs + within].
+    * Both sides are watermarked, which BOUNDS the join state: rows older
+    * than watermark + interval are evicted, so two unbounded streams
+    * join with finite executor state — the only stream-stream join shape
+    * that survives 100 TB/day. Column names must be disjoint apart from
+    * `key` (the caller aliases).
+    */
+  def intervalJoin(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   key: String, watermark: String,
+                   within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
 }

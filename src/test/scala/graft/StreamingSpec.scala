@@ -35,16 +35,19 @@ class StreamingSpec extends SparkSpec {
         graft.schemas.Catalog.latestPrices.take(3)),
         mapping = Seq("id" -> "id", "symbol" -> "symbol", "price" -> "price"))
 
-    val Seq(query) = Pipeline.run(feed, Seq(route), s"$base/out",
-      s"$base/ckpt", trigger = Trigger.AvailableNow())
-
-    // snapshot read (op=r), then an update, then a redelivered duplicate
+    // snapshot read (op=r), then an update, then a redelivered duplicate.
+    // Data is queued BEFORE the query starts: AvailableNow only processes
+    // data available at start, so adding afterwards races the no-data
+    // batch's immediate termination
     input.addData(
       envelope(1, "BTC", 100.0, "r", 0L),
       envelope(2, "ETH", 50.0, "r", 0L),
       envelope(1, "BTC", 111.0, "u", 1L),
       envelope(1, "BTC", 111.0, "u", 1L), // redelivery
       envelope(2, "ETH", 50.0, "d", 2L))  // delete → dropped
+
+    val Seq(query) = Pipeline.run(feed, Seq(route), s"$base/out",
+      s"$base/ckpt", trigger = Trigger.AvailableNow())
     query.processAllAvailable()
     query.stop()
 
@@ -99,6 +102,30 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("dedupst").as[(Timestamp, Long, String)].collect()
     assert(out.map(_._2).sorted.toSeq === Seq(1L, 2L))
     assert(out.find(_._2 == 1L).get._3 === "first")
+  }
+
+  test("stream-stream interval join pairs in-window events, bounded state (E5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val joined = Pipeline.intervalJoin(
+      imps.toDF().toDF("imp_ts", "key", "imp_v"), "imp_ts",
+      clicks.toDF().toDF("click_ts", "key", "click_v"), "click_ts",
+      key = "key", watermark = "30 minutes", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    imps.addData((t(10, 0), 1L, "i1"), (t(10, 0), 2L, "i2"))
+    clicks.addData(
+      (t(10, 5), 1L, "c-in"),     // within 10 min → joins
+      (t(10, 20), 2L, "c-late"),  // 20 min after the impression → no pair
+      (t(9, 55), 1L, "c-before")) // before the impression → no pair
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sjoin")
+      .select("key", "imp_v", "click_v")
+      .as[(Long, String, String)].collect()
+    assert(out.toSeq === Seq((1L, "i1", "c-in")))
   }
 
   test("referenceRoutes mirror the five-table sink mapping (C3,C4)") {
