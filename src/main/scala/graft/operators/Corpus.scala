@@ -55,4 +55,31 @@ object Corpus {
     val train = df.where(col(split) === "train").select(key).distinct()
     df.where(col(split) =!= "train").join(train, Seq(key), "left_semi")
   }
+
+  /** Sliding-window document chunking: split each document's token array
+    * (column `tk`) into windows of `window` tokens advancing by `stride`
+    * (overlap = window - stride) — the context-window segmentation pass
+    * between cleaning and tokenized-example serialization. A narrow
+    * generate stage fused with the scan: no shuffle, trivially linear at
+    * 100 TB. The final partial window is kept (standard practice; the
+    * packer downstream handles ragged tails).
+    */
+  def chunkTokens(df: DataFrame, id: String, tk: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    // 1-based window starts: 1, 1+stride, ... while <= size(tk);
+    // sequence() demands start <= stop for a positive step, so empty
+    // token arrays short-circuit to no chunks
+    val starts = when(size(col(tk)) > 0,
+      sequence(lit(1), size(col(tk)), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(id), col(tk), explode(starts).as("st"))
+      .select(col(id),
+        floor((col("st") - 1) / lit(stride)).as("chunk_id"),
+        slice(col(tk), col("st"), lit(window)).as("chunk"))
+      .select(col(id), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
 }

@@ -127,6 +127,62 @@ object Surface3Queries {
         .groupBy("bg").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bg")).limit(100)),
 
+    // TPC-H Q5 shape: the full five-table local-supplier star — region
+    // (1 row after filter) → nation → customer → orders → lineitem →
+    // supplier, revenue per nation for one year. Dimensions broadcast;
+    // only the fact tables ever shuffle — the canonical 100 TB star plan
+    "q46_tpch5" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // percent_rank + IGNORE NULLS navigation over a total order (ties
+    // broken by key, so ranks are reproducible at any parallelism)
+    "q47_window_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          when(col("o_totalprice") >= 200000, col("o_totalprice"))
+            .as("big"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          percent_rank().over(ord).as("pr"),
+          first(col("big"), ignoreNulls = true).over(full)
+            .as("first_big"),
+          last(col("big"), ignoreNulls = true).over(full)
+            .as("last_big"))
+    }),
+
+    // Sliding-window chunking: 50-token windows, stride 40 (10-token
+    // overlap), partial tail kept — chunk count and boundaries are pure
+    // arithmetic on the token array, no shuffle
+    "e14_chunk" -> ((s, dir) =>
+      graft.operators.Corpus.chunkTokens(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk")),
+        id = "doc_id", tk = "tk", window = 50, stride = 40)),
+
     // Bigram-frequency LM score: each document scored by the mean corpus
     // document-frequency of its distinct bigrams — the cheap
     // "how much does this doc look like the corpus" signal (a real LM
@@ -209,6 +265,45 @@ object Surface3Queries {
          CAST(quarter(o_orderdate) AS BIGINT) AS q,
          date_trunc('quarter', o_orderdate) AS q_start
          FROM orders""",
+    "q46_tpch5" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4)))
+           AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+    "q47_window_stats" ->
+      """SELECT o_orderkey, o_custkey,
+         percent_rank() OVER ord AS pr,
+         first_value(big IGNORE NULLS) OVER fullw AS first_big,
+         last_value(big IGNORE NULLS) OVER fullw AS last_big
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 CASE WHEN o_totalprice >= 200000 THEN o_totalprice END
+                   AS big
+               FROM orders)
+         WINDOW ord AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice, o_orderkey),
+                fullw AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)""",
+    "e14_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents)
+          SELECT doc_id,
+            (st - 1) // 40 AS chunk_id,
+            CAST(len(tk[st : st + 49]) AS BIGINT) AS n_tok,
+            array_to_string(tk[st : st + 49], ' ') AS chunk_text
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 40)) AS st
+                FROM tk)""",
     "e12_bigram_tf" ->
       s"""WITH tk AS (SELECT $tokensSql AS tk FROM documents)
           SELECT bg, count(*) AS n
