@@ -188,6 +188,55 @@ object Dedup {
       Seq(id), "left_anti")
   }
 
+  /** Connected components over an undirected edge list — duplicate
+    * CLUSTERS, not just pairs: near-dup candidate pairs (a~b, b~c) chain
+    * into one cluster {a,b,c} labeled by its minimum id. Iterative
+    * min-label propagation: each sweep every node adopts the minimum of
+    * its own and its neighbors' labels, repeated until a sweep changes
+    * nothing. One hop of propagation per sweep ⇒ sweeps ≤ graph
+    * diameter — small for LSH candidate graphs, which are unions of
+    * near-cliques. (At extreme diameters a production run would switch
+    * to the large-star/small-star contraction with O(log n) rounds; the
+    * per-sweep dataflow — join, group-by-min — is the same.)
+    *
+    * Returns (id, component) for every node incident to an edge.
+    */
+  def connectedComponents(edges: DataFrame, a: String, b: String,
+                          maxSweeps: Int = 50): DataFrame = {
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .persist()
+    // Each sweep references the previous labels frame several times
+    // (neighbor join, least(), change count), so chaining plain lazy
+    // plans doubles the plan tree per sweep — 2^sweeps nodes by sweep 30.
+    // localCheckpoint(eager) truncates lineage to the materialized
+    // partitions, keeping every sweep's plan constant-size. (A cluster
+    // run would use reliable checkpoint() to survive executor loss.)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var sweep = 0
+    var changed = 1L
+    while (changed > 0 && sweep < maxSweeps) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"),
+          "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nb_label"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id").as("id0"),
+          col("label").as("old")), next("id") === col("id0"))
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      sweep += 1
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxSweeps sweeps")
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** n-gram Jaccard similarity for a bounded candidate-pair set.
     * `df(id)`, `df(shingles)` (pre-distinct shingle arrays). Computes
     * |A∩B| / |A∪B| via explode + equi-join on shingle — for candidate

@@ -100,7 +100,23 @@ object DedupQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"),
           Corpus.splitName(Corpus.hashBucket(col("doc_id"))).as("split")),
         key = "fp", split = "split")
-        .select("doc_id", "fp", "split")))
+        .select("doc_id", "fp", "split")),
+
+    // Duplicate CLUSTERS: LSH candidate pairs chained into connected
+    // components (a~b, b~c ⇒ {a,b,c}), each labeled by its min doc_id —
+    // what a dedup pipeline actually needs when picking one survivor
+    // per cluster rather than per pair
+    "e15_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 1)
+        .select(col("doc_id"),
+          TextAnalysis.wordShinglesFromTokens(col("tk")).as("sh"))
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "sh",
+        minhashK, bands)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+    }))
 
   private val splitBucketSql =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
@@ -138,6 +154,24 @@ object DedupQueries {
     }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "e15_components" ->
+      s"""WITH RECURSIVE $shingleCte,
+          sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
+          band AS (SELECT doc_id, unnest([
+            md5(concat_ws('_', sig_0, sig_1)),
+            md5(concat_ws('_', sig_2, sig_3)),
+            md5(concat_ws('_', sig_4, sig_5)),
+            md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band a JOIN band b ON a.band = b.band
+              AND a.doc_id < b.doc_id),
+          e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+          r AS (SELECT a AS id, a AS reach FROM e
+                UNION
+                SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
+          SELECT id AS doc_id, min(reach) AS component
+          FROM r GROUP BY id""",
     "e1_exact" ->
       """SELECT text AS dedup_key, min(doc_id) AS kept, count(*) AS n_copies
          FROM documents GROUP BY text""",

@@ -174,6 +174,17 @@ object Surface3Queries {
             .as("last_big"))
     }),
 
+    // Multiset set operations (INTERSECT ALL / EXCEPT ALL): duplicate
+    // counts survive, unlike the q5 INTERSECT/EXCEPT pair
+    "q48_setops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_orderstatus") === "O").select("o_custkey")
+      val b = o.where(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      a.intersectAll(b).withColumn("op", lit("both"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("only_open")))
+    }),
+
     // Sliding-window chunking: 50-token windows, stride 40 (10-token
     // overlap), partial tail kept — chunk count and boundaries are pure
     // arithmetic on the token array, no shuffle
@@ -296,6 +307,16 @@ object Surface3Queries {
                           ORDER BY o_totalprice, o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING
                             AND UNBOUNDED FOLLOWING)""",
+    "q48_setops_all" ->
+      """SELECT o_custkey, 'both' AS op FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT o_custkey, 'only_open' AS op FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
     "e14_chunk" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents)
           SELECT doc_id,

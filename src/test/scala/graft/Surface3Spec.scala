@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Dedup}
+
+/** Round-4 operator tests: connected components (duplicate clusters)
+  * and sliding-window chunking.
+  */
+class Surface3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents chains pairs into min-labeled clusters") {
+    // two components: {1,2,3,4} (a path, diameter 3) and {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("connectedComponents handles a cycle and singleton-free output") {
+    val edges = Seq((5L, 6L), (6L, 7L), (7L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((5L, 5L), (6L, 5L), (7L, 5L)))
+  }
+
+  test("chunkTokens windows with stride, ragged tail, empty-doc drop") {
+    val docs = Seq(
+      (1L, (1 to 95).map(_.toString)), // 3 chunks: 50, 50 (41..90), 15
+      (2L, Seq("a")),                  // single partial chunk
+      (3L, Seq.empty[String]))         // no chunks
+      .toDF("doc_id", "tk")
+    val got = Corpus.chunkTokens(docs, "doc_id", "tk", window = 50,
+      stride = 40)
+      .select("doc_id", "chunk_id", "n_tok")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 0L, 50L), (1L, 1L, 50L), (1L, 2L, 15L),
+      (2L, 0L, 1L)))
+    // overlap: chunk 1 starts at token 41
+    val c1 = Corpus.chunkTokens(docs.where($"doc_id" === 1L), "doc_id",
+      "tk", 50, 40)
+      .where($"chunk_id" === 1L).select("chunk_text").as[String].head()
+    assert(c1.startsWith("41 42 ") && c1.endsWith(" 90"))
+  }
+}
