@@ -17,8 +17,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * val rows = Graft.cdc.unwrap(kafkaFrame, schema)
   *
   * // LLM-pipeline operators
-  * val clean   = Graft.dedup.nearDupRemove(docs, "doc_id", "sh")
-  * val topK    = Graft.similarity.bruteForceTopK(corpus, "id", "vec", q, 10)
+  * val clean    = Graft.dedup.nearDupRemove(docs, "doc_id", "sh")
+  * val clusters = Graft.dedup.connectedComponents(pairs, "id_a", "id_b")
+  * val chunks   = Graft.corpus.chunkTokens(docs, "doc_id", "tk", 2048, 1792)
+  * val topK     = Graft.similarity.bruteForceTopK(corpus, "id", "vec", q, 10)
   * val quality = docs.select(Graft.text.qualityFeatures(col("text")).map {
   *   case (n, c) => c.as(n) }: _*)
   *
