@@ -194,6 +194,65 @@ object Surface3Queries {
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk")),
         id = "doc_id", tk = "tk", window = 50, stride = 40)),
 
+    // Calendar gap-filling: every (customer, month-of-1996) cell with
+    // zero-filled order counts — the dense-reporting join. The 12-row
+    // month dimension is a broadcast nested loop (the only sane plan
+    // against a literal calendar); order counts come pre-aggregated so
+    // the fact side shuffles once at month granularity
+    "q50_gapfill" -> ((s, dir) => {
+      val months = s.range(1, 13).select(col("id").cast("int").as("m"))
+      val counts = t(s, dir, "orders")
+        .where(year(col("o_orderdate")) === 1996)
+        .groupBy(col("o_custkey"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      t(s, dir, "customer").select("c_custkey")
+        .crossJoin(broadcast(months))
+        .join(counts, col("c_custkey") === col("o_custkey") &&
+          months("m") === counts("m"), "left")
+        .select(col("c_custkey"), months("m").cast("long").as("m"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+    }),
+
+    // TF-IDF with an engine-portable IDF: the textbook ln(N/df) is a
+    // libm call whose last ULP differs across engines, so the rarity
+    // weight is the exact rational N/df instead (single IEEE division —
+    // bit-identical everywhere, same ranking as ln(N/df) since ln is
+    // monotone). Top-5 terms per document by weight
+    "e16_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+          .as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist()
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df_n"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(df_, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df_n").cast("double")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+        .select("doc_id", "token", "tf", "tfidf", "rk")
+    }),
+
+    // Stratified rebalancing: cap every language at its 20
+    // hash-first documents — the per-stratum downsampling pass that
+    // balances a multilingual corpus. Hash order makes the sample
+    // deterministic and uniform; one shuffle on the stratum key
+    "e17_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 20)
+    }),
+
     // Bigram-frequency LM score: each document scored by the mean corpus
     // document-frequency of its distinct bigrams — the cheap
     // "how much does this doc look like the corpus" signal (a real LM
@@ -307,6 +366,40 @@ object Surface3Queries {
                           ORDER BY o_totalprice, o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING
                             AND UNBOUNDED FOLLOWING)""",
+    "q50_gapfill" ->
+      """SELECT c_custkey, CAST(g.m AS BIGINT) AS m,
+         COALESCE(cnt, CAST(0 AS BIGINT)) AS n
+         FROM customer
+         CROSS JOIN generate_series(1, 12) AS g(m)
+         LEFT JOIN (SELECT o_custkey, month(o_orderdate) AS om,
+                      count(*) AS cnt
+                    FROM orders WHERE year(o_orderdate) = 1996
+                    GROUP BY 1, 2) c2
+           ON c_custkey = c2.o_custkey AND g.m = c2.om""",
+    "e16_tfidf" ->
+      s"""WITH tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+            GROUP BY doc_id, token),
+          dfreq AS (SELECT token, count(*) AS df_n FROM tf GROUP BY token),
+          n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT doc_id, token, tf,
+            CAST(tf AS DOUBLE) *
+              (CAST(n_docs AS DOUBLE) / CAST(df_n AS DOUBLE)) AS tfidf,
+            CAST(rk AS BIGINT) AS rk
+          FROM (SELECT doc_id, token, tf, df_n, n_docs,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY
+                    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) /
+                      CAST(df_n AS DOUBLE)) DESC, token) AS rk
+                FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+          WHERE rk <= 5""",
+    "e17_balance" ->
+      """SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+         FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM documents)
+         WHERE rk <= 20""",
     "q48_setops_all" ->
       """SELECT o_custkey, 'both' AS op FROM (
            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'

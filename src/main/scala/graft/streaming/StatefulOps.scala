@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Arbitrary per-key streaming state on Spark 4's `transformWithState`
+  * API (the successor of `flatMapGroupsWithState`, RocksDB-backed:
+  * state lives off-heap and spills to disk, so per-key state scales to
+  * the store, not the JVM heap — the 100 TB-of-keys shape).
+  *
+  * The processor here is the engine's "latest price delta" surface: the
+  * reference's `latest_prices` table keeps only the current value per
+  * symbol (reference: etl.py:114-122, cassandra-init.cql:4); a stream
+  * consumer usually also wants the previous value and the update count,
+  * which is exactly one ValueState per key.
+  */
+object StatefulOps {
+
+  case class KeyedValue(key: String, value: Double)
+
+  /** `has_prev` is false on a key's first event (prev is then 0.0). */
+  case class Delta(key: String, prev: Double, has_prev: Boolean,
+                   value: Double, n_seen: Long)
+
+  /** One ValueState[(lastValue, count)] per key; each input row emits
+    * the transition (prev → value) with the running update count.
+    */
+  class DeltaProcessor extends StatefulProcessor[String, KeyedValue, Delta] {
+    @transient private var last: ValueState[(Double, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState("last",
+        Encoders.product[(Double, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+                                 timerValues: TimerValues): Iterator[Delta] =
+      rows.map { r =>
+        val (prev, n) = if (last.exists()) last.get() else (0.0, 0L)
+        last.update((r.value, n + 1))
+        Delta(key, prev, n > 0, r.value, n + 1)
+      }
+  }
+
+  /** Delta stream over a keyed value stream. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def deltaStream(ds: Dataset[KeyedValue]): Dataset[Delta] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new DeltaProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}

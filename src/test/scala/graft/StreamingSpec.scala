@@ -128,6 +128,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "i1", "c-in")))
   }
 
+  test("transformWithState delta stream tracks per-key prev/count (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps
+    import StatefulOps.KeyedValue
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[KeyedValue]
+      val q = StatefulOps.deltaStream(in.toDS())
+        .writeStream.format("memory").queryName("twsdelta")
+        .outputMode("append").start()
+      in.addData(KeyedValue("BTC", 100.0), KeyedValue("ETH", 10.0))
+      q.processAllAvailable()
+      in.addData(KeyedValue("BTC", 111.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("twsdelta")
+        .as[StatefulOps.Delta].collect()
+        .sortBy(d => (d.key, d.n_seen)).toSeq
+      assert(out === Seq(
+        StatefulOps.Delta("BTC", 0.0, false, 100.0, 1L),
+        StatefulOps.Delta("BTC", 100.0, true, 111.0, 2L),
+        StatefulOps.Delta("ETH", 0.0, false, 10.0, 1L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("referenceRoutes mirror the five-table sink mapping (C3,C4)") {
     val routes = Pipeline.referenceRoutes
     assert(routes.map(_.table) ===
