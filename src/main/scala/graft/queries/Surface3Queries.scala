@@ -117,6 +117,34 @@ object Surface3Queries {
         quarter(col("o_orderdate")).cast("long").as("q"),
         date_trunc("quarter", col("o_orderdate")).as("q_start"))),
 
+    // Null-ordering semantics made value-visible: rank over (nullable
+    // ASC NULLS LAST, key). Spark defaults to NULLS FIRST on ASC and
+    // DuckDB to NULLS LAST, so the ordering is pinned explicitly on
+    // both sides — the ranks differ if an engine ignores it
+    "q51_null_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("big").asc_nulls_last, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_totalprice") >= 200000, col("o_totalprice"))
+            .as("big"))
+        .select(col("o_orderkey"), col("o_custkey"), col("big"),
+          rank().over(w).cast("long").as("rk"))
+    }),
+
+    // JSON scalar extraction over the events payload column
+    // (get_json_object path syntax) with an exact integer rollup
+    "q52_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
+
     // Corpus bigram term frequency: staged tokens → distinct word
     // bigrams per doc → explode → count → top-100 (deterministic order)
     "e12_bigram_tf" -> ((s, dir) =>
@@ -366,6 +394,21 @@ object Surface3Queries {
                           ORDER BY o_totalprice, o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING
                             AND UNBOUNDED FOLLOWING)""",
+    "q51_null_order" ->
+      """SELECT o_orderkey, o_custkey, big,
+         CAST(rank() OVER (PARTITION BY o_custkey
+           ORDER BY big ASC NULLS LAST, o_orderkey) AS BIGINT) AS rk
+         FROM (SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_totalprice >= 200000 THEN o_totalprice END
+                   AS big
+               FROM orders)""",
+    "q52_json" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+         MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+         MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
     "q50_gapfill" ->
       """SELECT c_custkey, CAST(g.m AS BIGINT) AS m,
          COALESCE(cnt, CAST(0 AS BIGINT)) AS n
