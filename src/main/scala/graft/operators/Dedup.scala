@@ -212,9 +212,15 @@ object Dedup {
     // localCheckpoint(eager) truncates lineage to the materialized
     // partitions, keeping every sweep's plan constant-size. (A cluster
     // run would use reliable checkpoint() to survive executor loss.)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
-    var sweep = 0
+    // seed with the first propagation sweep fused into initialization:
+    // label(v) = min(v, min direct neighbor) — one aggregation instead
+    // of a join+checkpoint+count cycle (every node appears as src
+    // because sym carries both directions)
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nb"))
+      .select(col("id"), least(col("id"), col("nb")).as("label"))
+      .localCheckpoint(true)
+    var sweep = 1
     var changed = 1L
     while (changed > 0 && sweep < maxSweeps) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
