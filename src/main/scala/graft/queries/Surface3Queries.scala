@@ -145,6 +145,36 @@ object Surface3Queries {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))),
 
+    // Int8 scalar quantization of embeddings (the 4x storage-compression
+    // pass before ANN indexing): per-vector absmax scale, elements
+    // floor(x*127/mx), plus a fixed-point reconstruction-error total.
+    // Every element op is IEEE double arithmetic in the same order on
+    // both engines; the error sum is floor(err*1e7) in BIGINT so it is
+    // order-independent. Quantized vectors are serialized to a string
+    // (the comparator cannot hash list cells). Narrow map stage — no
+    // shuffle, linear at any corpus size
+    "e18_quantize" -> ((s, dir) => {
+      val qexpr = (x: org.apache.spark.sql.Column) =>
+        floor(x * lit(127.0) / col("mx"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vd"))
+        .select(col("vec_id"), col("vd"),
+          array_max(transform(col("vd"), x => abs(x))).as("mx"))
+        .select(col("vec_id"), col("mx"),
+          when(col("mx") === 0.0, lit(""))
+            .otherwise(array_join(
+              transform(col("vd"), x => qexpr(x).cast("int")), ","))
+            .as("q_str"),
+          when(col("mx") === 0.0, lit(0L))
+            .otherwise(aggregate(
+              transform(col("vd"), x =>
+                floor(abs(x - qexpr(x) * col("mx") / lit(127.0)) * lit(1e7))
+                  .cast("long")),
+              lit(0L), (acc, e) => acc + e))
+            .as("err_fp"))
+    }),
+
     // Corpus bigram term frequency: staged tokens → distinct word
     // bigrams per doc → explode → count → top-100 (deterministic order)
     "e12_bigram_tf" -> ((s, dir) =>
@@ -461,6 +491,22 @@ object Surface3Queries {
             array_to_string(tk[st : st + 49], ' ') AS chunk_text
           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 40)) AS st
                 FROM tk)""",
+    "e18_quantize" ->
+      """WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+          FROM embeddings),
+          m AS (SELECT vec_id, vd,
+            list_max(list_transform(vd, x -> abs(x))) AS mx FROM v)
+          SELECT vec_id, mx,
+            CASE WHEN mx = 0.0 THEN '' ELSE array_to_string(
+              list_transform(vd,
+                x -> CAST(floor(x * 127.0 / mx) AS INTEGER)), ',') END
+              AS q_str,
+            CASE WHEN mx = 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(list_sum(
+              list_transform(vd, x -> CAST(floor(abs(
+                x - floor(x * 127.0 / mx) * mx / 127.0) * 1e7)
+                AS BIGINT))) AS BIGINT) END AS err_fp
+          FROM m""",
     "e12_bigram_tf" ->
       s"""WITH tk AS (SELECT $tokensSql AS tk FROM documents)
           SELECT bg, count(*) AS n
