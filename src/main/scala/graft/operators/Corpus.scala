@@ -68,11 +68,17 @@ object Corpus {
                   window: Int, stride: Int): DataFrame = {
     require(stride > 0 && window >= stride,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    // 1-based window starts: 1, 1+stride, ... while <= size(tk);
-    // sequence() demands start <= stop for a positive step, so empty
-    // token arrays short-circuit to no chunks
+    // 1-based window starts: 1, 1+stride, ... — capped at
+    // size - (window - stride) so the final chunk always contributes at
+    // least one token past the previous chunk's coverage (a start
+    // beyond that cap yields a chunk wholly contained in its
+    // predecessor: duplicate training content). Every token is still
+    // covered: the last kept chunk reaches min(cap+window-1, size) ≥
+    // size. sequence() demands start <= stop for a positive step, so
+    // empty token arrays short-circuit to no chunks
+    val lastStart = greatest(size(col(tk)) - lit(window - stride), lit(1))
     val starts = when(size(col(tk)) > 0,
-      sequence(lit(1), size(col(tk)), lit(stride)))
+      sequence(lit(1), lastStart, lit(stride)))
       .otherwise(array().cast("array<int>"))
     df.select(col(id), col(tk), explode(starts).as("st"))
       .select(col(id),

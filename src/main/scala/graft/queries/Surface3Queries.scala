@@ -489,7 +489,8 @@ object Surface3Queries {
             (st - 1) // 40 AS chunk_id,
             CAST(len(tk[st : st + 49]) AS BIGINT) AS n_tok,
             array_to_string(tk[st : st + 49], ' ') AS chunk_text
-          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 40)) AS st
+          FROM (SELECT doc_id, tk,
+                  unnest(range(1, greatest(len(tk) - 10, 1) + 1, 40)) AS st
                 FROM tk)""",
     "e18_quantize" ->
       """WITH v AS (SELECT vec_id,

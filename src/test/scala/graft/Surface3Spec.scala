@@ -46,14 +46,16 @@ class Surface3Spec extends SparkSpec {
     val docs = Seq(
       (1L, (1 to 95).map(_.toString)), // 3 chunks: 50, 50 (41..90), 15
       (2L, Seq("a")),                  // single partial chunk
-      (3L, Seq.empty[String]))         // no chunks
+      (3L, Seq.empty[String]),         // no chunks
+      (4L, (1 to 41).map(_.toString))) // ONE chunk: a start at 41 would
+                                       // be wholly inside chunk 0
       .toDF("doc_id", "tk")
     val got = Corpus.chunkTokens(docs, "doc_id", "tk", window = 50,
       stride = 40)
       .select("doc_id", "chunk_id", "n_tok")
       .as[(Long, Long, Long)].collect().sorted.toSeq
     assert(got === Seq((1L, 0L, 50L), (1L, 1L, 50L), (1L, 2L, 15L),
-      (2L, 0L, 1L)))
+      (2L, 0L, 1L), (4L, 0L, 41L)))
     // overlap: chunk 1 starts at token 41
     val c1 = Corpus.chunkTokens(docs.where($"doc_id" === 1L), "doc_id",
       "tk", 50, 40)
