@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TransformQueries.all ++ CdcQueries.all ++ RelationalQueries.all ++
       JoinQueries.all ++ SqlSurfaceQueries.all ++ Surface2Queries.all ++
-      Surface3Queries.all ++
+      Surface3Queries.all ++ Surface4Queries.all ++
       StatsQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ WindowQueries.all ++ MiscQueries.all
 
@@ -32,7 +32,7 @@ object SparkEntry {
     TransformQueries.oracles ++ CdcQueries.oracles ++
       RelationalQueries.oracles ++ JoinQueries.oracles ++
       SqlSurfaceQueries.oracles ++ Surface2Queries.oracles ++
-      Surface3Queries.oracles ++
+      Surface3Queries.oracles ++ Surface4Queries.oracles ++
       StatsQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ WindowQueries.oracles ++

@@ -225,16 +225,18 @@ object Dedup {
     while (changed > 0 && sweep < maxSweeps) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
+      // the pre-sweep label rides along as `old` so convergence is read
+      // off the already-materialized partitions — a narrow scan, not the
+      // extra shuffle join a separate next⋈labels comparison would cost
       val next = labels.join(neighborMin, labels("id") === neighborMin("src"),
           "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nb_label"), col("label")))
-            .as("label"))
+            .as("label"),
+          col("label").as("old"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("id").as("id0"),
-          col("label").as("old")), next("id") === col("id0"))
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
       sweep += 1
     }
     sym.unpersist()

@@ -126,7 +126,7 @@ object SimilarityQueries {
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
         (acc, x) -> acc + x)"""
 
-  private val doubleCosineSql =
+  private[queries] val doubleCosineSql =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         sc AS (SELECT e.vec_id,
             ${foldDot("e.embedding", "q.qe")} AS dot,
@@ -139,7 +139,7 @@ object SimilarityQueries {
   /** The same plane-sign matrix the Spark operator bakes into its plan,
     * as SQL list literals (shared derivation: Similarity.planeSigns).
     */
-  private val lshSql: String = {
+  private[queries] val lshSql: String = {
     val signs = Similarity.planeSigns(4, 64)
     def proj(vec: String, j: Int) =
       s"""list_reduce(list_transform(generate_series(1, 64),

@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Fourth tranche (round 5): distribution/rank analytics (ntile,
+  * histogram, arg-max, sorted top-k lists, exact-decimal correlation,
+  * bitwise aggregates, string distance, column profiling) plus the
+  * corpus-reporting set (per-slice report, n-gram benchmark
+  * contamination, token histograms, source quality, embedding mean
+  * pooling, ANN recall). All outputs are scalar primitives with full
+  * DuckDB value oracles.
+  */
+object Surface4Queries {
+  import Tables._
+
+  private val allMarkers = TextAnalysis.langMarkers.flatMap(_._2)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quartile assignment + cumulative distribution over one global
+    // ordering. A single-partition window is the honest semantics for a
+    // total ranking; at 100 TB the same answer comes from a
+    // range-partitioned sort (Spark's global Window already samples
+    // ranges) — the ORDER BY key is unique so ranks are deterministic
+    "q53_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        cume_dist().over(w).as("cdist"),
+        row_number().over(w).cast("long").as("rn"))
+    }),
+
+    // Fixed-width histogram of order value: the binning is a pure narrow
+    // map (floor of a division), so the whole query is scan → partial
+    // agg → one exchange on ~20 bins
+    "q54_hist" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / lit(50000.0)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("sum_price"))),
+
+    // Edit-distance surface: levenshtein against a fixed probe and
+    // between two columns — codegen'd built-in, no UDF, scan-fused
+    "q55_stringdist" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), lit("spring green yellow")).cast("long")
+          .as("lev_name"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long")
+          .as("lev_bt"))),
+
+    // Bitwise aggregates (bit_and/or/xor) — set-membership compaction
+    // uses exactly this shape; all three are order-independent so they
+    // parallelize with map-side partials
+    "q56_bitagg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linenumber")
+        .agg(bit_and(col("l_partkey")).as("band"),
+          bit_or(col("l_partkey")).as("bor"),
+          bit_xor(col("l_partkey")).as("bxor"),
+          count(lit(1)).as("n"))),
+
+    // Deterministic arg-max/arg-min per group via a composite integer
+    // sort key (cents ⊕ custkey): ties are impossible by construction,
+    // so the survivor is the same on any engine at any parallelism.
+    // (The 1e6 custkey radix holds to ~1M keys; a larger id space just
+    // needs a wider radix or a struct-ordered max_by.)
+    "q57_argmax" -> ((s, dir) => {
+      val composite = round(col("c_acctbal") * 100).cast("long") *
+        lit(1000000L) + col("c_custkey")
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(max_by(col("c_name"), composite).as("richest"),
+          min_by(col("c_name"), composite).as("poorest"),
+          max(col("c_acctbal")).as("max_bal"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Per-group sorted top-k as a packed list — collect_list stays
+    // bounded because groups are nations (25); the sort key leads with
+    // the negated balance so sort_array ascending = balance descending
+    "q58_top3" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(array_join(
+          transform(
+            slice(sort_array(collect_list(struct(
+              (-col("c_acctbal")).as("negbal"),
+              col("c_custkey").as("ck"),
+              col("c_name").as("nm")))), 1, 3),
+            x => x.getField("nm")), ",").as("top3"),
+          count(lit(1)).as("n"))),
+
+    // Correlation/covariance from exact decimal sums: the five
+    // sufficient statistics are summed as decimals (order-independent),
+    // then the textbook formulas run once per group in double — the
+    // only way corr() hash-matches across engines and parallelism
+    "q59_corr" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsumDec(col("l_quantity"), 2).as("sx"),
+          dsumDec(col("l_extendedprice"), 2).as("sy"),
+          dsumDec(col("l_quantity") * col("l_extendedprice"), 4).as("sxy"),
+          dsumDec(col("l_quantity") * col("l_quantity"), 4).as("sxx"),
+          dsumDec(col("l_extendedprice") * col("l_extendedprice"), 4)
+            .as("syy"))
+      val nd = col("n").cast("double")
+      val (sx, sy, sxy, sxx, syy) =
+        (col("sx").cast("double"), col("sy").cast("double"),
+          col("sxy").cast("double"), col("sxx").cast("double"),
+          col("syy").cast("double"))
+      agg.select(col("l_returnflag"), col("n"),
+        ((nd * sxy - sx * sy) /
+          (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)))
+          .as("corr_qty_price"),
+        (sxy / nd - (sx / nd) * (sy / nd)).as("covar_pop"))
+    }),
+
+    // Column profiling: cardinality + extrema of several columns in one
+    // pass — the data-quality scan a pipeline runs on every new drop.
+    // Multiple exact distincts expand to one multi-phase aggregate
+    "q60_profile" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("d_order"),
+        countDistinct(col("l_partkey")).as("d_part"),
+        countDistinct(col("l_suppkey")).as("d_supp"),
+        countDistinct(col("l_returnflag")).as("d_flag"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))),
+
+    // The corpus report every curation run publishes: per (lang, source)
+    // slice — volume, token mass, median length, unique-content count.
+    // Integer sums and exact interpolated median keep it engine-portable
+    "e19_corpus_report" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("ntok"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          expr("percentile(n_chars, 0.5D)").as("median_chars"),
+          countDistinct(col("fp")).as("n_unique"))),
+
+    // Benchmark decontamination, soft form: fraction of each candidate
+    // document's distinct bigrams that appear anywhere in the benchmark
+    // slice (doc_id % 20 = 0). The benchmark shingle set is broadcast —
+    // eval sets are tiny next to a 100 TB corpus, so the scan side
+    // never shuffles
+    "e20_ngram_contam" -> ((s, dir) => {
+      // both the benchmark set and the candidate scan read this frame;
+      // persisted, the tokenize→bigram→explode pass runs once
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordShinglesFromTokens(col("tk"))).as("s"))
+        .persist()
+      val bench = sh.where(col("doc_id") % 20 === 0)
+        .select("s").distinct().withColumn("hit", lit(1L))
+      sh.where(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_sh")).as("contam_frac"))
+    }),
+
+    // Token-count histogram (bucket width 16): the length-distribution
+    // report that drives context-window and packing decisions
+    "e21_token_hist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextAnalysis.tokenCount(col("text")).as("ntok"),
+          col("n_chars"))
+        .groupBy(floor(col("ntok") / lit(16.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ntok")).as("min_tok"),
+          max(col("ntok")).as("max_tok"),
+          sum(col("n_chars")).as("total_chars"))),
+
+    // Per-source quality scorecard. Ratio averages go through fixed-point
+    // integer sums (floor(r·1e9)) — double summation order differs across
+    // engines/parallelism, quantized longs do not
+    "e22_source_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("text"),
+          TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("source"),
+          size(col("tk")).cast("long").as("ntok"),
+          floor(TextAnalysis.punctRatio(col("text")) * lit(1e9))
+            .cast("long").as("pq"),
+          floor((size(filter(col("tk"),
+            x => x.isInCollection(allMarkers))).cast("double") /
+            size(col("tk"))) * lit(1e9)).cast("long").as("sq"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          (sum(col("pq")).cast("double") / lit(1e9) / count(lit(1)))
+            .as("avg_punct"),
+          (sum(col("sq")).cast("double") / lit(1e9) / count(lit(1)))
+            .as("avg_stopword"))
+    }),
+
+    // Element-wise mean pooling of embeddings per label (first 8 dims
+    // judged): posexplode → group by (label, dim) — the centroid
+    // construction IVF training runs; fixed-point sums keep the means
+    // exact under any aggregation order
+    "e23_mean_pool" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .where(col("pos") < 8)
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          floor(col("col").cast("double") * lit(1e7)).cast("long").as("q"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .select(col("label"), col("pos"), col("n"),
+          (col("sq").cast("double") / lit(1e7) / col("n")).as("mean_v"))),
+
+    // Recall@10 of the LSH-bucketed ANN against the exact scan — the
+    // accuracy/cost check an ANN deployment publishes alongside its
+    // index. Both sides reuse the judged query definitions verbatim
+    "e24_ann_recall" -> ((s, dir) => {
+      val exact = SimilarityQueries.all("e2_topk_double")(s, dir)
+        .select("vec_id")
+      val approx = SimilarityQueries.all("e2_lsh_topk")(s, dir)
+        .select("vec_id")
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(10L).as("k"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(10.0)).as("recall"))
+    }))
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private val bigramsSql =
+    "list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))"
+  private val allMarkersSql =
+    allMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q53_ntile" ->
+      """SELECT c_custkey,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         cume_dist() OVER w AS cdist,
+         CAST(row_number() OVER w AS BIGINT) AS rn
+         FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)""",
+    "q54_hist" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+         count(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY bin""",
+    "q55_stringdist" ->
+      """SELECT p_partkey,
+         CAST(levenshtein(p_name, 'spring green yellow') AS BIGINT) AS lev_name,
+         CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev_bt
+         FROM part""",
+    "q56_bitagg" ->
+      """SELECT l_linenumber,
+         bit_and(l_partkey) AS band, bit_or(l_partkey) AS bor,
+         bit_xor(l_partkey) AS bxor, count(*) AS n
+         FROM lineitem GROUP BY l_linenumber""",
+    "q57_argmax" ->
+      """SELECT c_nationkey,
+         arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000
+           + c_custkey) AS richest,
+         arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000
+           + c_custkey) AS poorest,
+         max(c_acctbal) AS max_bal, count(*) AS n
+         FROM customer GROUP BY c_nationkey""",
+    "q58_top3" ->
+      """SELECT c_nationkey,
+         array_to_string(
+           (list(c_name ORDER BY c_acctbal DESC, c_custkey))[1:3], ',')
+           AS top3,
+         count(*) AS n
+         FROM customer GROUP BY c_nationkey""",
+    // NOTE: decimal→double goes through VARCHAR because DuckDB's direct
+    // DECIMAL→DOUBLE cast double-rounds once the scaled integer exceeds
+    // 2^53 (int128→double, then ÷10^s); the string parse is correctly
+    // rounded and matches Spark's BigDecimal.doubleValue exactly
+    "q59_corr" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR)
+             AS DOUBLE) AS sx,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS VARCHAR)
+             AS DOUBLE) AS sy,
+           CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4)))
+             AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
+             AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+             AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy) /
+           (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
+           sxy / CAST(n AS DOUBLE)
+             - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))
+             AS covar_pop
+         FROM a""",
+    "q60_profile" ->
+      """SELECT count(*) AS n_rows,
+         count(DISTINCT l_orderkey) AS d_order,
+         count(DISTINCT l_partkey) AS d_part,
+         count(DISTINCT l_suppkey) AS d_supp,
+         count(DISTINCT l_returnflag) AS d_flag,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+         FROM lineitem""",
+    "e19_corpus_report" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+          CAST(SUM(len($tokensSql)) AS BIGINT) AS total_tokens,
+          quantile_cont(n_chars, 0.5) AS median_chars,
+          count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+            AS n_unique
+          FROM documents GROUP BY lang, source""",
+    "e20_ngram_contam" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+          sh AS (SELECT doc_id, unnest($bigramsSql) AS s FROM tk),
+          bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+          SELECT doc_id, count(*) AS n_sh,
+            CAST(count(*) FILTER (WHERE s IN (SELECT s FROM bench))
+              AS BIGINT) AS n_hit,
+            CAST(count(*) FILTER (WHERE s IN (SELECT s FROM bench))
+              AS DOUBLE) / count(*) AS contam_frac
+          FROM sh WHERE doc_id % 20 <> 0 GROUP BY doc_id""",
+    "e21_token_hist" ->
+      s"""WITH d AS (SELECT CAST(len($tokensSql) AS BIGINT) AS ntok, n_chars
+            FROM documents)
+          SELECT CAST(floor(ntok / 16.0) AS BIGINT) AS bucket,
+            count(*) AS n_docs,
+            min(ntok) AS min_tok, max(ntok) AS max_tok,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM d GROUP BY bucket""",
+    "e22_source_quality" ->
+      s"""WITH d AS (SELECT source, CAST(len($tokensSql) AS BIGINT) AS ntok,
+            CAST(floor(CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '',
+              'g')) AS DOUBLE) / len(text) * 1e9) AS BIGINT) AS pq,
+            CAST(floor(CAST(len(list_filter($tokensSql,
+              x -> list_contains($allMarkersSql, x))) AS DOUBLE)
+              / len($tokensSql) * 1e9) AS BIGINT) AS sq
+          FROM documents WHERE len($tokensSql) > 0)
+          SELECT source, count(*) AS n_docs,
+            CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+            CAST(SUM(pq) AS DOUBLE) / 1e9 / count(*) AS avg_punct,
+            CAST(SUM(sq) AS DOUBLE) / 1e9 / count(*) AS avg_stopword
+          FROM d GROUP BY source""",
+    "e23_mean_pool" ->
+      """WITH x AS (SELECT label, t.pos AS pos,
+           CAST(floor(CAST(embedding[CAST(t.pos + 1 AS INT)] AS DOUBLE) * 1e7)
+             AS BIGINT) AS q
+         FROM embeddings, unnest(range(0, 8)) AS t(pos))
+         SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+           count(*) AS n,
+           CAST(SUM(q) AS DOUBLE) / 1e7 / count(*) AS mean_v
+         FROM x GROUP BY label, pos""",
+    "e24_ann_recall" ->
+      s"""WITH ex AS (${SimilarityQueries.doubleCosineSql}),
+          ap AS (${SimilarityQueries.lshSql})
+          SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hit,
+            CAST(count(*) AS DOUBLE) / 10.0 AS recall
+          FROM ex WHERE vec_id IN (SELECT vec_id FROM ap)""")
+}
