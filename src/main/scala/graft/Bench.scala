@@ -23,11 +23,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT/codegen + parquet reader init on a small plan,
-    // so the first measured query isn't charged for JVM startup
-    try SparkEntry.queries("p1_project")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // untimed warmup: JIT/codegen + parquet reader init on one narrow
+    // scan per fact table (lineitem / documents / embeddings), so the
+    // first measured query per table isn't charged for JVM startup and
+    // first-touch I/O — which query pays otherwise depends only on map
+    // iteration order
+    Seq("p1_project", "e4_fingerprint", "e2_norms").foreach { w =>
+      try SparkEntry.queries(w)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -93,4 +93,28 @@ object Multimodal {
     import df.sparkSession.implicits._
     df.as[MediaRow]
   }
+
+  /** Sampled frames per media row, hex-encoded for judgeable output:
+    * the video-ingest shape (decode → fixed-size frames → keep every
+    * k-th). Runs per-partition like [[extractFeatures]]; frames stay in
+    * executors. Rows whose payload yields no frame are dropped (an
+    * empty container has nothing to sample).
+    */
+  case class FrameSampleRow(doc_id: Long, n_frames: Int, f0: String,
+                            f1: String)
+
+  def sampleFrameHex(media: Dataset[MediaRow], frameSize: Int,
+                     everyK: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = StubCodec.frameSample(StubCodec.decode(r.media),
+          frameSize, everyK)
+        def hx(a: Array[Byte]) = a.map("%02x".format(_)).mkString
+        if (frames.isEmpty) None
+        else Some(FrameSampleRow(r.doc_id, frames.length, hx(frames(0)),
+          if (frames.length > 1) hx(frames(1)) else ""))
+      }
+    }.toDF()
+  }
 }

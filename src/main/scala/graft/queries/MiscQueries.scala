@@ -42,6 +42,17 @@ object MiscQueries {
       features.toDF().select(
         col("doc_id"), col("n_bytes"), col("mean_byte"),
         length(col("thumb")).as("thumb_bytes"))
+    }),
+
+    // Multimodal frame sampling: 16-byte payload → 4-byte frames, keep
+    // every 2nd (frames 0 and 2) — the video keyframe-sampling shape,
+    // hex-encoded so the frames themselves are value-judged
+    "e6_frame_sample" -> ((s, dir) => {
+      val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
+      Multimodal.sampleFrameHex(Multimodal.toMediaDataset(fixture),
+        frameSize = 4, everyK = 2)
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          col("f0"), col("f1"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -59,5 +70,12 @@ object MiscQueries {
                               AS BIGINT)) AS DOUBLE) / 16
           FROM generate_series(1, 16) AS g(i)) AS mean_byte,
          4 AS thumb_bytes
-         FROM documents d""")
+         FROM documents d""",
+    // payload = md5(text): 16 bytes = 4 frames of 4 bytes; everyK=2
+    // keeps frames 0 and 2 → hex chars 1-8 and 17-24 of the digest
+    "e6_frame_sample" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_frames,
+         substr(md5(text), 1, 8) AS f0,
+         substr(md5(text), 17, 8) AS f1
+         FROM documents""")
 }

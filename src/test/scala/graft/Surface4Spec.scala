@@ -85,6 +85,18 @@ class Surface4Spec extends SparkSpec {
     assert(got((1L, 0L)) === 10.0 && got((1L, 1L)) === 0.5)
   }
 
+  test("frame sampling keeps every k-th fixed-size frame, drops empties") {
+    import graft.operators.Multimodal
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/fake",
+        Array.tabulate(16)(_.toByte), 4, 4),   // 4 frames → keep 0 and 2
+      Multimodal.MediaRow(2L, "video/fake", Array.emptyByteArray, 0, 0))
+      .toDS()
+    val got = Multimodal.sampleFrameHex(media, frameSize = 4, everyK = 2)
+      .as[(Long, Int, String, String)].collect().toSeq
+    assert(got === Seq((1L, 2, "00010203", "08090a0b")))
+  }
+
   test("token-count histogram bucket edges (floor n/16)") {
     val df = Seq.tabulate(40)(i => (i.toLong, ("w " * i).trim))
       .toDF("doc_id", "text")
