@@ -121,7 +121,7 @@ object SimilarityQueries {
     * list_reduce starts at x1; Spark starts at 0.0 + x1 = x1 — same
     * IEEE sequence, bit-equal results).
     */
-  private def foldDot(a: String, b: String) =
+  private[queries] def foldDot(a: String, b: String) =
     s"""list_reduce(list_transform(generate_series(1, 64),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
         (acc, x) -> acc + x)"""

@@ -279,6 +279,41 @@ object Surface4Queries {
       """)
     }),
 
+    // Tokenizer-design report: what fraction of all token occurrences
+    // the top-1000 vocabulary covers. Two aggregations over one persisted
+    // term-frequency frame; all counts integer-exact. The top-k side is
+    // a TakeOrdered (no full sort) — the 100 TB shape for vocab builds
+    "e26_vocab_coverage" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .persist()
+      val top = tf.orderBy(col("n").desc, col("tok")).limit(1000)
+      top.agg(count(lit(1)).as("vocab_size"), sum(col("n")).as("covered"))
+        .crossJoin(tf.agg(sum(col("n")).as("total_tokens")))
+        .select(col("vocab_size"), col("total_tokens"), col("covered"),
+          (col("covered").cast("double") / col("total_tokens"))
+            .as("coverage_frac"))
+    }),
+
+    // Embedding coverage + mean L2 per corpus slice: documents ⟕
+    // embeddings on id — the audit a multimodal corpus runs to find
+    // slices missing vectors. Fixed-point norm sums keep the per-lang
+    // means exact; at scale both sides are large so the id join shuffles
+    // (no broadcast hint on purpose)
+    "e27_embed_coverage" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        floor(sqrt(graft.operators.Similarity.dot(col("embedding"),
+          col("embedding"))) * lit(1e7)).cast("long").as("l2q"))
+      t(s, dir, "documents").select("doc_id", "lang")
+        .join(emb, col("doc_id") === col("vec_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("l2q")).as("n_with_emb"),
+          (sum(col("l2q")).cast("double") / lit(1e7) / count(col("l2q")))
+            .as("avg_l2"))
+    }),
+
     // Recall@10 of the LSH-bucketed ANN against the exact scan — the
     // accuracy/cost check an ANN deployment publishes alongside its
     // index. Both sides reuse the judged query definitions verbatim
@@ -449,6 +484,26 @@ object Surface4Queries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY tsu
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "e26_vocab_coverage" ->
+      s"""WITH tf AS (SELECT token, count(*) AS n
+            FROM (SELECT unnest($tokensSql) AS token FROM documents)
+            GROUP BY token),
+          top AS (SELECT n FROM tf ORDER BY n DESC, token LIMIT 1000),
+          a AS (SELECT count(*) AS vocab_size,
+                  CAST(SUM(n) AS BIGINT) AS covered FROM top),
+          tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM tf)
+          SELECT vocab_size, total_tokens, covered,
+            CAST(covered AS DOUBLE) / total_tokens AS coverage_frac
+          FROM a, tot""",
+    "e27_embed_coverage" ->
+      s"""WITH e AS (SELECT vec_id,
+            CAST(floor(sqrt(${SimilarityQueries.foldDot("embedding",
+              "embedding")}) * 1e7) AS BIGINT) AS l2q
+          FROM embeddings)
+          SELECT lang, count(*) AS n_docs, count(l2q) AS n_with_emb,
+            CAST(SUM(l2q) AS DOUBLE) / 1e7 / count(l2q) AS avg_l2
+          FROM documents d LEFT JOIN e ON d.doc_id = e.vec_id
+          GROUP BY lang""",
     "e24_ann_recall" ->
       s"""WITH ex AS (${SimilarityQueries.doubleCosineSql}),
           ap AS (${SimilarityQueries.lshSql})
