@@ -279,6 +279,42 @@ object Surface4Queries {
       """)
     }),
 
+    // Repeated-passage scan: non-overlapping 16-token chunks fingerprinted
+    // across the corpus; a chunk whose fingerprint occurs more than once
+    // anywhere marks duplicated passage content (the within-corpus
+    // boilerplate signal line-level dedup targets). Chunking is a narrow
+    // generate stage; the only exchanges are on the constant-width
+    // fingerprint — never the text
+    "e28_passage_dedup" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      val ch = graft.operators.Corpus.chunkTokens(tk, "doc_id", "tk", 16, 16)
+        .select(col("doc_id"),
+          md5(col("chunk_text").cast("binary")).as("fp"))
+        .persist()
+      val dup = ch.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      ch.join(dup, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("cnt") > 1, 1)).as("n_dup_chunks"),
+          (count(when(col("cnt") > 1, 1)).cast("double") / count(lit(1)))
+            .as("dup_frac"))
+    }),
+
+    // Weekly revenue rollup + volume ranking (rank vs dense_rank made
+    // deterministic by a total ORDER BY). ~360 weeks → the global
+    // ranking window is a deliberate small-side sort
+    "q63_rank_weeks" -> ((s, dir) => {
+      val w = Window.orderBy(col("n_orders").desc, col("week_start"))
+      t(s, dir, "orders")
+        .groupBy(date_trunc("week", col("o_orderdate")).as("week_start"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("revenue"))
+        .select(col("week_start"), col("n_orders"), col("revenue"),
+          dense_rank().over(w).cast("long").as("volume_rank"),
+          rank().over(w).cast("long").as("volume_rank_gaps"))
+    }),
+
     // Tokenizer-design report: what fraction of all token occurrences
     // the top-1000 vocabulary covers. Two aggregations over one persisted
     // term-frequency frame; all counts integer-exact. The top-k side is
@@ -484,6 +520,33 @@ object Surface4Queries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY tsu
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "e28_passage_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+          ch AS (SELECT doc_id,
+              md5(array_to_string(tk[s : least(s + 15,
+                CAST(len(tk) AS BIGINT))], ' ')) AS fp
+            FROM (SELECT doc_id, tk,
+                    unnest(range(1, CAST(len(tk) AS BIGINT) + 1, 16)) AS s
+                  FROM tk WHERE len(tk) > 0)),
+          dup AS (SELECT fp, count(*) AS cnt FROM ch GROUP BY fp)
+          SELECT doc_id, count(*) AS n_chunks,
+            CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_dup_chunks,
+            CAST(count(*) FILTER (WHERE cnt > 1) AS DOUBLE) / count(*)
+              AS dup_frac
+          FROM ch JOIN dup USING (fp) GROUP BY doc_id""",
+    "q63_rank_weeks" ->
+      """WITH w AS (SELECT date_trunc('week', o_orderdate) AS week_start,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             AS revenue
+         FROM orders GROUP BY week_start)
+         SELECT week_start, n_orders, revenue,
+           CAST(dense_rank() OVER
+             (ORDER BY n_orders DESC, week_start) AS BIGINT) AS volume_rank,
+           CAST(rank() OVER
+             (ORDER BY n_orders DESC, week_start) AS BIGINT)
+             AS volume_rank_gaps
+         FROM w""",
     "e26_vocab_coverage" ->
       s"""WITH tf AS (SELECT token, count(*) AS n
             FROM (SELECT unnest($tokensSql) AS token FROM documents)
