@@ -279,6 +279,31 @@ object Surface4Queries {
       """)
     }),
 
+    // Third string-scalar tranche: padding, reversal, char codes,
+    // left/right slicing — all codegen'd built-ins, scan-fused
+    "q65_strings3" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        lpad(col("c_name"), 25, "*").as("padded"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_pad"),
+        reverse(col("c_name")).as("rev_name"),
+        ascii(col("c_name")).cast("long").as("first_code"),
+        expr("left(c_name, 9)").as("prefix"),
+        expr("right(c_name, 4)").as("suffix"))),
+
+    // Exact per-language token-count quartiles (interpolated) — the
+    // length-distribution summary a curation run reports per slice; the
+    // quarter-step interpolation is exact in double on integer inputs,
+    // so the values hash-match at any parallelism
+    "e30_quartiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("ntok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(ntok, 0.25D)").as("p25"),
+          expr("percentile(ntok, 0.5D)").as("p50"),
+          expr("percentile(ntok, 0.75D)").as("p75"))),
+
     // TPC-H Q19 shape: disjunctive (brand × quantity-band × size-band)
     // predicate across the join — the filter shape Catalyst can only
     // partially push (the common l_partkey/p_partkey conjunct reaches
@@ -559,6 +584,23 @@ object Surface4Queries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY tsu
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q65_strings3" ->
+      """SELECT c_custkey,
+         lpad(c_name, 25, '*') AS padded,
+         rpad(c_mktsegment, 12, '.') AS seg_pad,
+         reverse(c_name) AS rev_name,
+         CAST(ascii(c_name) AS BIGINT) AS first_code,
+         left(c_name, 9) AS prefix,
+         right(c_name, 4) AS suffix
+         FROM customer""",
+    "e30_quartiles" ->
+      s"""SELECT lang, count(*) AS n_docs,
+          quantile_cont(ntok, 0.25) AS p25,
+          quantile_cont(ntok, 0.5) AS p50,
+          quantile_cont(ntok, 0.75) AS p75
+          FROM (SELECT lang, CAST(len($tokensSql) AS BIGINT) AS ntok
+                FROM documents)
+          GROUP BY lang""",
     "q64_tpch19" ->
       """SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
              AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS revenue,
