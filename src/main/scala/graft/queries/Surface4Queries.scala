@@ -279,6 +279,42 @@ object Surface4Queries {
       """)
     }),
 
+    // Null-safe equality join (<=>): the join key is nullable by
+    // construction (one segment nulled out), and the null group must
+    // match itself — the semantics a dimension with missing keys needs.
+    // Both sides pre-aggregate to segment cardinality before joining
+    "q66_nullsafe_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.groupBy(nullif(col("c_mktsegment"), lit("BUILDING"))
+          .as("seg"))
+        .agg(count(lit(1)).as("n_a"))
+      val b = c.where(col("c_custkey") % 2 === 0)
+        .groupBy(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg2"))
+        .agg(count(lit(1)).as("n_b"))
+      a.join(b, col("seg") <=> col("seg2"))
+        .select(col("seg"), col("n_a"), col("n_b"))
+    }),
+
+    // Per-language z-score of document length from exact integer sums
+    // (n, Σx, Σx²) — the feature-normalization pass before length-aware
+    // sampling. The group stats broadcast back to the narrow scan; every
+    // double derives from exact integers through an identical formula,
+    // so the scores are bit-stable at any parallelism
+    "e31_len_zscore" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("ntok"))
+      val stats = d.groupBy(col("lang").as("lang2"))
+        .agg(count(lit(1)).as("n"), sum(col("ntok")).as("sx"),
+          sum(col("ntok") * col("ntok")).as("sxx"))
+      val nd = col("n").cast("double")
+      val mean = col("sx").cast("double") / nd
+      val variance = col("sxx").cast("double") / nd - mean * mean
+      d.join(broadcast(stats), col("lang") === col("lang2"))
+        .select(col("doc_id"), col("lang"), col("ntok"),
+          ((col("ntok").cast("double") - mean) / sqrt(variance)).as("z"))
+    }),
+
     // Third string-scalar tranche: padding, reversal, char codes,
     // left/right slicing — all codegen'd built-ins, scan-fused
     "q65_strings3" -> ((s, dir) =>
@@ -584,6 +620,27 @@ object Surface4Queries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY tsu
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q66_nullsafe_join" ->
+      """WITH a AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+             count(*) AS n_a FROM customer GROUP BY 1),
+          b AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg2,
+             count(*) AS n_b FROM customer WHERE c_custkey % 2 = 0
+             GROUP BY 1)
+         SELECT seg, n_a, n_b
+         FROM a JOIN b ON seg IS NOT DISTINCT FROM seg2""",
+    "e31_len_zscore" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+            CAST(len($tokensSql) AS BIGINT) AS ntok FROM documents),
+          st AS (SELECT lang AS lang2, count(*) AS n,
+            CAST(SUM(ntok) AS BIGINT) AS sx,
+            CAST(SUM(ntok * ntok) AS BIGINT) AS sxx
+          FROM d GROUP BY lang)
+          SELECT doc_id, lang, ntok,
+            (CAST(ntok AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+          FROM d JOIN st ON lang = lang2""",
     "q65_strings3" ->
       """SELECT c_custkey,
          lpad(c_name, 25, '*') AS padded,
