@@ -97,6 +97,40 @@ class Surface4Spec extends SparkSpec {
     assert(got === Seq((1L, 2, "00010203", "08090a0b")))
   }
 
+  test("null-safe join matches the null group to itself") {
+    val a = Seq((Option.empty[String], 3L), (Some("x"), 2L))
+      .toDF("seg", "n_a")
+    val b = Seq((Option.empty[String], 1L), (Some("y"), 5L))
+      .toDF("seg2", "n_b")
+    val got = a.join(b, $"seg" <=> $"seg2")
+      .select($"seg", $"n_a", $"n_b")
+      .as[(Option[String], Long, Long)].collect().toSeq
+    // an equi-join would drop the null row; <=> keeps exactly it
+    assert(got === Seq((None, 3L, 1L)))
+  }
+
+  test("z-scores from integer sufficient statistics are exact") {
+    // lang g: lengths 2, 4, 6 → mean 4, var_pop 8/3
+    val d = Seq((1L, "g", 2L), (2L, "g", 4L), (3L, "g", 6L))
+      .toDF("doc_id", "lang", "ntok")
+    val stats = d.groupBy($"lang".as("lang2"))
+      .agg(count(lit(1)).as("n"), sum($"ntok").as("sx"),
+        sum($"ntok" * $"ntok").as("sxx"))
+    val nd = $"n".cast("double")
+    val mean = $"sx".cast("double") / nd
+    val variance = $"sxx".cast("double") / nd - mean * mean
+    val got = d.join(broadcast(stats), $"lang" === $"lang2")
+      .select($"doc_id", (($"ntok".cast("double") - mean) / sqrt(variance))
+        .as("z"))
+      .as[(Long, Double)].collect().toMap
+    // reference follows the query's exact operation order (sxx/n - mean²,
+    // not the algebraically-equal 8/3): the guarantee is same-formula
+    // bit-stability, and only the same double sequence reproduces it
+    val sd = math.sqrt(56.0 / 3.0 - 4.0 * 4.0)
+    assert(got(1L) === (2.0 - 4.0) / sd && got(2L) === 0.0 &&
+      got(3L) === (6.0 - 4.0) / sd)
+  }
+
   test("token-count histogram bucket edges (floor n/16)") {
     val df = Seq.tabulate(40)(i => (i.toLong, ("w " * i).trim))
       .toDF("doc_id", "text")
