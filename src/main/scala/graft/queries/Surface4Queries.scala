@@ -279,6 +279,28 @@ object Surface4Queries {
       """)
     }),
 
+    // SimHash near-dup pairs via byte-band blocking: docs sharing any of
+    // the four 8-bit bands of their simhash become candidates (equi-join
+    // on the band — never all-pairs), then the Hamming distance filter
+    // keeps real near-dups. The banded equi-join is the standard
+    // multi-probe that makes simhash search linear at corpus scale
+    "e32_simhash_pairs" -> ((s, dir) => {
+      val sh = DedupQueries.all("e1_simhash")(s, dir)
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("simhash"), j * 8) % 256): _*)))
+      val a = banded.as("a")
+      val b = banded.as("b")
+      a.join(b, col("a.pos") === col("b.pos") &&
+          col("a.col") === col("b.col") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast("long").as("hamming"))
+        .where(col("hamming") <= 6)
+        .distinct()
+    }),
+
     // Null-safe equality join (<=>): the join key is nullable by
     // construction (one segment nulled out), and the null group must
     // match itself — the semantics a dimension with missing keys needs.
@@ -620,6 +642,16 @@ object Surface4Queries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY tsu
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "e32_simhash_pairs" ->
+      s"""WITH sh AS (${DedupQueries.oracles("e1_simhash")}),
+          bd AS (SELECT doc_id, simhash, t.j AS pos,
+              (simhash >> (CAST(t.j AS INT) * 8)) % 256 AS band
+            FROM sh, unnest(range(0, 4)) AS t(j))
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM bd a JOIN bd b ON a.pos = b.pos AND a.band = b.band
+            AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
     "q66_nullsafe_join" ->
       """WITH a AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
              count(*) AS n_a FROM customer GROUP BY 1),
