@@ -286,9 +286,12 @@ object Surface4Queries {
     // multi-probe that makes simhash search linear at corpus scale
     "e32_simhash_pairs" -> ((s, dir) => {
       val sh = DedupQueries.all("e1_simhash")(s, dir)
+      // both sides of the self-join read this frame: persisted, the
+      // tokenize→hash→bit-fold pipeline runs once, not twice
       val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(j =>
           shiftright(col("simhash"), j * 8) % 256): _*)))
+        .persist()
       val a = banded.as("a")
       val b = banded.as("b")
       a.join(b, col("a.pos") === col("b.pos") &&
