@@ -34,12 +34,19 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Integer floor-division on long Columns (exact for |a| < 2^53). */
-  private def idiv(a: Column, b: Long): Column =
-    floor(a / lit(b.toDouble)).cast("long")
+  /** Exact integral floor-division on long Columns: SQL `div` (never
+    * routed through double, so a rank like (n-1)*999 div 1000 stays
+    * exact past 2^53 where `floor(a / b.toDouble)` would round).
+    * Ranks are nonnegative, so truncating `div` equals floor division.
+    */
+  def ldiv(a: Column, b: Long): Column =
+    call_function("div", a, lit(b))
+
+  def ldiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
 
   /** 1-based rank of the lower median: (n + 1) div 2. */
-  def medianRank(cnt: Column): Column = idiv(cnt + lit(1L), 2)
+  def medianRank(cnt: Column): Column = ldiv(cnt + lit(1L), 2)
 
   /** 1-based ranks bracketing the interpolated percentile at fraction
     * num/den: continuous position pos = 1 + (n-1)·num/den lies in
@@ -47,7 +54,7 @@ object Quantiles {
     * `fracAt`.
     */
   def loRank(cnt: Column, num: Long, den: Long): Column =
-    lit(1L) + idiv((cnt - lit(1L)) * lit(num), den)
+    lit(1L) + ldiv((cnt - lit(1L)) * lit(num), den)
 
   def hiRank(cnt: Column, num: Long, den: Long): Column =
     least(loRank(cnt, num, den) + lit(1L), cnt)
@@ -71,7 +78,10 @@ object Quantiles {
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val g = groupCols.map(col)
     val keyCols = (groupCols :+ valueCol).map(col)
-    val hist = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    // null values are excluded so cnt and ranks match SQL
+    // percentile/median semantics (which ignore nulls)
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
     // spark_partition_id is read twice (subtotals + ranking); an eager
     // localCheckpoint pins the range boundaries so both jobs see the
     // same assignment (re-evaluation could legally resample them)
@@ -89,8 +99,11 @@ object Quantiles {
       .select((col("__pid") +: g) ++ Seq(col("__off"), col("__cnt")): _*)
     val wLocal = Window.partitionBy((col("__pid") +: g): _*)
       .orderBy(col(valueCol))
+    // no forced broadcast: offsets is ≈ (partitions + groups) rows, which
+    // grows with group cardinality — let AQE pick the join strategy (it
+    // converts to broadcast at runtime whenever offsets is actually small)
     val ranked = ranged
-      .join(broadcast(offsets), "__pid" +: groupCols)
+      .join(offsets, "__pid" +: groupCols)
       .withColumn("__hi", col("__off") + sum(col("__n")).over(wLocal))
       .withColumn("__lo", col("__hi") - col("__n") + lit(1L))
     val aggs = ranks.map { case (name, rk) =>

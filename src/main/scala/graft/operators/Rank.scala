@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *
   *  1. range-partition on the sort key (Spark samples split points; the
   *     boundaries affect only load balance, never the ranks);
-  *  2. count rows per partition — a `partitions`-sized frame collected
-  *     to the driver (the same tiny collect `zipWithIndex` does) and
-  *     prefix-summed into each partition's starting offset;
+  *  2. count rows per partition — a `partitions`-sized frame,
+  *     prefix-summed into each partition's starting offset and
+  *     broadcast-joined back (never folded into a per-partition
+  *     when-chain, which would blow codegen limits at cluster
+  *     partition counts);
   *  3. a window keyed by partition id ranks locally; global rank =
   *     offset + local rank. ntile/cume_dist derive from the rank and
   *     the total count in closed form.
@@ -24,6 +26,14 @@ import org.apache.spark.sql.functions._
   * Requires a total order (a unique sort key): ranks are then unique and
   * deterministic at any parallelism. Range partitioning keeps equal keys
   * together, so even with ties no rank span straddles a boundary.
+  *
+  * Footprint note: the eager `localCheckpoint` materializes the ranged
+  * input to executor-local storage (and is not recoverable on executor
+  * loss). It exists because partition-id assignment must be identical in
+  * the count job and the ranking job, and `repartitionByRange` may
+  * legally resample boundaries between jobs. On a full-table 100 TB
+  * rank, project down to (sort key, row id) first, rank that, and join
+  * ranks back by id — the checkpoint then holds only the narrow frame.
   */
 object Rank {
 
@@ -46,32 +56,35 @@ object Rank {
       .localCheckpoint(true)
     val counts = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__pn"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val total = counts.map(_._2).sum
-    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
-    val offsetOf = counts.map(_._1).zip(offsets).toMap
-    val offCol = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
-      when(col("__pid") === pid, lit(offsetOf(pid))).otherwise(acc)
-    }
+    // per-partition start offset + grand total, computed on the
+    // partitions-sized counts frame (the constant partition key keeps
+    // the tiny window off the "no partition defined" path)
+    val wAll = Window.partitionBy(lit(0))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__pn")).over(
+        wAll.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__tot", sum(col("__pn")).over(wAll))
+      .select(col("__pid"), col("__off"), col("__tot"))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
     ranged
-      .withColumn(rnName, offCol + row_number().over(wLocal))
-      .withColumn(totalName, lit(total))
-      .drop("__pid")
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rnName, col("__off") + row_number().over(wLocal))
+      .withColumn(totalName, col("__tot"))
+      .drop("__pid", "__off", "__tot")
   }
 
   /** SQL ntile(k) from a 1-based global rank and the total count: the
     * first (n mod k) tiles take ceil(n/k) rows, the rest floor(n/k).
     */
   def ntileOf(rn: Column, total: Column, k: Int): Column = {
-    val q = floor(total / lit(k.toDouble)).cast("long")
+    val q = Quantiles.ldiv(total, k.toLong)
     val r = pmod(total, lit(k.toLong))
     val bigSpan = r * (q + lit(1L))
+    // ceil(a / b) on positive longs as exact integral (a + b - 1) div b
     when(rn <= bigSpan,
-      ceil(rn / (q + lit(1L)).cast("double")).cast("long"))
-      .otherwise(r + ceil((rn - bigSpan) / q.cast("double")).cast("long"))
+      Quantiles.ldiv(rn + q, q + lit(1L)))
+      .otherwise(r + Quantiles.ldiv(rn - bigSpan + q - lit(1L), q))
   }
 
   /** cume_dist for a UNIQUE sort key: rank / n (with ties the frame

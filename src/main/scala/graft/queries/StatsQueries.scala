@@ -1,7 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Statistics + reshaping surface: variance/stddev/correlation computed
@@ -63,38 +62,29 @@ object StatsQueries {
         count(lit(1)).as("n"))
     }),
 
-    // Exact lower-median per group via rank (no interpolation — the
-    // picked value is an actual data element, identical in any engine)
-    "q20_median" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(
-          Window.partitionBy("l_returnflag")))
-        .where(col("rn") === expr("(cnt + 1) div 2"))
-        .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
-    }),
+    // Exact lower-median per group — no interpolation, the picked value
+    // is an actual data element. Computed by Quantiles.orderStats: the
+    // k-th order statistic from a (group, value) count histogram, so
+    // there is NO full-table sort onto the 3-value group key (the old
+    // Window.partitionBy form sorted the whole fact table in 3 tasks)
+    "q20_median" -> ((s, dir) =>
+      graft.operators.Quantiles.orderStats(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        Seq("median_price" -> graft.operators.Quantiles.medianRank _))
+        .select("l_returnflag", "median_price")),
 
-    // Exact per-group quartiles via rank positions (no interpolation:
-    // picked values are actual data elements, identical in any engine;
-    // the max(CASE) collapse emits one row per group so coinciding
-    // positions in tiny groups cannot change the row count)
+    // Exact per-group quartiles via rank positions (no interpolation),
+    // same scalable histogram-selection plan as q20 — one hash exchange
+    // on the (group, value) composite, parallel at any group cardinality
     "q31_quantiles" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(
-          Window.partitionBy("l_returnflag")))
-        .groupBy("l_returnflag")
-        .agg(
-          max(when(col("rn") === expr("(cnt + 1) div 4"),
-            col("l_extendedprice"))).as("q1_price"),
-          max(when(col("rn") === expr("(cnt + 1) div 2"),
-            col("l_extendedprice"))).as("median_price"),
-          max(when(col("rn") === expr("(3 * (cnt + 1)) div 4"),
-            col("l_extendedprice"))).as("q3_price"))
+      import graft.operators.Quantiles.{ldiv, orderStats}
+      orderStats(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        Seq[(String, Column => Column)](
+          "q1_price" -> (c => ldiv(c + lit(1L), 4)),
+          "median_price" -> (c => ldiv(c + lit(1L), 2)),
+          "q3_price" -> (c => ldiv((c + lit(1L)) * lit(3L), 4))))
+        .select("l_returnflag", "q1_price", "median_price", "q3_price")
     }),
 
     // Pivot: order counts by status × priority (explicit value list →

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
@@ -20,17 +20,21 @@ object Surface4Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quartile assignment + cumulative distribution over one global
-    // ordering. A single-partition window is the honest semantics for a
-    // total ranking; at 100 TB the same answer comes from a
-    // range-partitioned sort (Spark's global Window already samples
-    // ranges) — the ORDER BY key is unique so ranks are deterministic
+    // ordering — via Rank.withGlobalRowNumber: range-partition on the
+    // sort key, per-partition row_number, broadcast prefix offsets. No
+    // single-partition Window (the old form moved every row into one
+    // task); ntile/cume_dist derive from the global rank and total in
+    // closed form, exact because the (c_acctbal, c_custkey) key is unique
     "q53_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, dir, "customer").select(
-        col("c_custkey"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        cume_dist().over(w).as("cdist"),
-        row_number().over(w).cast("long").as("rn"))
+      import graft.operators.Rank
+      Rank.withGlobalRowNumber(
+        t(s, dir, "customer").select("c_custkey", "c_acctbal"),
+        Seq(col("c_acctbal"), col("c_custkey")))
+        .select(
+          col("c_custkey"),
+          Rank.ntileOf(col("rn"), col("n_total"), 4).as("quartile"),
+          Rank.cumeDistOf(col("rn"), col("n_total")).as("cdist"),
+          col("rn"))
     }),
 
     // Fixed-width histogram of order value: the binning is a pure narrow
@@ -353,17 +357,31 @@ object Surface4Queries {
         expr("right(c_name, 4)").as("suffix"))),
 
     // Exact per-language token-count quartiles (interpolated) — the
-    // length-distribution summary a curation run reports per slice; the
-    // quarter-step interpolation is exact in double on integer inputs,
-    // so the values hash-match at any parallelism
-    "e30_quartiles" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("ntok"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          expr("percentile(ntok, 0.25D)").as("p25"),
-          expr("percentile(ntok, 0.5D)").as("p50"),
-          expr("percentile(ntok, 0.75D)").as("p75"))),
+    // length-distribution summary a curation run reports per slice. Via
+    // Quantiles.orderStats (count-histogram order statistics) instead of
+    // the `percentile(...)` aggregate, which buffers every value of a
+    // group in one aggregation buffer; the bracketing order statistics
+    // come out of a parallel plan and the quarter-step lerp is exact in
+    // double on integer inputs, so values hash-match at any parallelism
+    "e30_quartiles" -> ((s, dir) => {
+      import graft.operators.Quantiles._
+      val st = orderStats(
+        t(s, dir, "documents")
+          .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("ntok")),
+        Seq("lang"), "ntok",
+        Seq[(String, Column => Column)](
+          "lo25" -> (c => loRank(c, 1, 4)), "hi25" -> (c => hiRank(c, 1, 4)),
+          "lo50" -> (c => loRank(c, 1, 2)), "hi50" -> (c => hiRank(c, 1, 2)),
+          "lo75" -> (c => loRank(c, 3, 4)), "hi75" -> (c => hiRank(c, 3, 4))))
+      def lerp(lo: String, hi: String, num: Long, den: Long): Column =
+        col(lo).cast("double") +
+          fracAt(col("n_total"), num, den) *
+            (col(hi).cast("double") - col(lo).cast("double"))
+      st.select(col("lang"), col("n_total").as("n_docs"),
+        lerp("lo25", "hi25", 1, 4).as("p25"),
+        lerp("lo50", "hi50", 1, 2).as("p50"),
+        lerp("lo75", "hi75", 3, 4).as("p75"))
+    }),
 
     // TPC-H Q19 shape: disjunctive (brand × quantity-band × size-band)
     // predicate across the join — the filter shape Catalyst can only
