@@ -23,7 +23,8 @@ object SparkEntry {
       JoinQueries.all ++ SqlSurfaceQueries.all ++ Surface2Queries.all ++
       Surface3Queries.all ++ Surface4Queries.all ++
       StatsQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ WindowQueries.all ++ MiscQueries.all
+      SimilarityQueries.all ++ WindowQueries.all ++ MiscQueries.all ++
+      RuntimeQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,5 @@ object SparkEntry {
       StatsQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ WindowQueries.oracles ++
-      MiscQueries.oracles
+      MiscQueries.oracles ++ RuntimeQueries.oracles
 }
