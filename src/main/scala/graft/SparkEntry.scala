@@ -24,7 +24,7 @@ object SparkEntry {
       Surface3Queries.all ++ Surface4Queries.all ++
       StatsQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ WindowQueries.all ++ MiscQueries.all ++
-      RuntimeQueries.all
+      RuntimeQueries.all ++ Surface5Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +37,6 @@ object SparkEntry {
       StatsQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ WindowQueries.oracles ++
-      MiscQueries.oracles ++ RuntimeQueries.oracles
+      MiscQueries.oracles ++ RuntimeQueries.oracles ++
+      Surface5Queries.oracles
 }
