@@ -181,24 +181,45 @@ object Similarity {
     greatest(scored: _*).getField("i")
   }
 
-  /** IVF ANN top-k: probe the query's cell (plus `nprobe - 1` next-best
-    * cells would be the multi-probe extension), exact cosine within.
-    * `centroids` would come from a k-means sample in production; any
-    * fixed representative set works for the index structure.
+  /** Multi-probe cell list: the `nprobe` best cells for a vector,
+    * ordered by descending cosine with ties to the higher index — the
+    * same total order [[ivfCell]]'s greatest-struct uses, so probe 1 of
+    * this list is always ivfCell. Recall at a fixed cell count rises
+    * with `nprobe` because near-boundary neighbors land in adjacent
+    * cells; cost rises linearly (nprobe cells scanned per query).
+    */
+  def ivfCells(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }
+    slice(reverse(array_sort(array(scored: _*))), 1, nprobe).getField("i")
+  }
+
+  /** IVF ANN top-k: probe the query's `nprobe` best cells, exact cosine
+    * within. The candidate pool grows monotonically with `nprobe`, and
+    * any true top-k member in the pool is always in the probed top-k
+    * (at most k-1 vectors anywhere beat it), so recall@k is
+    * non-decreasing in `nprobe`. `centroids` would come from a k-means
+    * sample in production; any fixed representative set works for the
+    * index structure.
     */
   def ivfTopK(corpus: DataFrame, id: String, vec: String,
               query: Seq[Float], k: Int,
-              centroids: Seq[Seq[Float]]): DataFrame = {
+              centroids: Seq[Seq[Float]], nprobe: Int = 1): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    val qCell = centroids.zipWithIndex.maxBy { case (c, _) =>
+    def qScore(c: Seq[Float]): Double = {
       val dot = c.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
       val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum) *
         math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
       dot / n
-    }._2
+    }
+    val qCells = centroids.zipWithIndex
+      .map { case (c, i) => (qScore(c), i) }
+      .sortBy { case (s, i) => (-s, -i) }
+      .take(nprobe).map(_._2)
     corpus
       .withColumn("__cell", ivfCell(col(vec), centroids))
-      .where(col("__cell") === qCell)
+      .where(col("__cell").isin(qCells: _*))
       .select(col(id), cosine(col(vec), q).as("cosine"))
       .orderBy(col("cosine").desc, col(id))
       .limit(k)

@@ -99,6 +99,26 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // IVF multi-probe (nprobe=2): the query probes its two best cells,
+    // widening the candidate pool past cell boundaries — recall@k is
+    // provably non-decreasing vs single-probe (any true top-k member in
+    // the pool survives: at most k-1 vectors anywhere beat it). Cost is
+    // nprobe cells scanned instead of one; at 100 TB the corpus stays
+    // partitioned by cell and a probe reads nprobe partitions.
+    "e33_ivf_probe2" -> ((s, dir) => {
+      val cents = Similarity.syntheticCentroids(ivfN, 64)
+      val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .withColumn("__cell", Similarity.ivfCell(col("embedding"), cents))
+      val q = queryVec(s, dir).select(col("qe"),
+        Similarity.ivfCells(col("qe"), cents, 2).as("__qcells"))
+      corpus.join(broadcast(q),
+          array_contains(col("__qcells"), col("__cell")))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qe")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // LSH-bucketed ANN: corpus hashed once, search confined to the
     // query's bucket (rows-only check; recall-vs-cost documented)
     "e2_lsh_topk" -> ((s, dir) => {
@@ -165,35 +185,58 @@ object SimilarityQueries {
     * SQL literal double lists (each float's shortest-double repr parses
     * back to the identical IEEE value).
     */
-  private val ivfSql: String = {
-    val cents = graft.operators.Similarity.syntheticCentroids(ivfN, 64)
-    val centLit = cents.map(_.map(_.toDouble.toString)
-      .mkString("[", ", ", "]"))
-    // mirrors Similarity.cosine(vec, centroid_j): dot / (norm(v)·norm(c))
-    def score(vec: String, j: Int) =
-      s"""(${foldDot(vec, centLit(j))} /
-          (sqrt(${foldDot(vec, vec)}) *
-           sqrt(${foldDot(centLit(j), centLit(j))})))"""
-    // mirrors greatest(struct(s, i)).getField("i"): lexicographic max on
-    // (score, index) — descending >= CASE chain gives ties to higher j
-    def cell(vec: String) = {
-      val ss = (0 until ivfN).map(j => score(vec, j))
-      val cases = (ivfN - 1 to 1 by -1).map { j =>
-        val ge = (0 until j).map(o => s"${ss(j)} >= ${ss(o)}")
-          .mkString(" AND ")
-        s"WHEN $ge THEN $j"
-      }.mkString(" ")
-      s"(CASE $cases ELSE 0 END)"
-    }
-    s"""WITH q AS (SELECT embedding AS qe, ${cell("embedding")} AS qcell
+  private val ivfCentLit: Seq[String] =
+    graft.operators.Similarity.syntheticCentroids(ivfN, 64)
+      .map(_.map(_.toDouble.toString).mkString("[", ", ", "]"))
+
+  // mirrors Similarity.cosine(vec, centroid_j): dot / (norm(v)·norm(c))
+  private def ivfScore(vec: String, j: Int) =
+    s"""(${foldDot(vec, ivfCentLit(j))} /
+        (sqrt(${foldDot(vec, vec)}) *
+         sqrt(${foldDot(ivfCentLit(j), ivfCentLit(j))})))"""
+
+  // mirrors greatest(struct(s, i)).getField("i"): lexicographic max on
+  // (score, index) — descending >= CASE chain gives ties to higher j
+  private def ivfCellSql(vec: String) = {
+    val ss = (0 until ivfN).map(j => ivfScore(vec, j))
+    val cases = (ivfN - 1 to 1 by -1).map { j =>
+      val ge = (0 until j).map(o => s"${ss(j)} >= ${ss(o)}")
+        .mkString(" AND ")
+      s"WHEN $ge THEN $j"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 0 END)"
+  }
+
+  private[queries] val ivfSql: String =
+    s"""WITH q AS (SELECT embedding AS qe, ${ivfCellSql("embedding")} AS qcell
           FROM embeddings WHERE vec_id = 0),
-        c AS (SELECT vec_id, embedding, ${cell("embedding")} AS cell
+        c AS (SELECT vec_id, embedding, ${ivfCellSql("embedding")} AS cell
           FROM embeddings WHERE vec_id <> 0)
         SELECT c.vec_id,
           ${foldDot("c.embedding", "q.qe")} /
             (sqrt(${foldDot("c.embedding", "c.embedding")})
              * sqrt(${foldDot("q.qe", "q.qe")})) AS cosine
         FROM c, q WHERE c.cell = q.qcell
+        ORDER BY cosine DESC, c.vec_id LIMIT 10"""
+
+  /** Multi-probe form: the query's TWO best cells by (score DESC,
+    * j DESC) — the same total order the Spark side's
+    * `slice(reverse(array_sort(...)))` realizes — then candidates from
+    * either cell.
+    */
+  private[queries] val ivfMulti2Sql: String = {
+    val scoreRows = (0 until ivfN)
+      .map(j => s"SELECT $j AS j, ${ivfScore("qe", j)} AS s FROM q")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qc AS (SELECT j FROM ($scoreRows) ORDER BY s DESC, j DESC LIMIT 2),
+        c AS (SELECT vec_id, embedding, ${ivfCellSql("embedding")} AS cell
+          FROM embeddings WHERE vec_id <> 0)
+        SELECT c.vec_id,
+          ${foldDot("c.embedding", "q.qe")} /
+            (sqrt(${foldDot("c.embedding", "c.embedding")})
+             * sqrt(${foldDot("q.qe", "q.qe")})) AS cosine
+        FROM c, q WHERE c.cell IN (SELECT j FROM qc)
         ORDER BY cosine DESC, c.vec_id LIMIT 10"""
   }
 
@@ -202,6 +245,7 @@ object SimilarityQueries {
       s"""SELECT vec_id, sqrt(${foldDot("embedding", "embedding")}) AS l2
           FROM embeddings""",
     "e2_ivf" -> ivfSql,
+    "e33_ivf_probe2" -> ivfMulti2Sql,
     "e2_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
           p AS (SELECT e.vec_id,

@@ -68,6 +68,28 @@ object Surface5Queries {
            GROUP BY s_name
            ORDER BY numwait DESC, s_name
            LIMIT 100""")
+    }),
+
+    // Recall@10 of single-probe vs two-probe IVF against the exact
+    // scan — the measured evidence that multi-probe buys recall at a
+    // fixed cell count (provably n_hit2 ≥ n_hit1: the two-probe
+    // candidate pool contains the one-probe pool, and any true top-10
+    // member in a pool is always in that pool's top-10)
+    "e34_ivf_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val exact = SimilarityQueries.all("e2_topk_double")(s, dir)
+        .select("vec_id")
+      val p1 = SimilarityQueries.all("e2_ivf")(s, dir).select("vec_id")
+      val p2 = SimilarityQueries.all("e33_ivf_probe2")(s, dir)
+        .select("vec_id")
+      exact.join(p1, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit1"))
+        .crossJoin(exact.join(p2, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit2")))
+        .select(lit(10L).as("k"), col("n_hit1"), col("n_hit2"),
+          (col("n_hit1").cast("double") / lit(10.0)).as("recall_1probe"),
+          (col("n_hit2").cast("double") / lit(10.0)).as("recall_2probe"),
+          (col("n_hit2") >= col("n_hit1")).as("multiprobe_no_worse"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +124,24 @@ object Surface5Queries {
                              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
          GROUP BY s_name
          ORDER BY numwait DESC, s_name
-         LIMIT 100""")
+         LIMIT 100""",
+    "e34_ivf_recall" ->
+      s"""WITH ex AS (${SimilarityQueries.doubleCosineSql}),
+          a1 AS (${SimilarityQueries.ivfSql}),
+          a2 AS (${SimilarityQueries.ivfMulti2Sql})
+          SELECT CAST(10 AS BIGINT) AS k,
+            (SELECT count(*) FROM ex
+             WHERE vec_id IN (SELECT vec_id FROM a1)) AS n_hit1,
+            (SELECT count(*) FROM ex
+             WHERE vec_id IN (SELECT vec_id FROM a2)) AS n_hit2,
+            CAST((SELECT count(*) FROM ex
+             WHERE vec_id IN (SELECT vec_id FROM a1)) AS DOUBLE) / 10.0
+              AS recall_1probe,
+            CAST((SELECT count(*) FROM ex
+             WHERE vec_id IN (SELECT vec_id FROM a2)) AS DOUBLE) / 10.0
+              AS recall_2probe,
+            (SELECT count(*) FROM ex WHERE vec_id IN (SELECT vec_id FROM a2))
+              >= (SELECT count(*) FROM ex
+                  WHERE vec_id IN (SELECT vec_id FROM a1))
+              AS multiprobe_no_worse""")
 }
