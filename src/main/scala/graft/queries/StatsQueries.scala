@@ -38,25 +38,34 @@ object StatsQueries {
         count(lit(1)).as("n"))
     }),
 
-    // Population skewness + excess kurtosis from exact decimal moment
-    // sums (same recipe as q19: every input to the double formula is an
-    // order-independent exact total; round(_, 8) absorbs fma contraction)
+    // Population skewness + excess kurtosis from exact integer moment
+    // sums: l_quantity has 2 decimals, so cents-scaled longs make every
+    // power an exact long (q ≤ 50 ⇒ (100q)^4 ≤ 6.25e14 < 2^63) and the
+    // four totals exact narrow-decimal sums of LONGS — no per-row
+    // double→Decimal128 conversion (the previous form's cost: 4
+    // BigDecimal allocations per row). Totals return to double through
+    // a string cast (correctly rounded on every engine) and the double
+    // formula is mirrored textually; round(_, 8) absorbs fma contraction
     "q38_moments" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      val staged = li
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("ql"))
+        .withColumn("ql2", col("ql") * col("ql"))
       val n = count(lit(1)).cast("double")
-      val s1 = dsumDec(col("l_quantity"), 2).cast("double")
-      val s2 = dsumDec(col("l_quantity") * col("l_quantity"), 4).cast("double")
-      val s3 = dsumDec(col("l_quantity") * col("l_quantity")
-        * col("l_quantity"), 6).cast("double")
-      val s4 = dsumDec(col("l_quantity") * col("l_quantity")
-        * col("l_quantity") * col("l_quantity"), 8).cast("double")
+      def moment(c: Column, scale: Double): Column =
+        sum(c.cast("decimal(20,0)")).cast("string").cast("double") / lit(scale)
+      val s1 = moment(col("ql"), 1e2)
+      val s2 = moment(col("ql2"), 1e4)
+      val s3 = moment(col("ql2") * col("ql"), 1e6)
+      val s4 = moment(col("ql2") * col("ql2"), 1e8)
       val mean = s1 / n
       val m2 = s2 / n - mean * mean
       val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
       val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
         lit(6.0) * mean * mean * (s2 / n) -
         lit(3.0) * mean * mean * mean * mean
-      li.groupBy("l_returnflag").agg(
+      staged.groupBy("l_returnflag").agg(
         round(m3 / sqrt(m2 * m2 * m2), 8).as("skewness"),
         round(m4 / (m2 * m2) - lit(3.0), 8).as("kurtosis_excess"),
         count(lit(1)).as("n"))
@@ -128,17 +137,20 @@ object StatsQueries {
           FROM lineitem GROUP BY l_returnflag"""
     },
     "q38_moments" ->
-      """WITH t AS (SELECT l_returnflag,
+      """WITH b AS (SELECT l_returnflag,
+           CAST(round(l_quantity * 100) AS BIGINT) AS ql,
+           CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_quantity * 100) AS BIGINT) AS ql2
+         FROM lineitem),
+         t AS (SELECT l_returnflag,
            CAST(count(*) AS DOUBLE) AS n,
            count(*) AS cnt,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS s1,
-           CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE)
-             AS s2,
-           CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,6)))
-             AS DOUBLE) AS s3,
-           CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity
-             AS DECIMAL(38,8))) AS DOUBLE) AS s4
-         FROM lineitem GROUP BY l_returnflag),
+           CAST(CAST(SUM(ql) AS VARCHAR) AS DOUBLE) / 100.0 AS s1,
+           CAST(CAST(SUM(ql2) AS VARCHAR) AS DOUBLE) / 10000.0 AS s2,
+           CAST(CAST(SUM(ql2 * ql) AS VARCHAR) AS DOUBLE) / 1000000.0 AS s3,
+           CAST(CAST(SUM(ql2 * ql2) AS VARCHAR) AS DOUBLE) / 100000000.0
+             AS s4
+         FROM b GROUP BY l_returnflag),
          m AS (SELECT l_returnflag, cnt,
            s2/n - (s1/n)*(s1/n) AS m2,
            s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n) AS m3,
