@@ -195,9 +195,10 @@ object Dedup {
     * its own and its neighbors' labels, repeated until a sweep changes
     * nothing. One hop of propagation per sweep ⇒ sweeps ≤ graph
     * diameter — small for LSH candidate graphs, which are unions of
-    * near-cliques. (At extreme diameters a production run would switch
-    * to the large-star/small-star contraction with O(log n) rounds; the
-    * per-sweep dataflow — join, group-by-min — is the same.)
+    * near-cliques. A graph that exhausts the sweep budget (extreme
+    * diameter) automatically falls back to
+    * [[connectedComponentsContraction]], whose round count is O(log n)
+    * regardless of diameter.
     *
     * Returns (id, component) for every node incident to an edge.
     */
@@ -240,9 +241,80 @@ object Dedup {
       sweep += 1
     }
     sym.unpersist()
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxSweeps sweeps")
-    labels.select(col("id"), col("label").as("component"))
+    if (changed != 0)
+      // propagation needs ~diameter sweeps; a graph that blows the sweep
+      // budget (long chains) switches to the O(log n)-round contraction
+      connectedComponentsContraction(edges, a, b)
+    else
+      labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Alternating large-star/small-star contraction (the public
+    * MapReduce connected-components algorithm of Kiveris et al., 2014):
+    * converges in O(log n) rounds regardless of graph diameter, where
+    * min-label propagation needs ~diameter sweeps. Each round is two
+    * grouped aggregations + joins on the edge frame — the same
+    * shuffle-on-key dataflow as one propagation sweep, so the per-round
+    * cost is comparable and the round count is exponentially smaller on
+    * chain-like graphs.
+    *
+    *  - large-star(u): connect every neighbor v > u to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star(v): over smaller neighbors Γ<(v), connect each (and
+    *    v itself) to their minimum.
+    *
+    * Edges stay canonical (u < v) and distinct; at the fixpoint the
+    * edge set is a star forest whose centers are the component minima —
+    * identical labels to [[connectedComponents]].
+    *
+    * Returns (id, component) for every node incident to an edge.
+    */
+  def connectedComponentsContraction(edges: DataFrame, a: String, b: String,
+                                     maxRounds: Int = 40): DataFrame = {
+    val nodes = edges.select(col(a).as("id"))
+      .union(edges.select(col(b).as("id"))).distinct()
+    var e = edges
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var cnt = e.count()
+    var round = 0
+    var converged = cnt == 0L
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric adjacency; emitted edges (m, v)
+      // are already canonical because m ≤ u < v
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym
+        .join(sym.groupBy("u").agg(min(col("v")).as("mn")), "u")
+        .where(col("v") > col("u"))
+        .select(least(col("u"), col("mn")).as("u"), col("v"))
+        .distinct()
+      // small-star groups by the LARGE endpoint; m = min of the smaller
+      // neighbors, so (m, n) and (m, v) stay canonical
+      val mns = ls.groupBy("v").agg(min(col("u")).as("mn"))
+      val next = ls.join(mns, "v")
+        .where(col("u") =!= col("mn"))
+        .select(col("mn").as("u"), col("u").as("v"))
+        .union(mns.select(col("mn").as("u"), col("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val nextCnt = next.count()
+      converged = nextCnt == cnt &&
+        next.except(e).limit(1).count() == 0L
+      e = next
+      cnt = nextCnt
+      round += 1
+    }
+    require(converged,
+      s"connectedComponentsContraction did not converge in $maxRounds rounds")
+    // fixpoint stars: leaves label to their center, centers to themselves;
+    // the node-set left join restores nodes whose only edges were self
+    // loops (dropped from the canonical edge set)
+    val labels = e.select(col("v").as("id"), col("u").as("component"))
+      .union(e.select(col("u").as("id"), col("u").as("component")))
+      .distinct()
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** n-gram Jaccard similarity for a bounded candidate-pair set.

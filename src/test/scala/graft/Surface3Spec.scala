@@ -26,6 +26,32 @@ class Surface3Spec extends SparkSpec {
     assert(got === Seq((5L, 5L), (6L, 5L), (7L, 5L)))
   }
 
+  test("contraction agrees with propagation on random graphs") {
+    // deterministic pseudo-random edge lists of varied shape: sparse,
+    // dense, and with duplicate/self edges
+    for ((seed, n, m) <- Seq((1, 30, 20), (2, 50, 80), (3, 12, 60))) {
+      val edges = (1 to m).map { i =>
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(s"cc$seed-$i-a")
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(s"cc$seed-$i-b")
+        (Integer.toUnsignedLong(h1) % n, Integer.toUnsignedLong(h2) % n)
+      }.toDF("id_a", "id_b")
+      val prop = Dedup.connectedComponents(edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val cont = Dedup.connectedComponentsContraction(edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(cont === prop, s"seed=$seed")
+    }
+  }
+
+  test("propagation falls back to contraction past the sweep budget") {
+    // a 120-node path has diameter 119 ≫ the default 50-sweep budget;
+    // the fallback must still produce min labels for the one component
+    val edges = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === (0L to 119L).map(i => (i, 0L)))
+  }
+
   test("int8 quantization round-trips within absmax/127 per element") {
     val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")
     // the judged query's expression pipeline over an in-memory frame
