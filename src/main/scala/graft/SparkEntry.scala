@@ -24,7 +24,8 @@ object SparkEntry {
       Surface3Queries.all ++ Surface4Queries.all ++
       StatsQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ WindowQueries.all ++ MiscQueries.all ++
-      RuntimeQueries.all ++ Surface5Queries.all ++ Surface6Queries.all
+      RuntimeQueries.all ++ Surface5Queries.all ++ Surface6Queries.all ++
+      Surface7Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ WindowQueries.oracles ++
       MiscQueries.oracles ++ RuntimeQueries.oracles ++
-      Surface5Queries.oracles ++ Surface6Queries.oracles
+      Surface5Queries.oracles ++ Surface6Queries.oracles ++
+      Surface7Queries.oracles
 }

@@ -107,16 +107,61 @@ object DedupQueries {
     // what a dedup pipeline actually needs when picking one survivor
     // per cluster rather than per pair
     "e15_components" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-        .where(size(col("tk")) > 1)
-        .select(col("doc_id"),
-          TextAnalysis.wordShinglesFromTokens(col("tk")).as("sh"))
+      val docs = shingledDocs(s, dir)
       val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "sh",
         minhashK, bands)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // Duplicate-cluster SIZE profile: the report a dedup run publishes
+    // (how many pairs/triples/blobs) — two tiny group-bys downstream of
+    // the component labels, nothing new touches the corpus
+    "e38_cluster_sizes" -> ((s, dir) => {
+      val docs = shingledDocs(s, dir)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "sh",
+        minhashK, bands)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // MinHash fidelity audit: per LSH candidate pair, the signature
+    // agreement estimate (n_match/k) against the exact shingle Jaccard
+    // — the measured sketch-quality evidence (E[n_match/k] = J). All
+    // arithmetic is exact-integer + one IEEE division per column, so
+    // the audit itself is judged, not just asserted
+    "e39_minhash_est" -> ((s, dir) => {
+      val docs = shingledDocs(s, dir).persist()
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "sh",
+        minhashK, bands).persist()
+      val sig = docs.select(col("doc_id") +:
+        Dedup.minhashSignatures(col("sh"), minhashK): _*)
+      val nMatch = (0 until minhashK)
+        .map(j => when(col(s"sa.sig_$j") === col(s"sb.sig_$j"), lit(1L))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
+      val est = pairs
+        .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"), nMatch.as("n_match"))
+      val exact = Dedup.jaccardForPairs(pairs, docs, "doc_id", "sh")
+      val estJ = col("n_match").cast("double") / lit(minhashK.toDouble)
+      est.join(exact, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("n_match"),
+          estJ.as("est_jaccard"), col("jaccard").as("true_jaccard"),
+          abs(estJ - col("jaccard")).as("abs_err"))
     }))
+
+  /** tokens → distinct word shingles (the frame every minhash-family
+    * query derives from).
+    */
+  private def shingledDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 1)
+      .select(col("doc_id"),
+        TextAnalysis.wordShinglesFromTokens(col("tk")).as("sh"))
 
   private val splitBucketSql =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
@@ -153,7 +198,61 @@ object DedupQueries {
           % ${Dedup.minhashPrime}) AS sig_$j"""
     }.mkString(", ")
 
+  /** LSH band buckets → distinct candidate pairs (k=8, 4 bands of 2) —
+    * the shared tail of every minhash-family oracle.
+    */
+  private val bandPairsCte =
+    s"""sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
+        band AS (SELECT doc_id, unnest([
+          md5(concat_ws('_', sig_0, sig_1)),
+          md5(concat_ws('_', sig_2, sig_3)),
+          md5(concat_ws('_', sig_4, sig_5)),
+          md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band
+            AND a.doc_id < b.doc_id)"""
+
+  private def nMatchSql(k: Int): String = (0 until k)
+    .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "e38_cluster_sizes" ->
+      s"""WITH RECURSIVE $shingleCte, $bandPairsCte,
+          e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+          r AS (SELECT a AS id, a AS reach FROM e
+                UNION
+                SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+          comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+          cs AS (SELECT component, count(*) AS cluster_size FROM comp
+                 GROUP BY component)
+          SELECT cluster_size, count(*) AS n_clusters
+          FROM cs GROUP BY cluster_size""",
+    "e39_minhash_est" ->
+      s"""WITH $shingleCte, $bandPairsCte,
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT p.id_a, p.id_b, count(*) AS n_common
+                    FROM pairs p
+                    JOIN sh a ON p.id_a = a.doc_id
+                    JOIN sh b ON p.id_b = b.doc_id AND a.s = b.s
+                    GROUP BY p.id_a, p.id_b),
+          m AS (SELECT p.id_a, p.id_b,
+                  CAST(${nMatchSql(minhashK)} AS BIGINT) AS n_match
+                FROM pairs p
+                JOIN sig sa ON p.id_a = sa.doc_id
+                JOIN sig sb ON p.id_b = sb.doc_id),
+          j AS (SELECT p.id_a, p.id_b,
+                  CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                    / (na.n + nb.n - COALESCE(i.n_common, 0)) AS true_jaccard
+                FROM pairs p
+                LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+                JOIN sizes na ON p.id_a = na.doc_id
+                JOIN sizes nb ON p.id_b = nb.doc_id)
+          SELECT m.id_a, m.id_b, n_match,
+            CAST(n_match AS DOUBLE)/$minhashK.0 AS est_jaccard, true_jaccard,
+            abs(CAST(n_match AS DOUBLE)/$minhashK.0 - true_jaccard) AS abs_err
+          FROM m JOIN j ON m.id_a = j.id_a AND m.id_b = j.id_b""",
     "e15_components" ->
       s"""WITH RECURSIVE $shingleCte,
           sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),

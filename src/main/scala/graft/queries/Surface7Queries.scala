@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Rank
+
+/** Seventh tranche (round 7b): corpus-curation operators a training
+  * pipeline runs between dedup and packing — deterministic weighted
+  * sampling, curriculum bucketing, and stopword induction.
+  *
+  * Determinism strategy (the engine-wide rule): every "random" choice
+  * derives from md5 of a stable id, every ratio is a single IEEE
+  * division of exact integers — so the judged frame is bit-identical
+  * on any engine at any parallelism.
+  */
+object Surface7Queries {
+  import Tables._
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic WEIGHTED sampling, 5 docs per language: priority
+    // key u/w where u = first 6 md5 hex digits of the id (exact
+    // integer) and w = n_chars — the exponential-race trick with a
+    // hash-derived uniform, so longer documents are proportionally
+    // likelier to be picked and the draw is reproducible run-to-run.
+    // Scale shape: per-partition top-5 per language FIRST (narrow, no
+    // skew), then the global top-5 over ≤ 5·partitions survivors per
+    // language — a heavy-hitter language never concentrates the sort
+    // on one task, unlike a naive corpus-wide Window.partitionBy(lang)
+    "e35_weighted_sample" -> ((s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long")
+      val keyed = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          (u.cast("double") / col("n_chars").cast("double")).as("w_key"))
+      val local = Window.partitionBy(spark_partition_id(), col("lang"))
+        .orderBy(col("w_key"), col("doc_id"))
+      val global = Window.partitionBy(col("lang"))
+        .orderBy(col("w_key"), col("doc_id"))
+      keyed
+        .withColumn("lrk", row_number().over(local))
+        .where(col("lrk") <= 5)
+        .withColumn("rk", row_number().over(global).cast("long"))
+        .where(col("rk") <= 5)
+        .select("lang", "doc_id", "n_chars", "w_key", "rk")
+    }),
+
+    // Curriculum bucketing: decile of a GLOBAL ordering by document
+    // length — via the scale-safe two-pass global rank (range partition
+    // → local row_number → broadcast prefix offsets), not a
+    // single-partition Window.orderBy; ntile derives in closed form
+    "e36_curriculum" -> ((s, dir) =>
+      Rank.withGlobalRowNumber(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        Seq(col("n_chars"), col("doc_id")))
+        .select(col("doc_id"), col("n_chars"),
+          Rank.ntileOf(col("rn"), col("n_total"), 10).as("bucket"))),
+
+    // Stopword induction: the 50 highest-document-frequency tokens —
+    // distinct tokens per doc, one hash agg on token, global top-50 via
+    // ordered limit (TakeOrdered: per-partition heaps, no full sort)
+    "e37_stopwords" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(array_distinct(
+          graft.operators.TextAnalysis.tokens(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df_docs"))
+        .orderBy(col("df_docs").desc, col("token"))
+        .limit(50)))
+
+  val oracles: Map[String, String] = Map(
+    "e35_weighted_sample" ->
+      """WITH k AS (SELECT lang, doc_id, n_chars,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                 AS BIGINT) AS DOUBLE)
+               / CAST(n_chars AS DOUBLE) AS w_key
+           FROM documents),
+          r AS (SELECT lang, doc_id, n_chars, w_key,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY w_key, doc_id) AS rk
+                FROM k)
+          SELECT lang, doc_id, n_chars, w_key, CAST(rk AS BIGINT) AS rk
+          FROM r WHERE rk <= 5""",
+    "e36_curriculum" ->
+      """SELECT doc_id, n_chars,
+           CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS bucket
+         FROM documents""",
+    "e37_stopwords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokensSql))
+              AS token FROM documents)
+          SELECT token, count(*) AS df_docs FROM tok GROUP BY token
+          ORDER BY df_docs DESC, token LIMIT 50""")
+}
