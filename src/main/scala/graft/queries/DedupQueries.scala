@@ -132,11 +132,25 @@ object DedupQueries {
     // arithmetic is exact-integer + one IEEE division per column, so
     // the audit itself is judged, not just asserted
     "e39_minhash_est" -> ((s, dir) => {
-      val docs = shingledDocs(s, dir).persist()
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "sh",
-        minhashK, bands).persist()
+      // one md5 pass feeds BOTH the candidate-pair derivation and the
+      // per-pair signature comparison (minhashCandidatePairs would
+      // re-hash internally — measured ~2× on this query's hot path)
+      val docs = shingledDocs(s, dir)
+        .select(col("doc_id"), col("sh"),
+          transform(col("sh"), x => Dedup.shingleHash(x)).as("hs"))
+        .persist()
       val sig = docs.select(col("doc_id") +:
-        Dedup.minhashSignatures(col("sh"), minhashK): _*)
+        Dedup.minhashSignaturesFromHashes(col("hs"), minhashK): _*)
+        .persist()
+      val banded = sig.select(col("doc_id") +:
+        Dedup.bandKeys((0 until minhashK).map(j => col(s"sig_$j")), bands): _*)
+      val long = banded.select(col("doc_id"), explode(array(
+        (0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+      val pairs = long.as("a")
+        .join(long.as("b"), col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct().persist()
       val nMatch = (0 until minhashK)
         .map(j => when(col(s"sa.sig_$j") === col(s"sb.sig_$j"), lit(1L))
           .otherwise(lit(0L)))
