@@ -132,7 +132,47 @@ object SimilarityQueries {
           Similarity.cosine(col("embedding"), col("qe")).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
-    }))
+    }),
+
+    // One k-means Lloyd UPDATE step: assign every vector to its nearest
+    // centroid (the IVF cell — same assignment expression), then the
+    // new centroid = exact fixed-point per-(cell, dim) mean, e23-style
+    // (first 8 dims judged; full width is the same plan). Plan: narrow
+    // assignment map → posexplode → one hash exchange on (cell, dim) —
+    // the canonical distributed k-means iteration, reproducible at any
+    // parallelism because the sums are integers
+    "e40_kmeans_step" -> ((s, dir) => {
+      val cents = Similarity.syntheticCentroids(ivfN, 64)
+      t(s, dir, "embeddings")
+        .withColumn("cell",
+          Similarity.ivfCell(col("embedding"), cents).cast("long"))
+        .select(col("cell"), posexplode(col("embedding")))
+        .where(col("pos") < 8)
+        .select(col("cell"), col("pos").cast("long").as("pos"),
+          floor(col("col").cast("double") * lit(1e7)).cast("long").as("q"))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .select(col("cell"), col("pos"), col("n"),
+          (col("sq").cast("double") / lit(1e7) / col("n")).as("mean_v"))
+    }),
+
+    // Per-dimension corpus statistics (the whitening/standardization
+    // prep before PCA or feature scaling): mean and variance of every
+    // embedding dimension from exact integer moment sums — one narrow
+    // posexplode and one hash exchange on the 64 dims
+    "e41_dim_stats" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")))
+        .select(col("pos").cast("long").as("pos"),
+          floor(col("col").cast("double") * lit(1e7)).cast("long").as("q"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          sum(col("q") * col("q")).as("sq2"))
+        .select(col("pos"), col("n"),
+          (col("sq").cast("double") / lit(1e7) / col("n")).as("mean_v"),
+          ((col("sq2").cast("double") / lit(1e14) / col("n")) -
+            (col("sq").cast("double") / lit(1e7) / col("n")) *
+            (col("sq").cast("double") / lit(1e7) / col("n"))).as("var_v"))))
 
   private val prodSql = (a: String, b: String) =>
     s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e7) AS BIGINT)"
@@ -241,6 +281,27 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "e40_kmeans_step" ->
+      s"""WITH a AS (SELECT vec_id, embedding,
+              ${ivfCellSql("embedding")} AS cell FROM embeddings),
+          x AS (SELECT cell, t.pos AS pos,
+              CAST(floor(CAST(embedding[CAST(t.pos + 1 AS INT)] AS DOUBLE)
+                * 1e7) AS BIGINT) AS q
+            FROM a, unnest(range(0, 8)) AS t(pos))
+          SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
+            count(*) AS n, CAST(SUM(q) AS DOUBLE) / 1e7 / count(*) AS mean_v
+          FROM x GROUP BY cell, pos""",
+    "e41_dim_stats" ->
+      """WITH x AS (SELECT t.pos AS pos,
+             CAST(floor(CAST(embedding[CAST(t.pos + 1 AS INT)] AS DOUBLE)
+               * 1e7) AS BIGINT) AS q
+           FROM embeddings, unnest(range(0, 64)) AS t(pos))
+         SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+           CAST(SUM(q) AS DOUBLE) / 1e7 / count(*) AS mean_v,
+           (CAST(SUM(q*q) AS DOUBLE) / 1e14 / count(*)) -
+             (CAST(SUM(q) AS DOUBLE) / 1e7 / count(*)) *
+             (CAST(SUM(q) AS DOUBLE) / 1e7 / count(*)) AS var_v
+         FROM x GROUP BY pos""",
     "e2_norms" ->
       s"""SELECT vec_id, sqrt(${foldDot("embedding", "embedding")}) AS l2
           FROM embeddings""",

@@ -68,7 +68,24 @@ object Surface7Queries {
           graft.operators.TextAnalysis.tokens(col("text")))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("df_docs"))
         .orderBy(col("df_docs").desc, col("token"))
-        .limit(50)))
+        .limit(50)),
+
+    // First BPE merge-candidate scan: adjacent character-pair
+    // frequencies over every token occurrence — the counting pass a
+    // tokenizer trainer runs per merge round. Narrow double-generate
+    // (tokens, then in-token positions) → one hash exchange on the
+    // pair; top-30 via TakeOrdered
+    "e42_bpe_pairs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(
+          graft.operators.TextAnalysis.tokens(col("text"))).as("tk"))
+        .where(length(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tk)-1), i -> substring(tk, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30)))
 
   val oracles: Map[String, String] = Map(
     "e35_weighted_sample" ->
@@ -92,5 +109,12 @@ object Surface7Queries {
       s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($tokensSql))
               AS token FROM documents)
           SELECT token, count(*) AS df_docs FROM tok GROUP BY token
-          ORDER BY df_docs DESC, token LIMIT 50""")
+          ORDER BY df_docs DESC, token LIMIT 50""",
+    "e42_bpe_pairs" ->
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS tk FROM documents),
+          p AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> substr(tk, i, 2))) AS pair
+                FROM tok WHERE len(tk) >= 2)
+          SELECT pair, count(*) AS n FROM p GROUP BY pair
+          ORDER BY n DESC, pair LIMIT 30""")
 }
