@@ -47,6 +47,8 @@ object Graft {
   val asof: graft.operators.AsofJoin.type = graft.operators.AsofJoin
   val skew: graft.operators.Skew.type = graft.operators.Skew
   val catalog: graft.schemas.Catalog.type = graft.schemas.Catalog
+  val quantiles: graft.operators.Quantiles.type = graft.operators.Quantiles
+  val rank: graft.operators.Rank.type = graft.operators.Rank
 
   /** Register the engine's native SQL functions (`vec_dot`) on a live
     * session; alternatively set

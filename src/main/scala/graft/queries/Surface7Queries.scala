@@ -85,7 +85,53 @@ object Surface7Queries {
           .as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
-        .limit(30)))
+        .limit(30)),
+
+    // Chunker round-trip integrity: rebuild each document from its
+    // sliding-window chunks (window 50 / stride 40, same params as
+    // e14_chunk) by mapping every chunk token to its global position
+    // (start = chunk_id·stride + 1) and deduplicating the overlap —
+    // the audit that proves the segmentation pass loses nothing. All
+    // narrow generates plus one hash agg on doc_id
+    "e43_dechunk" -> ((s, dir) => {
+      import graft.operators.{Corpus, TextAnalysis}
+      val docsTk = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      val chunks = Corpus.chunkTokens(docsTk, "doc_id", "tk", 50, 40)
+      val toks = chunks
+        .select(col("doc_id"), col("chunk_id"),
+          posexplode(split(col("chunk_text"), " ")))
+        .select(col("doc_id"),
+          (col("chunk_id") * 40 + col("pos") + 1).as("pos"),
+          col("col").as("tok"))
+        .distinct()
+      val rebuilt = toks.groupBy("doc_id").agg(
+        count(lit(1)).as("n_rebuilt"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("rebuilt"))
+      rebuilt.join(docsTk, "doc_id")
+        .select(col("doc_id"), col("n_rebuilt"),
+          size(col("tk")).cast("long").as("n_tok"),
+          (col("rebuilt") === array_join(col("tk"), " ") &&
+            col("n_rebuilt") === size(col("tk"))).as("roundtrip_ok"))
+    }),
+
+    // Packing-efficiency report downstream of e9_pack: per language,
+    // bins used, docs and token mass packed, and the fill fraction
+    // against the 2048-token window — the utilization number a
+    // sequence-packing pass publishes. Exact integer sums; one IEEE
+    // division per group
+    "e44_pack_stats" -> ((s, dir) =>
+      TextQueries.all("e9_pack")(s, dir)
+        .groupBy("lang", "bin")
+        .agg(sum("n_tok").as("fill"), count(lit(1)).as("n_docs"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_bins"),
+          sum("n_docs").as("n_docs"),
+          sum("fill").as("tok_total"),
+          (sum("fill").cast("double") /
+            (count(lit(1)) * lit(2048L)).cast("double")).as("fill_frac"))))
 
   val oracles: Map[String, String] = Map(
     "e35_weighted_sample" ->
@@ -116,5 +162,40 @@ object Surface7Queries {
                   i -> substr(tk, i, 2))) AS pair
                 FROM tok WHERE len(tk) >= 2)
           SELECT pair, count(*) AS n FROM p GROUP BY pair
-          ORDER BY n DESC, pair LIMIT 30""")
+          ORDER BY n DESC, pair LIMIT 30""",
+    "e43_dechunk" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+          st AS (SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - 10, 1) + 1, 40)) AS st
+                 FROM tk),
+          pt AS (SELECT DISTINCT doc_id, st + j - 1 AS pos,
+                   tk[CAST(st + j - 1 AS INT)] AS tok
+                 FROM (SELECT doc_id, tk, st,
+                         unnest(generate_series(1, len(tk[st : st + 49])))
+                           AS j
+                       FROM st)),
+          r AS (SELECT doc_id, count(*) AS n_rebuilt,
+                  array_to_string(list(tok ORDER BY pos), ' ') AS rebuilt
+                FROM pt GROUP BY doc_id)
+          SELECT r.doc_id, CAST(n_rebuilt AS BIGINT) AS n_rebuilt,
+            CAST(len(tk.tk) AS BIGINT) AS n_tok,
+            (rebuilt = array_to_string(tk.tk, ' ')
+             AND n_rebuilt = len(tk.tk)) AS roundtrip_ok
+          FROM r JOIN tk ON r.doc_id = tk.doc_id""",
+    "e44_pack_stats" ->
+      s"""WITH tc AS (SELECT lang, doc_id, CAST(len($tokensSql) AS BIGINT)
+              AS n_tok FROM documents),
+          p AS (SELECT lang, n_tok,
+                  CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tok) AS BIGINT) // 2048 AS bin
+                FROM tc),
+          b AS (SELECT lang, bin, SUM(n_tok) AS fill, count(*) AS n_docs
+                FROM p GROUP BY lang, bin)
+          SELECT lang, count(*) AS n_bins,
+            CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+            CAST(SUM(fill) AS BIGINT) AS tok_total,
+            CAST(SUM(fill) AS DOUBLE) / CAST(count(*) * 2048 AS DOUBLE)
+              AS fill_frac
+          FROM b GROUP BY lang""")
 }
