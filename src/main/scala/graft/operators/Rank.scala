@@ -56,15 +56,20 @@ object Rank {
       .localCheckpoint(true)
     val counts = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__pn"))
-    // per-partition start offset + grand total, computed on the
-    // partitions-sized counts frame (the constant partition key keeps
-    // the tiny window off the "no partition defined" path)
-    val wAll = Window.partitionBy(lit(0))
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__pn")).over(
-        wAll.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__tot", sum(col("__pn")).over(wAll))
+    // per-partition start offset + grand total. A window over the
+    // counts frame would need a global (empty-partition) window spec —
+    // a constant partition key doesn't help, Spark's
+    // EliminateWindowPartitions folds it away and the plan still lands
+    // on the single-partition warning path. Instead: a triangular
+    // self-join (prefix = sum of counts with smaller pid) + a broadcast
+    // grand total. O(partitions²) comparisons on a partitions-sized
+    // frame — negligible, fully parallel, no AllTuples distribution.
+    val tot = counts.agg(sum(col("__pn")).as("__tot"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__pn")), lit(0L)).as("__off"))
+      .crossJoin(broadcast(tot))
       .select(col("__pid"), col("__off"), col("__tot"))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
     ranged

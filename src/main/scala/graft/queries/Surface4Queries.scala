@@ -444,18 +444,23 @@ object Surface4Queries {
             .as("dup_frac"))
     }),
 
-    // Weekly revenue rollup + volume ranking (rank vs dense_rank made
-    // deterministic by a total ORDER BY). ~360 weeks → the global
-    // ranking window is a deliberate small-side sort
+    // Weekly revenue rollup + volume ranking. The ORDER BY is a total
+    // order (week_start is unique within the grouped frame), so rank =
+    // dense_rank = row_number — computed via the scale-safe two-pass
+    // global rank instead of an empty-partition window (which would
+    // single-task the frame and trip WindowExec's AllTuples path even
+    // behind a constant partition key, see operators/Rank.scala)
     "q63_rank_weeks" -> ((s, dir) => {
-      val w = Window.orderBy(col("n_orders").desc, col("week_start"))
-      t(s, dir, "orders")
+      import graft.operators.Rank
+      val weekly = t(s, dir, "orders")
         .groupBy(date_trunc("week", col("o_orderdate")).as("week_start"))
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice"), 2).as("revenue"))
+      Rank.withGlobalRowNumber(weekly,
+        Seq(col("n_orders").desc, col("week_start")))
         .select(col("week_start"), col("n_orders"), col("revenue"),
-          dense_rank().over(w).cast("long").as("volume_rank"),
-          rank().over(w).cast("long").as("volume_rank_gaps"))
+          col("rn").as("volume_rank"),
+          col("rn").as("volume_rank_gaps"))
     }),
 
     // Tokenizer-design report: what fraction of all token occurrences
