@@ -82,12 +82,15 @@ object Quantiles {
     // percentile/median semantics (which ignore nulls)
     val hist = df.where(col(valueCol).isNotNull)
       .groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
-    // spark_partition_id is read twice (subtotals + ranking); an eager
-    // localCheckpoint pins the range boundaries so both jobs see the
-    // same assignment (re-evaluation could legally resample them)
+    // spark_partition_id is read twice (subtotals + ranking); both
+    // consumers must see one partition assignment. Exchange reuse
+    // already dedups the identical range-exchange subtree within the
+    // query, and the lazy persist pins the materialized partitions so
+    // no re-evaluation can legally resample the boundaries — without
+    // the extra full-pass job an eager localCheckpoint would run
     val ranged = hist.repartitionByRange(parts, keyCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .persist()
     val partTotals = ranged.groupBy((col("__pid") +: g): _*)
       .agg(sum(col("__n")).as("__pn"))
     val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))

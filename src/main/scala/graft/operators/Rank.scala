@@ -27,13 +27,13 @@ import org.apache.spark.sql.functions._
   * deterministic at any parallelism. Range partitioning keeps equal keys
   * together, so even with ties no rank span straddles a boundary.
   *
-  * Footprint note: the eager `localCheckpoint` materializes the ranged
-  * input to executor-local storage (and is not recoverable on executor
-  * loss). It exists because partition-id assignment must be identical in
-  * the count job and the ranking job, and `repartitionByRange` may
-  * legally resample boundaries between jobs. On a full-table 100 TB
-  * rank, project down to (sort key, row id) first, rank that, and join
-  * ranks back by id — the checkpoint then holds only the narrow frame.
+  * Footprint note: the ranged input is persisted (storage-level
+  * MEMORY_AND_DISK) because partition-id assignment must be identical
+  * on the count side and the ranking side, and an unpinned
+  * `repartitionByRange` may legally resample boundaries on
+  * re-evaluation. On a full-table 100 TB rank, project down to
+  * (sort key, row id) first, rank that, and join ranks back by id —
+  * the pinned frame then holds only the narrow projection.
   */
 object Rank {
 
@@ -48,12 +48,14 @@ object Rank {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // pin partition assignment: pid feeds both the count job and the
-    // ranking job, and repartitionByRange may resample boundaries on
-    // re-evaluation
+    // pin partition assignment: pid feeds both the count side and the
+    // ranking side. Exchange reuse dedups the identical range-exchange
+    // subtree, and the lazy persist pins the materialized partitions
+    // against re-evaluation (which could legally resample boundaries) —
+    // without the extra full-pass job an eager localCheckpoint would run
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .persist()
     val counts = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__pn"))
     // per-partition start offset + grand total. A window over the

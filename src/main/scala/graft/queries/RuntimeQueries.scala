@@ -108,6 +108,47 @@ object RuntimeQueries {
         .outputMode("append").trigger(Trigger.AvailableNow).start()
         .awaitTermination()
       s.read.parquet(out)
+    }),
+
+    // E1 through the RUNTIME: watermark-bounded streaming dedup
+    // (`dropDuplicatesWithinWatermark`) driven by the real micro-batch
+    // engine. The feed carries every event plus an exact duplicate of
+    // each event_id % 7 == 0 row, split into two time-ordered files
+    // (maxFilesPerTrigger=1) so the second batch runs against state and
+    // an advanced watermark. Duplicates share their original's event
+    // time, so each dup lands within the watermark of its first
+    // occurrence and MUST be suppressed; the watermark bounds state to
+    // one hour of keys — the 100 TB shape, unlike unbounded
+    // dropDuplicates. `deduped_once` audits the sink row count against
+    // the distinct feed exactly: a lost row or a delivered duplicate
+    // both break it
+    "c10_stream_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("ts", "event_id", "user_id")
+      val tmp = Files.createTempDirectory("graft-c10-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      val cut = lit("2024-01-21").cast("timestamp")
+      def leg(rows: DataFrame): Unit =
+        rows.unionAll(rows.where(col("event_id") % 7 === 0))
+          .coalesce(1).write.mode("append").parquet(feed)
+      leg(ev.where(col("ts") < cut))
+      leg(ev.where(col("ts") >= cut))
+      val schema = StructType(Seq(
+        StructField("ts", org.apache.spark.sql.types.TimestampType),
+        StructField("event_id", org.apache.spark.sql.types.LongType),
+        StructField("user_id", org.apache.spark.sql.types.LongType)))
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow).start()
+        .awaitTermination()
+      val sunk = s.read.parquet(out)
+      val dedupedOnce = sunk.count() == ev.count()
+      sunk.select(col("ts"), col("event_id"), col("user_id"),
+        lit(dedupedOnce).as("deduped_once"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -125,5 +166,10 @@ object RuntimeQueries {
           b AS (SELECT date_trunc('hour', ts) AS win_start, count(*) AS n
                 FROM e GROUP BY 1)
           SELECT win_start, n FROM b, wm
-          WHERE win_start + INTERVAL 1 HOUR <= w""")
+          WHERE win_start + INTERVAL 1 HOUR <= w""",
+    // streaming dedup must land exactly the distinct feed (= the
+    // original events; the injected duplicates all suppressed)
+    "c10_stream_dedup" ->
+      """SELECT CAST(ts AS TIMESTAMP) AS ts, event_id, user_id,
+         TRUE AS deduped_once FROM events""")
 }
