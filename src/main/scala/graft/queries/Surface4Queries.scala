@@ -140,17 +140,32 @@ object Surface4Queries {
 
     // The corpus report every curation run publishes: per (lang, source)
     // slice — volume, token mass, median length, unique-content count.
-    // Integer sums and exact interpolated median keep it engine-portable
-    "e19_corpus_report" -> ((s, dir) =>
-      t(s, dir, "documents")
+    // Integer sums keep it engine-portable; the median comes from
+    // Quantiles.orderStats (count-histogram order statistics) rather
+    // than the `percentile(...)` aggregate, which buffers every value of
+    // a group in one aggregation buffer — the join back to the grouped
+    // totals is groups-sized, so AQE broadcasts it
+    "e19_corpus_report" -> ((s, dir) => {
+      import graft.operators.Quantiles.{fracAt, hiRank, loRank, orderStats}
+      val base = t(s, dir, "documents")
         .select(col("lang"), col("source"), col("n_chars"),
           TextAnalysis.tokenCount(col("text")).as("ntok"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
-        .groupBy("lang", "source")
+      val totals = base.groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ntok")).as("total_tokens"),
-          expr("percentile(n_chars, 0.5D)").as("median_chars"),
-          countDistinct(col("fp")).as("n_unique"))),
+          countDistinct(col("fp")).as("n_unique"))
+      val med = orderStats(base, Seq("lang", "source"), "n_chars",
+        Seq[(String, Column => Column)](
+          "lo50" -> (c => loRank(c, 1, 2)), "hi50" -> (c => hiRank(c, 1, 2))))
+        .select(col("lang"), col("source"),
+          (col("lo50").cast("double") + fracAt(col("n_total"), 1, 2) *
+            (col("hi50").cast("double") - col("lo50").cast("double")))
+            .as("median_chars"))
+      totals.join(med, Seq("lang", "source"))
+        .select("lang", "source", "n_docs", "total_tokens", "median_chars",
+          "n_unique")
+    }),
 
     // Benchmark decontamination, soft form: fraction of each candidate
     // document's distinct bigrams that appear anywhere in the benchmark
