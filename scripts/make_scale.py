@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Build an N× key-shifted replica of a testdata sf dir for scale benches.
+
+Usage: make_scale.py <src_sf_dir> <out_dir> <replicas> [tables...]
+
+Replication preserves the statistical shape of each table while keeping
+the replica cross-product OUT of similarity/dedup semantics:
+ - fact/dim keys are shifted by replica*K (K = max key + 1), so join
+   fan-outs and group cardinalities scale linearly, as real data would;
+ - document text is passed through a per-replica letter rotation
+   (translate over 10 high-frequency letters), so replicas of one doc
+   share almost no shingles — near-dup pair counts scale ~linearly
+   instead of quadratically in the replica count;
+ - embeddings get a per-replica signed permutation of dimensions: an
+   isometry within a replica (all pairwise dot products preserved),
+   while cross-replica cosines scatter to ~0 — ANN/near-dup structure
+   scales linearly, norms are bit-identical.
+
+This is a PERF fixture only; correctness stays judged on the real
+driver testdata.
+"""
+import sys
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROT = "aeiousnrtl"
+KEYS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def rotations(n):
+    return [ROT[i % len(ROT):] + ROT[:i % len(ROT)] for i in range(n)]
+
+
+def main():
+    src, out, rep = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    tables = sys.argv[4:] or list(KEYS)
+    con = duckdb.connect()
+    import os
+    os.makedirs(out, exist_ok=True)
+    for t in tables:
+        srcf = f"{src}/{t}.parquet"
+        if t in ("region", "nation"):
+            con.execute(f"COPY (SELECT * FROM '{srcf}') TO '{out}/{t}.parquet'")
+            continue
+        if t == "embeddings":
+            tb = pq.read_table(srcf)
+            ids = tb["vec_id"].to_numpy()
+            emb = np.stack(tb["embedding"].to_numpy(zero_copy_only=False))
+            lab = tb["label"].to_numpy()
+            k = ids.max() + 1
+            rng = np.random.default_rng(7)
+            parts = []
+            for i in range(rep):
+                if i == 0:
+                    e = emb
+                else:
+                    perm = rng.permutation(emb.shape[1])
+                    sign = rng.choice([-1.0, 1.0], emb.shape[1]).astype(np.float32)
+                    e = emb[:, perm] * sign
+                parts.append(pa.table({
+                    "vec_id": pa.array(ids + i * k, pa.int64()),
+                    "embedding": pa.array(list(e), pa.list_(pa.float32())),
+                    "label": pa.array(lab, pa.int32()),
+                }))
+            pq.write_table(pa.concat_tables(parts), f"{out}/{t}.parquet")
+            continue
+        shifts = ", ".join(
+            f"(SELECT max({c})+1 FROM '{srcf}') AS k_{c}" for c in KEYS[t])
+        cols = con.execute(f"DESCRIBE SELECT * FROM '{srcf}'").fetchall()
+        rots = rotations(rep)
+        sel = []
+        for name, typ, *_ in cols:
+            if name in KEYS[t]:
+                sel.append(f"CAST(t.{name} + r.i * s.k_{name} AS {typ}) AS {name}")
+            elif t == "documents" and name == "text":
+                lst = "[" + ", ".join(f"'{r}'" for r in rots) + "]"
+                sel.append(f"translate(t.text, '{ROT}', {lst}[r.i + 1]) AS text")
+            else:
+                sel.append(f"t.{name}")
+        shift_src = f", (SELECT {shifts}) s" if shifts else ""
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM '{srcf}' t, "
+            f"range({rep}) r(i){shift_src} ORDER BY r.i) "
+            f"TO '{out}/{t}.parquet'")
+    print(f"wrote {rep}x replica of {src} -> {out}: {', '.join(tables)}")
+
+
+if __name__ == "__main__":
+    main()

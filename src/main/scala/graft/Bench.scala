@@ -33,8 +33,17 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (scale/regression
+    // studies on a subset); the driver never sets it, so the judged
+    // bench always covers every query
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes every output column (a count() would let
       // Catalyst prune the query down to a row-count scan)

@@ -128,6 +128,41 @@ object Dedup {
     */
   def simhash(tokens: Column): Column = simhashOfHashes(tokenHashes(tokens))
 
+  /** Per-token 60-bit hashes (15 hex chars of md5): the widest md5
+    * prefix that stays positive in a signed 64-bit long on every
+    * engine, so shifts never sign-extend. Feed [[simhash60OfHashes]].
+    */
+  def tokenHashes60(tokens: Column): Column =
+    transform(tokens, h =>
+      conv(substring(md5(h.cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType))
+
+  /** 60-bit SimHash (same +1/−1 bit-vote as [[simhashOfHashes]]).
+    *
+    * Width is what makes banded search scale: split into 4 bands of 15
+    * bits, any pair at Hamming ≤ 3 shares an EXACT band (pigeonhole:
+    * 3 flipped bits can dirty at most 3 of 4 bands) — so a 4-probe
+    * equi-join on 15-bit band keys has FULL recall at the ≤3
+    * threshold, while 2^15 buckets per band keep in-bucket candidate
+    * pairs ~n²/32768 — linear in practice where 8-bit bands (256
+    * buckets) went quadratic. This is the standard multi-index form
+    * (Manku et al., WWW'07, public literature).
+    */
+  def simhash60OfHashes(hashes: Column): Column = {
+    val bitSums = (0 until 60).map { j =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** The 4 × 15-bit band keys of a 60-bit simhash. */
+  def simhash60Bands(sh: Column): Seq[Column] =
+    (0 until 4).map(j => shiftright(sh, j * 15) % 32768)
+
   /** Hamming distance between two simhashes (for near-dup thresholding). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -298,18 +298,27 @@ object Surface4Queries {
       """)
     }),
 
-    // SimHash near-dup pairs via byte-band blocking: docs sharing any of
-    // the four 8-bit bands of their simhash become candidates (equi-join
-    // on the band — never all-pairs), then the Hamming distance filter
-    // keeps real near-dups. The banded equi-join is the standard
-    // multi-probe that makes simhash search linear at corpus scale
+    // SimHash near-dup pairs, Manku-style multi-index: 60-bit simhash,
+    // 4 bands of 15 bits, Hamming ≤ 3. Pigeonhole makes the banded
+    // equi-join EXACT — any pair within 3 flipped bits shares an
+    // untouched band — so the oracle is the exhaustive all-pairs
+    // definition while the plan never compares beyond band buckets.
+    // 2^15 buckets per band keep in-bucket pairs ~n²/32768: the 10×
+    // scale bench showed the previous 8-bit bands (256 buckets) going
+    // quadratic (×16.8 at ×10 data); 15-bit bands restore ~linear
     "e32_simhash_pairs" -> ((s, dir) => {
-      val sh = DedupQueries.all("e1_simhash")(s, dir)
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Dedup.tokenHashes60(
+            TextAnalysis.tokens(col("text"))).as("th"))
+        .where(size(col("th")) > 0)
+        .select(col("doc_id"),
+          graft.operators.Dedup.simhash60OfHashes(col("th")).as("simhash"))
       // both sides of the self-join read this frame: persisted, the
       // tokenize→hash→bit-fold pipeline runs once, not twice
       val banded = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(j =>
-          shiftright(col("simhash"), j * 8) % 256): _*)))
+        posexplode(array(
+          graft.operators.Dedup.simhash60Bands(col("simhash")): _*)))
         .persist()
       val a = banded.as("a")
       val b = banded.as("b")
@@ -319,7 +328,7 @@ object Surface4Queries {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
             .cast("long").as("hamming"))
-        .where(col("hamming") <= 6)
+        .where(col("hamming") <= 3)
         .distinct()
     }),
 
@@ -684,15 +693,21 @@ object Surface4Queries {
          WINDOW w AS (PARTITION BY user_id ORDER BY tsu
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     "e32_simhash_pairs" ->
-      s"""WITH sh AS (${DedupQueries.oracles("e1_simhash")}),
-          bd AS (SELECT doc_id, simhash, t.j AS pos,
-              (simhash >> (CAST(t.j AS INT) * 8)) % 256 AS band
-            FROM sh, unnest(range(0, 4)) AS t(j))
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tk
+            FROM documents WHERE len($tokensSql) > 0),
+          bits AS (SELECT doc_id, g.j,
+              SUM(CASE WHEN (CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)
+                             >> g.j) % 2 = 1 THEN 1 ELSE -1 END) AS bsum
+            FROM tok, generate_series(0, 59) AS g(j)
+            GROUP BY doc_id, g.j),
+          sh AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN bsum > 0 THEN CAST(1 AS BIGINT) << j
+                ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          FROM bd a JOIN bd b ON a.pos = b.pos AND a.band = b.band
-            AND a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "q66_nullsafe_join" ->
       """WITH a AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
              count(*) AS n_a FROM customer GROUP BY 1),
