@@ -74,23 +74,42 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 /** Function registration helpers. */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
   private val info = new ExpressionInfo(
     classOf[FloatVecDot].getName, "vec_dot")
+  private val shInfo = new ExpressionInfo(
+    classOf[SimHashFold].getName, "simhash_fold")
+
+  private[functions] def simhashBuilder(exprs: Seq[Expression]): Expression =
+    SimHashFold(exprs.head, exprs(1) match {
+      case Literal(b: Int, IntegerType) => b
+      case other => throw new IllegalArgumentException(
+        s"simhash_fold(hashes, bits): bits must be an int literal, got $other")
+    })
 
   /** Post-hoc registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_dot"), info,
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash_fold"), shInfo, simhashBuilder _)
+  }
 }
 
 /** `spark.sql.extensions` entry point injecting the engine's native
   * functions at session build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_fold"),
+      new ExpressionInfo(classOf[SimHashFold].getName, "simhash_fold"),
+      GraftFunctions.simhashBuilder))
+  }
 }

@@ -307,13 +307,18 @@ object Surface4Queries {
     // scale bench showed the previous 8-bit bands (256 buckets) going
     // quadratic (×16.8 at ×10 data); 15-bit bands restore ~linear
     "e32_simhash_pairs" -> ((s, dir) => {
+      // the bit-vote fold runs in the native codegen expression
+      // (simhash_fold — bit-identical to Dedup.simhash60OfHashes, see
+      // the OperatorsSpec equality property); the HOF fold form was
+      // ~12 s of a 17 s query at the 10× corpus
+      graft.functions.GraftFunctions.register(s)
       val sh = t(s, dir, "documents")
         .select(col("doc_id"),
           graft.operators.Dedup.tokenHashes60(
             TextAnalysis.tokens(col("text"))).as("th"))
         .where(size(col("th")) > 0)
         .select(col("doc_id"),
-          graft.operators.Dedup.simhash60OfHashes(col("th")).as("simhash"))
+          call_function("simhash_fold", col("th"), lit(60)).as("simhash"))
       // both sides of the self-join read this frame: persisted, the
       // tokenize→hash→bit-fold pipeline runs once, not twice
       val banded = sh.select(col("doc_id"), col("simhash"),

@@ -141,6 +141,24 @@ class OperatorsSpec extends SparkSpec {
     assert(dist > 0)
   }
 
+  test("native simhash_fold is bit-identical to the HOF fold form (E1)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "spark scans parquet fast and wide"),
+      (2L, "a totally different document body"),
+      (3L, "spark scans parquet fast and wide but longer now"),
+      (4L, "x"))
+      .toDF("id", "text")
+      .select(col("id"),
+        Dedup.tokenHashes60(TextAnalysis.tokens(col("text"))).as("th"))
+    val both = df.select(
+      Dedup.simhash60OfHashes(col("th")).as("hof"),
+      call_function("simhash_fold", col("th"), lit(60)).as("native"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (h, n) => assert(h === n) }
+    // 60-bit range: positive, above 32-bit for real token sets
+    both.take(3).foreach { case (h, _) => assert(h > 0L) }
+  }
+
   test("ngram jaccard: identical docs = 1.0; disjoint docs absent (E1)") {
     val docs = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "xyzuvw"))
       .toDF("doc_id", "text")
