@@ -83,6 +83,34 @@ object CdcQueries {
         .select(c.columns.map(col).toIndexedSeq: _*)
     }),
 
+    // SCD Type-2 dimension history from the same envelope change log as
+    // c8, plus a post-delete resurrect (ts 3): every key VERSION with
+    // [effective_from, effective_to) and is_current; the delete closes
+    // its prior version's interval and the resurrect opens a fresh one.
+    // One window over the dimension key (high-cardinality exchange) —
+    // the warehouse-standard type-2 load the reference's drop-deletes
+    // sink cannot express
+    "c12_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val snapshot = Debezium.wrap(c, lit("r"), "customer", lit(0L))
+      val updates = Debezium.wrap(
+        c.where(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0),
+        lit("u"), "customer", lit(1L))
+      val deletes = Debezium.wrapDelete(
+        c.where(col("c_custkey") % 5 === 0), "customer", lit(2L))
+      val resurrects = Debezium.wrap(
+        c.where(col("c_custkey") % 15 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 7.0),
+        lit("u"), "customer", lit(3L))
+      val log = Debezium.unwrapWithDeletes(
+        snapshot.unionByName(updates).unionByName(deletes)
+          .unionByName(resurrects), c.schema)
+      Sinks.scd2History(log, keys = Seq("c_custkey"), orderCol = "ts_ms")
+        .select(col("c_custkey"), col("c_acctbal"), col("effective_from"),
+          col("effective_to"), col("is_current"))
+    }),
+
     // K2 alone: last-wins upsert over a natural key on testdata — keep the
     // final lineitem per order (reference: cassandra-init.cql upsert-by-PK)
     // orderCols form a total order over the projected columns so the
@@ -120,6 +148,25 @@ object CdcQueries {
          CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
            AS c_acctbal,
          c_mktsegment FROM customer WHERE c_custkey % 5 <> 0""",
+    "c12_scd2" ->
+      """WITH log AS (
+           SELECT c_custkey, c_acctbal, 'r' AS op, CAST(0 AS BIGINT) AS ts
+             FROM customer
+           UNION ALL
+           SELECT c_custkey, c_acctbal + 100.0, 'u', 1 FROM customer
+             WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey, NULL, 'd', 2 FROM customer
+             WHERE c_custkey % 5 = 0
+           UNION ALL
+           SELECT c_custkey, c_acctbal + 7.0, 'u', 3 FROM customer
+             WHERE c_custkey % 15 = 0),
+          v AS (SELECT *, lead(ts) OVER
+              (PARTITION BY c_custkey ORDER BY ts) AS effective_to
+            FROM log)
+          SELECT c_custkey, c_acctbal, ts AS effective_from, effective_to,
+            effective_to IS NULL AS is_current
+          FROM v WHERE op <> 'd'""",
     "k2_upsert" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
          QUALIFY row_number() OVER

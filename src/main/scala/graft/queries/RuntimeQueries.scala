@@ -149,6 +149,46 @@ object RuntimeQueries {
       val dedupedOnce = sunk.count() == ev.count()
       sunk.select(col("ts"), col("event_id"), col("user_id"),
         lit(dedupedOnce).as("deduped_once"))
+    }),
+
+    // Stream-stream INTERVAL join through the RUNTIME
+    // ([[Pipeline.intervalJoin]]): clicks join views of the same user
+    // within 30 minutes AFTER the view, both sides watermarked 1 h —
+    // the only stream-stream join shape whose state stays finite at
+    // 100 TB/day (rows older than watermark + interval are evicted).
+    // Two file feeds drive the real micro-batch engine under
+    // AvailableNow; inner interval joins emit exactly the matched
+    // pairs, so the judged frame equals the batch join definition —
+    // state eviction changes WHEN rows leave memory, never the result
+    "c11_stream_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tmp = Files.createTempDirectory("graft-c11-").toString
+      val vDir = s"$tmp/views"; val cDir = s"$tmp/clicks"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      ev.where(col("event_type") === "view")
+        .select(col("ts").as("v_ts"), col("event_id").as("v_event_id"),
+          col("user_id"))
+        .coalesce(1).write.mode("append").parquet(vDir)
+      ev.where(col("event_type") === "click")
+        .select(col("ts").as("c_ts"), col("event_id").as("c_event_id"),
+          col("user_id"))
+        .coalesce(1).write.mode("append").parquet(cDir)
+      val tsT = org.apache.spark.sql.types.TimestampType
+      val longT = org.apache.spark.sql.types.LongType
+      val vSchema = StructType(Seq(StructField("v_ts", tsT),
+        StructField("v_event_id", longT), StructField("user_id", longT)))
+      val cSchema = StructType(Seq(StructField("c_ts", tsT),
+        StructField("c_event_id", longT), StructField("user_id", longT)))
+      Pipeline.intervalJoin(
+        s.readStream.schema(vSchema).parquet(vDir), "v_ts",
+        s.readStream.schema(cSchema).parquet(cDir), "c_ts",
+        key = "user_id", watermark = "1 hour", within = "30 minutes")
+        .select("user_id", "v_event_id", "v_ts", "c_event_id", "c_ts")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow).start()
+        .awaitTermination()
+      s.read.parquet(out)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -171,5 +211,17 @@ object RuntimeQueries {
     // original events; the injected duplicates all suppressed)
     "c10_stream_dedup" ->
       """SELECT CAST(ts AS TIMESTAMP) AS ts, event_id, user_id,
-         TRUE AS deduped_once FROM events""")
+         TRUE AS deduped_once FROM events""",
+    // the streaming interval join must land exactly the batch join
+    // definition: clicks within [view, view + 30 min] per user
+    "c11_stream_join" ->
+      """WITH v AS (SELECT CAST(ts AS TIMESTAMP) AS v_ts,
+             event_id AS v_event_id, user_id
+           FROM events WHERE event_type = 'view'),
+          c AS (SELECT CAST(ts AS TIMESTAMP) AS c_ts,
+             event_id AS c_event_id, user_id
+           FROM events WHERE event_type = 'click')
+          SELECT v.user_id, v_event_id, v_ts, c_event_id, c_ts
+          FROM v JOIN c ON v.user_id = c.user_id
+            AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTE""")
 }
