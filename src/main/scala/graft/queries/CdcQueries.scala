@@ -1,8 +1,11 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.Debezium
+import graft.operators.Incremental
 import graft.schemas.Catalog
 import graft.sinks.Sinks
 
@@ -111,6 +114,50 @@ object CdcQueries {
           col("effective_to"), col("is_current"))
     }),
 
+    // Incremental aggregate maintenance ([[Incremental]]): the
+    // per-customer order totals view is refreshed by folding one
+    // "day's" delta STATE into the stored base STATE — the base fact
+    // slice is scanned once when the view lands, never again. The
+    // judged frame is the refreshed view; the oracle is the full
+    // recompute over all of orders, so the merge is proven
+    // indistinguishable from rescanning history (count and exact
+    // decimal sum are monoids — associativity is the whole trick).
+    "c13_incremental_agg" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-c13-").toString
+      val o = t(s, dir, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      // day 0: the view's stored state lands (simulated MV table)
+      Incremental.aggState(o.where(col("o_orderdate") < cut),
+        Seq("o_custkey"), "o_totalprice", scale = 2)
+        .write.mode("overwrite").parquet(s"$tmp/state")
+      // day 1: fold the delta's state in — only the delta is scanned
+      val delta = Incremental.aggState(o.where(col("o_orderdate") >= cut),
+        Seq("o_custkey"), "o_totalprice", scale = 2)
+      Incremental.finalizeState(
+        Incremental.mergeStates(
+          Seq(s.read.parquet(s"$tmp/state"), delta), Seq("o_custkey")),
+        Seq("o_custkey"))
+    }),
+
+    // Schema evolution across CDC generations: a v1 batch (three
+    // columns) and a v2 batch (adds c_mktsegment) land in the same
+    // table directory; a mergeSchema read presents the union schema
+    // with v1 rows null-filled — the Debezium column-add drift case the
+    // reference's fixed DDL cannot absorb. Key ranges are disjoint so
+    // the oracle is a plain UNION ALL with a NULL literal.
+    "c15_schema_evolution" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-c15-").toString
+      val c = t(s, dir, "customer")
+      c.where(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("append").parquet(s"$tmp/tbl")
+      c.where(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.mode("append").parquet(s"$tmp/tbl")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/tbl")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    }),
+
     // K2 alone: last-wins upsert over a natural key on testdata — keep the
     // final lineitem per order (reference: cassandra-init.cql upsert-by-PK)
     // orderCols form a total order over the projected columns so the
@@ -167,6 +214,21 @@ object CdcQueries {
           SELECT c_custkey, c_acctbal, ts AS effective_from, effective_to,
             effective_to IS NULL AS is_current
           FROM v WHERE op <> 'd'""",
+    // the incremental refresh must equal the full recompute
+    "c13_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) / count(*)
+           AS avg_v
+         FROM orders GROUP BY o_custkey""",
+    // the union schema with v1 rows null-filled
+    "c15_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR)
+           AS c_mktsegment
+         FROM customer WHERE c_custkey % 2 = 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 2 = 1""",
     "k2_upsert" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
          QUALIFY row_number() OVER

@@ -1,0 +1,228 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tenth tranche (round 7): the storage-layout levers promoted from
+  * plan-level scalatests to judged queries, plus scalable-quantile
+  * reuse and a model-style corpus gate.
+  *
+  * Storage layout is the difference between a 100 TB query that reads
+  * 100 TB and one that reads 40 GB: bucketed tables co-locate join keys
+  * at WRITE time so every later join of the two tables skips its
+  * shuffle entirely, and partitioned directories let a filter prune
+  * whole directories at file-listing time. Both were previously proven
+  * only by StorageLayoutSpec plan assertions; here each is a judged
+  * query whose own run REQUIRES the plan property (no Exchange under
+  * the bucketed join; only matching directories listed under the
+  * pruned scan) and whose result hash-matches the DuckDB oracle — the
+  * layout machinery demonstrably changes the plan and demonstrably
+  * does not change the answer.
+  */
+object Surface10Queries {
+  import Tables._
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bucketed co-located join: write orders and the per-order lineitem
+    // revenue state as 8-bucket tables hashed on the order key, then
+    // join them with broadcast disabled — the executed plan must
+    // contain NO Exchange (the require throws otherwise: the judged
+    // run itself is the plan regression test). At 100 TB this is the
+    // fact-to-fact join pattern: pay the shuffle once when the tables
+    // land, never again on any keyed join between them. The joined
+    // result is materialized while the no-broadcast conf is pinned,
+    // then the conf is restored so later queries in the same session
+    // keep their broadcast plans.
+    "q86_bucketed_join" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-q86-").toString
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      s.sql("DROP TABLE IF EXISTS q86_lines")
+      s.sql("DROP TABLE IF EXISTS q86_orders")
+      li.write.mode("overwrite").option("path", s"$tmp/lines")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("q86_lines")
+      ord.write.mode("overwrite").option("path", s"$tmp/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("q86_orders")
+      val prevThreshold =
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table("q86_orders")
+          .join(s.table("q86_lines"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("n_lines"), col("revenue"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$plan")
+        joined.write.mode("overwrite").parquet(s"$tmp/result")
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+      s.read.parquet(s"$tmp/result")
+    }),
+
+    // Partition-pruned scan: write events into event_type=... directory
+    // partitions, read back with a partition filter, and REQUIRE that
+    // every file the scan lists lives under the matching directory —
+    // directory-level pruning, checked on the query's own input set
+    // (not a plan-string grep). The 100 TB read of "one event type out
+    // of fifty" then lists 2% of the files before a single byte moves.
+    "q87_partition_prune" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-q87-").toString
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "value", "event_type")
+        .write.partitionBy("event_type").parquet(s"$tmp/events")
+      val pruned = s.read.parquet(s"$tmp/events")
+        .where(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("event_type").cast("string").as("event_type"))
+      // the scan's ACTUAL selected file listing (post-pruning) — not
+      // the relation's full file inventory, which inputFiles reports
+      val scannedFiles = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray.map(_.filePath.toString)
+      }.flatten
+      require(scannedFiles.nonEmpty &&
+        scannedFiles.forall(_.contains("event_type=click")),
+        "partition pruning must restrict the scan to event_type=click")
+      pruned
+    }),
+
+    // Equi-depth (quartile) binning per group, reusing the scalable
+    // exact order statistics of [[graft.operators.Quantiles]]: bin
+    // edges are the values at ranks (i·n) div 4 from the count
+    // histogram (no per-group sort of the fact table, no value
+    // buffering), broadcast back (9 rows) to assign each row
+    // bin = 1 + Σ (value > edge). Tie-induced imbalance is preserved
+    // exactly — equal values always land in the same bin, which
+    // "n/4 per tile" forms hide.
+    "q88_equidepth" -> ((s, dir) => {
+      import graft.operators.Quantiles.{ldiv, orderStats}
+      val li = t(s, dir, "lineitem")
+      val edges = orderStats(
+        li, Seq("l_returnflag"), "l_extendedprice",
+        Seq[(String, Column => Column)](
+          "e1" -> (c => ldiv(c, 4)),
+          "e2" -> (c => ldiv(c * lit(2L), 4)),
+          "e3" -> (c => ldiv(c * lit(3L), 4))))
+        .select("l_returnflag", "e1", "e2", "e3")
+      li.join(broadcast(edges), "l_returnflag")
+        .withColumn("bin",
+          lit(1) + (col("l_extendedprice") > col("e1")).cast("int") +
+            (col("l_extendedprice") > col("e2")).cast("int") +
+            (col("l_extendedprice") > col("e3")).cast("int"))
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("n_bin"),
+          dsum(col("l_extendedprice"), 2).as("price_mass"))
+    }),
+
+    // Model-style corpus gate in LOGIT space: a fixed-weight logistic
+    // regression over cheap exact features (token count T, character
+    // mass C → average token length, distinct tokens D, distinct
+    // stopwords present S). The logit
+    //   -2 + T/250 + avg_len/4 + 2·D/T - 3·S/T
+    // is rescaled by its positive common denominator 1000·T into an
+    // ALL-INTEGER numerator 4T² - 2000T + 250(C-T+1) + 2000D - 3000S,
+    // so the keep decision (sigmoid monotone: score > 0.5 ⟺ logit > 0)
+    // is exact long arithmetic — no transcendental, no double-rounding
+    // or fma-contraction hazard at the decision boundary on ANY engine.
+    // The displayed logit is one exact-integer-double division (both
+    // operands exactly representable ⇒ correctly rounded, identical
+    // everywhere). This is the "classifier filter" stage of an LLM data
+    // pipeline with the model stubbed to public fixed weights; learned
+    // weights change the numbers, not the plan (one narrow map, no
+    // shuffle).
+    "e48_model_gate" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val stop = array(lit("data"), lit("table"), lit("row"), lit("key"),
+        lit("value"))
+      val d = t(s, dir, "documents")
+        .withColumn("t_", size(toks).cast("long"))
+        .withColumn("c_", col("n_chars"))
+        .withColumn("d_", size(array_distinct(toks)).cast("long"))
+        .withColumn("s_", size(array_intersect(toks, stop)).cast("long"))
+        .withColumn("num",
+          lit(4L) * col("t_") * col("t_") - lit(2000L) * col("t_") +
+            lit(250L) * (col("c_") - col("t_") + lit(1L)) +
+            lit(2000L) * col("d_") - lit(3000L) * col("s_"))
+      d.select(col("doc_id"),
+        round(col("num").cast("double") /
+          (lit(1000.0) * col("t_").cast("double")), 8).as("logit"),
+        (col("num") > 0L).as("keep"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // bucketed layout must not change the join's answer
+    "q86_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, n_lines, revenue
+         FROM orders JOIN (
+           SELECT l_orderkey, count(*) AS n_lines,
+                  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+           FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey""",
+    // directory pruning must land exactly the filter's rows
+    "q87_partition_prune" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value,
+                event_type
+         FROM events WHERE event_type = 'click'""",
+    // the value at rank (i*n) div 4 is the k-th order statistic: with
+    // ties, row_number is arbitrary WITHIN the tie but the value at any
+    // sorted position is not, so max(CASE WHEN rn = k ...) is exact
+    "q88_equidepth" ->
+      """WITH ranked AS (
+           SELECT l_returnflag, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem),
+          edges AS (
+           SELECT l_returnflag,
+                  max(CASE WHEN rn = (n * 1) // 4 THEN l_extendedprice END)
+                    AS e1,
+                  max(CASE WHEN rn = (n * 2) // 4 THEN l_extendedprice END)
+                    AS e2,
+                  max(CASE WHEN rn = (n * 3) // 4 THEN l_extendedprice END)
+                    AS e3
+           FROM ranked GROUP BY l_returnflag)
+          SELECT l.l_returnflag,
+                 1 + CAST(l_extendedprice > e1 AS INT)
+                   + CAST(l_extendedprice > e2 AS INT)
+                   + CAST(l_extendedprice > e3 AS INT) AS bin,
+                 count(*) AS n_bin,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                   AS price_mass
+          FROM lineitem l JOIN edges e ON l.l_returnflag = e.l_returnflag
+          GROUP BY 1, 2""",
+    // same fixed weights, same integer-exact numerator, same single
+    // exact division for the displayed logit
+    "e48_model_gate" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+                  n_chars AS c,
+                  CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS d,
+                  CAST(len(list_intersect(string_split(text, ' '),
+                    ['data','table','row','key','value'])) AS BIGINT) AS s
+           FROM documents),
+          g AS (
+           SELECT doc_id, t,
+                  4 * t * t - 2000 * t + 250 * (c - t + 1) +
+                    2000 * d - 3000 * s AS num
+           FROM f)
+          SELECT doc_id,
+                 round(CAST(num AS DOUBLE) / (1000.0 * CAST(t AS DOUBLE)), 8)
+                   AS logit,
+                 num > 0 AS keep
+          FROM g""")
+}

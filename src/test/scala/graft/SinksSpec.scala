@@ -34,4 +34,20 @@ class SinksSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(state.toSeq === Seq(Row(1, 20L, "new"), Row(2, 5L, "only")))
   }
+
+  test("scd2History versions, closes on delete, reopens on resurrect") {
+    val log = Seq(
+      (1, Some(100.0), "r", 0L), (1, Some(110.0), "u", 2L),
+      (2, Some(50.0), "r", 0L), (2, None: Option[Double], "d", 1L),
+      (2, Some(60.0), "u", 3L))
+      .toDF("id", "bal", "op", "ts")
+    val hist = Sinks.scd2History(log, Seq("id"), "ts")
+      .orderBy("id", "effective_from")
+      .select("id", "effective_from", "effective_to", "is_current")
+      .collect()
+    assert(hist.toSeq === Seq(
+      Row(1, 0L, 2L, false), Row(1, 2L, null, true),
+      Row(2, 0L, 1L, false),          // closed by the delete, no row for it
+      Row(2, 3L, null, true)))        // resurrect opens a fresh version
+  }
 }
