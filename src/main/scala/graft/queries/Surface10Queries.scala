@@ -159,6 +159,100 @@ object Surface10Queries {
         round(col("num").cast("double") /
           (lit(1000.0) * col("t_").cast("double")), 8).as("logit"),
         (col("num") > 0L).as("keep"))
+    }),
+
+    // The curation FUNNEL a real corpus run publishes: per-stage
+    // survivor counts for exact dedup → model gate → benchmark
+    // decontamination → token-length band, computed in ONE scan. Both
+    // text-keyed signals (canonical-copy flag and probe-collision flag)
+    // come from a single window over the text key — high-cardinality,
+    // so the one exchange stays parallel at any corpus size — and the
+    // funnel itself is four boolean columns summed in one tiny
+    // aggregate: no per-stage re-scan, no driver loop over stages.
+    "e49_curation_funnel" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+      val toks = split(col("text"), " ")
+      val stop = array(lit("data"), lit("table"), lit("row"), lit("key"),
+        lit("value"))
+      val d = t(s, dir, "documents")
+        .withColumn("t_", size(toks).cast("long"))
+        .withColumn("d_", size(array_distinct(toks)).cast("long"))
+        .withColumn("s_", size(array_intersect(toks, stop)).cast("long"))
+        .withColumn("num",
+          lit(4L) * col("t_") * col("t_") - lit(2000L) * col("t_") +
+            lit(250L) * (col("n_chars") - col("t_") + lit(1L)) +
+            lit(2000L) * col("d_") - lit(3000L) * col("s_"))
+        .withColumn("min_id", min(col("doc_id")).over(w))
+        .withColumn("probed",
+          max(when(col("doc_id") % 97 === 0, 1).otherwise(0)).over(w))
+        .withColumn("k1", col("doc_id") === col("min_id"))
+        .withColumn("k2", col("k1") && col("num") > 0L)
+        .withColumn("k3", col("k2") && col("probed") === 0)
+        .withColumn("k4", col("k3") && col("t_").between(20L, 200L))
+      val agg = d.agg(
+        count(lit(1)).as("total"),
+        sum(col("k1").cast("long")).as("exact_dedup"),
+        sum(col("k2").cast("long")).as("model_gate"),
+        sum(col("k3").cast("long")).as("decontam"),
+        sum(col("k4").cast("long")).as("token_band"))
+      agg.selectExpr(
+        """stack(5, 1, 'total', total, 2, 'exact_dedup', exact_dedup,
+           3, 'model_gate', model_gate, 4, 'decontam', decontam,
+           5, 'token_band', token_band) AS (stage, name, rows_kept)""")
+    }),
+
+    // Right-to-be-forgotten delete propagation: a forget set of
+    // customers cascades through every table that references them —
+    // directly (orders, events by user id) and transitively (lineitem
+    // through its order). Every probe is a BROADCAST semi/anti join of
+    // a fact scan against the tiny forget list (or the forget-orders
+    // list derived from it), so the cascade costs one narrow scan per
+    // table at any scale — no fact-to-fact shuffle. The judged frame is
+    // the compliance report: per table, rows before / removed / after.
+    "c16_forget" -> ((s, dir) => {
+      val forget = broadcast(
+        t(s, dir, "customer").where(col("c_custkey") % 101 === 0)
+          .select(col("c_custkey").as("fk")))
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val ev = Tables.events(s, dir)
+      val li = t(s, dir, "lineitem")
+      val forgetOrders = broadcast(
+        ord.join(forget, col("o_custkey") === col("fk"), "left_semi")
+          .select(col("o_orderkey").as("fo")))
+      def report(name: String, df: DataFrame, removed: Column): DataFrame =
+        df.agg(lit(name).as("table_name"), count(lit(1)).as("rows_before"),
+          sum(removed.cast("long")).as("rows_removed"),
+          (count(lit(1)) - sum(removed.cast("long"))).as("rows_after"))
+      report("customer", cust.join(forget,
+          col("c_custkey") === col("fk"), "left_outer"),
+          col("fk").isNotNull)
+        .unionByName(report("orders", ord.join(forget,
+          col("o_custkey") === col("fk"), "left_outer"),
+          col("fk").isNotNull))
+        .unionByName(report("events", ev.join(forget,
+          col("user_id") === col("fk"), "left_outer"),
+          col("fk").isNotNull))
+        .unionByName(report("lineitem", li.join(forgetOrders,
+          col("l_orderkey") === col("fo"), "left_outer"),
+          col("fo").isNotNull))
+    }),
+
+    // Recursive CTE (Spark 4 UnionLoop): depth of every customer in a
+    // synthetic parent tree (parent(k) = k div 2, rooted at 0) —
+    // iterative plan, each UnionLoop step a narrow join of the frontier
+    // against the broadcast-able parent edge set; depth ≤ log₂(keys).
+    "q89_recursive" -> ((s, dir) => {
+      t(s, dir, "customer").select("c_custkey")
+        .createOrReplaceTempView("q89_cust")
+      s.sql("""
+        WITH RECURSIVE reach(c_custkey, depth) AS (
+          SELECT CAST(0 AS BIGINT) AS c_custkey, 0 AS depth
+          UNION ALL
+          SELECT c.c_custkey, r.depth + 1
+          FROM q89_cust c JOIN reach r ON c.c_custkey DIV 2 = r.c_custkey
+          WHERE c.c_custkey > 0)
+        SELECT c_custkey, depth FROM reach""")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -224,5 +318,82 @@ object Surface10Queries {
                  round(CAST(num AS DOUBLE) / (1000.0 * CAST(t AS DOUBLE)), 8)
                    AS logit,
                  num > 0 AS keep
-          FROM g""")
+          FROM g""",
+    // same one-pass funnel: cumulative boolean stages summed
+    "e49_curation_funnel" ->
+      """WITH f AS (
+           SELECT doc_id, text, n_chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+                  CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS d,
+                  CAST(len(list_intersect(string_split(text, ' '),
+                    ['data','table','row','key','value'])) AS BIGINT) AS s,
+                  min(doc_id) OVER (PARTITION BY text) AS min_id,
+                  max(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY text) AS probed
+           FROM documents),
+          g AS (
+           SELECT *,
+                  4 * t * t - 2000 * t + 250 * (n_chars - t + 1) +
+                    2000 * d - 3000 * s AS num
+           FROM f),
+          k AS (
+           SELECT (doc_id = min_id) AS k1,
+                  (doc_id = min_id AND num > 0) AS k2,
+                  (doc_id = min_id AND num > 0 AND probed = 0) AS k3,
+                  (doc_id = min_id AND num > 0 AND probed = 0
+                    AND t BETWEEN 20 AND 200) AS k4
+           FROM g),
+          a AS (
+           SELECT count(*) AS total,
+                  sum(CAST(k1 AS BIGINT)) AS exact_dedup,
+                  sum(CAST(k2 AS BIGINT)) AS model_gate,
+                  sum(CAST(k3 AS BIGINT)) AS decontam,
+                  sum(CAST(k4 AS BIGINT)) AS token_band
+           FROM k)
+          SELECT 1 AS stage, 'total' AS name, total AS rows_kept FROM a
+          UNION ALL SELECT 2, 'exact_dedup', exact_dedup FROM a
+          UNION ALL SELECT 3, 'model_gate', model_gate FROM a
+          UNION ALL SELECT 4, 'decontam', decontam FROM a
+          UNION ALL SELECT 5, 'token_band', token_band FROM a""",
+    // the compliance report: per table, rows before / removed / after
+    "c16_forget" ->
+      """WITH fk AS (SELECT c_custkey AS k FROM customer
+                     WHERE c_custkey % 101 = 0),
+          fo AS (SELECT o_orderkey FROM orders
+                 WHERE o_custkey IN (SELECT k FROM fk))
+          SELECT 'customer' AS table_name, count(*) AS rows_before,
+                 sum(CAST(c_custkey IN (SELECT k FROM fk) AS BIGINT))
+                   AS rows_removed,
+                 count(*) - sum(CAST(c_custkey IN (SELECT k FROM fk)
+                   AS BIGINT)) AS rows_after
+          FROM customer
+          UNION ALL
+          SELECT 'orders', count(*),
+                 sum(CAST(o_custkey IN (SELECT k FROM fk) AS BIGINT)),
+                 count(*) - sum(CAST(o_custkey IN (SELECT k FROM fk)
+                   AS BIGINT))
+          FROM orders
+          UNION ALL
+          SELECT 'events', count(*),
+                 sum(CAST(user_id IN (SELECT k FROM fk) AS BIGINT)),
+                 count(*) - sum(CAST(user_id IN (SELECT k FROM fk)
+                   AS BIGINT))
+          FROM events
+          UNION ALL
+          SELECT 'lineitem', count(*),
+                 sum(CAST(l_orderkey IN (SELECT o_orderkey FROM fo)
+                   AS BIGINT)),
+                 count(*) - sum(CAST(l_orderkey IN (SELECT o_orderkey
+                   FROM fo) AS BIGINT))
+          FROM lineitem""",
+    // same synthetic parent tree, same reachability semantics
+    "q89_recursive" ->
+      """WITH RECURSIVE reach(c_custkey, depth) AS (
+           SELECT CAST(0 AS BIGINT) AS c_custkey, 0 AS depth
+           UNION ALL
+           SELECT c.c_custkey, r.depth + 1
+           FROM customer c JOIN reach r ON c.c_custkey // 2 = r.c_custkey
+           WHERE c.c_custkey > 0)
+         SELECT c_custkey, depth FROM reach""")
 }
