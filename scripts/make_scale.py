@@ -95,6 +95,15 @@ def main():
             f"COPY (SELECT {', '.join(sel)} FROM '{srcf}' t, "
             f"range({rep}) r(i){shift_src} ORDER BY r.i) "
             f"TO '{out}/{t}.parquet'")
+        if t == "events":
+            # DuckDB COPY writes timestamps as us; the driver testdata is
+            # TIMESTAMP(NANOS) and Tables.events reads it via the
+            # nanosAsLong path — keep the replica type-identical
+            tb = pq.read_table(f"{out}/{t}.parquet")
+            idx = tb.schema.get_field_index("ts")
+            tb = tb.set_column(idx, pa.field("ts", pa.timestamp("ns")),
+                               tb.column("ts").cast(pa.timestamp("ns")))
+            pq.write_table(tb, f"{out}/{t}.parquet")
     print(f"wrote {rep}x replica of {src} -> {out}: {', '.join(tables)}")
 
 

@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
   * MEMORY_AND_DISK) because partition-id assignment must be identical
   * on the count side and the ranking side, and an unpinned
   * `repartitionByRange` may legally resample boundaries on
-  * re-evaluation. On a full-table 100 TB rank, project down to
-  * (sort key, row id) first, rank that, and join ranks back by id —
-  * the pinned frame then holds only the narrow projection.
+  * re-evaluation. On a full-table 100 TB rank, use
+  * [[withGlobalRowNumberNarrow]]: it ranks the (sort key, row id)
+  * projection and joins ranks back by id, so the pinned frame holds
+  * only the narrow projection.
   */
 object Rank {
 
@@ -79,6 +80,27 @@ object Rank {
       .withColumn(rnName, col("__off") + row_number().over(wLocal))
       .withColumn(totalName, col("__tot"))
       .drop("__pid", "__off", "__tot")
+  }
+
+  /** Footprint-bounded form for WIDE tables: rank a projection of just
+    * (order keys ++ id), then hash-join the ranks back by the unique id.
+    * The pinned/persisted frame holds only the narrow projection — on a
+    * 100 TB table with a 16-byte key this is GBs, not the table — at
+    * the cost of one extra equi-join on the id (which AQE plans against
+    * the narrow rank frame). Order keys are ascending by name here;
+    * callers needing mixed directions should pre-derive a sortable
+    * column (e.g. negate a numeric) so the projection stays narrow.
+    */
+  def withGlobalRowNumberNarrow(df: DataFrame, orderKeyNames: Seq[String],
+                                idCols: Seq[String],
+                                rnName: String = "rn",
+                                totalName: String = "n_total",
+                                numPartitions: Int = 0): DataFrame = {
+    val proj = df.select((orderKeyNames ++ idCols).distinct.map(col): _*)
+    val ranked = withGlobalRowNumber(proj, orderKeyNames.map(col),
+      rnName, totalName, numPartitions)
+    df.join(ranked.select((idCols :+ rnName :+ totalName).map(col): _*),
+      idCols)
   }
 
   /** SQL ntile(k) from a 1-based global rank and the total count: the

@@ -238,6 +238,46 @@ object Surface10Queries {
           col("fo").isNotNull))
     }),
 
+    // Tokenizer APPLY: map every token to an id via a corpus-derived
+    // vocab (top-64 tokens by document frequency, ids assigned in
+    // (df desc, token) order) with an engine-portable arithmetic OOV
+    // bucket, then reassemble each document's id sequence in token
+    // order. The vocab is dimension-sized → broadcast; the corpus side
+    // is posexplode → one broadcast join → re-aggregate by doc, with
+    // order restored from the token position (array_sort on (pos, id)
+    // pairs — no window, no assumption that collect_list preserves
+    // order). The id sequence hash-matches DuckDB's list(... ORDER BY
+    // pos), so "same tokenizer, same ids, any engine" is judged.
+    "e50_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val top = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(64)
+      // ids in (df desc, tok) order via a 64-row self-join rank — no
+      // global window (even a 64-row one lands on the AllTuples path)
+      val vocab = broadcast(top.as("a")
+        .join(top.as("b"),
+          col("b.df") > col("a.df") ||
+            (col("b.df") === col("a.df") && col("b.tok") < col("a.tok")),
+          "left")
+        .groupBy(col("a.tok").as("tok"))
+        .agg(count(col("b.tok")).as("vocab_id")))
+      // OOV buckets 64..95: engine-portable arithmetic fingerprint
+      // (length + first-char code), NOT an engine hash
+      val oov = lit(64L) +
+        pmod(length(col("tok")) * lit(31) + ascii(substring(col("tok"), 1, 1)),
+          lit(32)).cast("long")
+      toks.join(vocab, Seq("tok"), "left")
+        .withColumn("id", coalesce(col("vocab_id"), oov))
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id")).as("ids"))
+        .select(col("doc_id"), col("ids"),
+          size(col("ids")).cast("long").as("n_ids"))
+    }),
+
     // Recursive CTE (Spark 4 UnionLoop): depth of every customer in a
     // synthetic parent tree (parent(k) = k div 2, rooted at 0) —
     // iterative plan, each UnionLoop step a narrow join of the frontier
@@ -387,6 +427,30 @@ object Surface10Queries {
                  count(*) - sum(CAST(l_orderkey IN (SELECT o_orderkey
                    FROM fo) AS BIGINT))
           FROM lineitem""",
+    // same vocab (df desc, tok), same OOV arithmetic, order restored
+    // from position on both engines
+    "e50_tokenize" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  unnest(string_split(text, ' ')) AS tok,
+                  unnest(generate_series(0,
+                    len(string_split(text, ' ')) - 1)) AS pos
+           FROM documents),
+          df AS (SELECT tok, count(DISTINCT doc_id) AS df
+                 FROM tk GROUP BY tok),
+          top AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 64),
+          vocab AS (SELECT a.tok, count(b.tok) AS vocab_id
+                    FROM top a LEFT JOIN top b
+                      ON b.df > a.df OR (b.df = a.df AND b.tok < a.tok)
+                    GROUP BY a.tok),
+          ids AS (SELECT t.doc_id, t.pos,
+                    COALESCE(v.vocab_id,
+                      64 + ((len(t.tok) * 31 +
+                        ascii(substr(t.tok, 1, 1))) % 32)) AS id
+                  FROM tk t LEFT JOIN vocab v ON t.tok = v.tok)
+          SELECT doc_id, list(id ORDER BY pos) AS ids,
+                 count(*) AS n_ids
+          FROM ids GROUP BY doc_id""",
     // same synthetic parent tree, same reachability semantics
     "q89_recursive" ->
       """WITH RECURSIVE reach(c_custkey, depth) AS (

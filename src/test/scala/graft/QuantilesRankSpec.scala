@@ -82,6 +82,20 @@ class QuantilesRankSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalRowNumberNarrow equals the wide form on a wide table") {
+    val df = rows(500).zipWithIndex
+      .map { case ((g, v), i) =>
+        (g, v, i.toLong, s"payload-$i" * 3, i * 2.5) }
+      .toDF("g", "v", "id", "wide1", "wide2")
+    val narrow = Rank.withGlobalRowNumberNarrow(df, Seq("v", "id"),
+      Seq("id")).select("id", "wide1", "rn", "n_total")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val wide = Rank.withGlobalRowNumber(df, Seq(col("v"), col("id")))
+      .select("id", "wide1", "rn", "n_total")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(narrow === wide)
+  }
+
   test("ntileOf and cumeDistOf equal SQL ntile/cume_dist on unique keys") {
     for ((n, k) <- Seq((1, 4), (3, 4), (8, 4), (1000, 7))) {
       val df = rows(n).zipWithIndex
