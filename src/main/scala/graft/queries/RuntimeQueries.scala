@@ -244,6 +244,55 @@ object RuntimeQueries {
         .outputMode("append").trigger(Trigger.AvailableNow).start()
         .awaitTermination()
       s.read.parquet(out)
+    }),
+
+    // CUSTOM state through the RUNTIME ([[OhlcState.ohlcStream]],
+    // flatMapGroupsWithState): per-symbol running OHLCV bars folded
+    // incrementally — O(1) state per (symbol, bar), no event
+    // buffering in state. Update-mode emissions land via foreachBatch
+    // appends; the bounded single-batch run emits exactly one row per
+    // (symbol, bar), so the judged frame equals the batch OHLC
+    // definition under the fold's (epochMs, price) order. Volume is
+    // fed as a WHOLE-number double (qty × 1000), so the running sum is
+    // exact long arithmetic in disguise — identical at any fold order,
+    // on any engine.
+    "c17_stream_ohlc" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val tmp = Files.createTempDirectory("graft-c17-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      ev.select(
+        concat(col("event_type"), lit("-"),
+          (col("user_id") % 16).cast("string")).as("symbol"),
+        col("value").as("price"),
+        round(col("value") * 1000, 0).as("quantity"),
+        unix_millis(col("ts")).as("epochMs"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      val longT = org.apache.spark.sql.types.LongType
+      val dblT = org.apache.spark.sql.types.DoubleType
+      val schema = StructType(Seq(StructField("symbol", StringType),
+        StructField("price", dblT), StructField("quantity", dblT),
+        StructField("epochMs", longT)))
+      val trades = s.readStream.schema(schema).parquet(feed)
+        .as[graft.streaming.OhlcState.Trade]
+      withStatePartitions(s, 8) {
+        graft.streaming.OhlcState
+          .ohlcStream(trades, barMs = 3600L * 1000, idleTimeout = None)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[
+               graft.streaming.OhlcState.OhlcBar], _: Long) =>
+              batch.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").trigger(Trigger.AvailableNow).start()
+          .awaitTermination()
+      }
+      s.read.parquet(out)
+        .select(col("symbol"), col("barStartMs"), col("open"), col("high"),
+          col("low"), col("close"), col("volume").cast("long").as("volume_k"),
+          col("n_trades"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -283,5 +332,29 @@ object RuntimeQueries {
     "c14_stream_enrich" ->
       """SELECT CAST(ts AS TIMESTAMP) AS ts, event_id, user_id, event_type,
              c_name, c_mktsegment
-         FROM events JOIN customer ON user_id = c_custkey""")
+         FROM events JOIN customer ON user_id = c_custkey""",
+    // the stateful fold must land exactly the batch OHLC definition:
+    // open/close by (epochMs, price) order, exact whole-double volume
+    "c17_stream_ohlc" ->
+      """WITH tr AS (
+           SELECT event_type || '-' || CAST(user_id % 16 AS VARCHAR)
+               AS symbol,
+             value AS price, round(value * 1000, 0) AS qty,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ems
+           FROM events),
+          b AS (SELECT symbol, ems // 3600000 * 3600000 AS barStartMs,
+                  price, qty, ems FROM tr),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY symbol, barStartMs
+                    ORDER BY ems, price) AS rn_a,
+                  row_number() OVER (PARTITION BY symbol, barStartMs
+                    ORDER BY ems DESC, price DESC) AS rn_d
+                FROM b)
+          SELECT symbol, barStartMs,
+                 max(CASE WHEN rn_a = 1 THEN price END) AS open,
+                 max(price) AS high, min(price) AS low,
+                 max(CASE WHEN rn_d = 1 THEN price END) AS close,
+                 CAST(sum(qty) AS BIGINT) AS volume_k,
+                 count(*) AS n_trades
+          FROM r GROUP BY symbol, barStartMs""")
 }
