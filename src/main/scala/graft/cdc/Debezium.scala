@@ -49,6 +49,21 @@ object Debezium {
       tsMs.as("ts_ms"),
       struct(lit(table).as("table")).as("source"))).as("value"))
 
+  /** Dead-letter routing: classify each raw envelope string before the
+    * typed parse. A production CDC consumer must never drop OR crash on
+    * a bad record — it routes to a quarantine with a reason. Two probe
+    * passes, both narrow (no shuffle): `$` validates the JSON itself,
+    * `$.after` validates the envelope shape. Rows tagged "clean" are
+    * safe for [[unwrap]]; everything else carries its reason to the
+    * dead-letter sink.
+    */
+  def quarantine(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.withColumn("reason",
+      when(get_json_object(col(valueCol), "$").isNull, "malformed_json")
+        .when(get_json_object(col(valueCol), "$.after").isNull,
+          "missing_after")
+        .otherwise("clean"))
+
   /** C2: `ExtractNewRecordState` semantics — parse the envelope, keep
     * create/read/update events, flatten to the `after` row image.
     */

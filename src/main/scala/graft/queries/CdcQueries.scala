@@ -158,6 +158,30 @@ object CdcQueries {
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
     }),
 
+    // Dead-letter quarantine ([[Debezium.quarantine]]): a feed where
+    // some envelopes are truncated mid-JSON (malformed) and some are
+    // valid JSON with no `after` image (shape drift) must route every
+    // row to exactly one of clean/malformed_json/missing_after — never
+    // drop, never crash. The judged frame is the routing scorecard
+    // (count + key mass per reason); corruption is keyed on the
+    // envelope's OWN extracted key, so the oracle states the outcome
+    // directly over customer.
+    "c18_dead_letter" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val env = Debezium.wrap(c, lit("r"), "customer", lit(0L))
+        .withColumn("k",
+          get_json_object(col("value"), "$.after.c_custkey").cast("long"))
+        .withColumn("value",
+          when(col("k") % 13 === 0,
+            expr("substring(value, 1, length(value) - 5)"))
+            .when(col("k") % 17 === 0,
+              to_json(struct(lit("r").as("op"), lit(0L).as("ts_ms"))))
+            .otherwise(col("value")))
+      Debezium.quarantine(env)
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+
     // K2 alone: last-wins upsert over a natural key on testdata — keep the
     // final lineitem per order (reference: cassandra-init.cql upsert-by-PK)
     // orderCols form a total order over the projected columns so the
@@ -229,6 +253,14 @@ object CdcQueries {
          UNION ALL
          SELECT c_custkey, c_name, c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 2 = 1""",
+    // every row routed to exactly one reason; corruption is modular on
+    // the key, so the scorecard is stated directly over customer
+    "c18_dead_letter" ->
+      """SELECT CASE WHEN c_custkey % 13 = 0 THEN 'malformed_json'
+                     WHEN c_custkey % 17 = 0 THEN 'missing_after'
+                     ELSE 'clean' END AS reason,
+                count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS sum_k
+         FROM customer GROUP BY 1""",
     "k2_upsert" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
          QUALIFY row_number() OVER

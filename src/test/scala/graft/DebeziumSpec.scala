@@ -81,4 +81,16 @@ class DebeziumSpec extends SparkSpec {
       seed.next
     }
   }
+
+  test("quarantine routes malformed / missing-after / clean rows") {
+    val raw = Seq(
+      (1, "{\"after\":{\"a\":1},\"op\":\"c\""), // truncated JSON
+      (2, "{\"op\":\"c\",\"ts_ms\":0}"),        // valid, no after image
+      (3, "{\"after\":{\"a\":1},\"op\":\"c\",\"ts_ms\":0}"))
+      .toDF("id", "value")
+    val got = Debezium.quarantine(raw)
+      .select("id", "reason").as[(Int, String)].collect().toMap
+    assert(got === Map(1 -> "malformed_json", 2 -> "missing_after",
+      3 -> "clean"))
+  }
 }
