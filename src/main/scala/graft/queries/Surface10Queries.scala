@@ -238,6 +238,33 @@ object Surface10Queries {
           col("fo").isNotNull))
     }),
 
+    // Sketch-vs-exact quantile audit (the e24 pattern for order
+    // statistics): approx_percentile's GK sketch guarantees rank error
+    // ≤ n/accuracy; the audit brackets the exact median with the exact
+    // order statistics at ranks k ∓ ⌈n/accuracy⌉ (one extra rank pair
+    // from the SAME scalable histogram pass) and judges that the
+    // sketch's value lands inside. The sketch value itself is NOT in
+    // the judged frame — its exact value is legitimately
+    // merge-order-dependent; the BOUND is the guarantee, and the judged
+    // TRUE is red if any group ever violates it.
+    "e51_approx_quantile_audit" -> ((s, dir) => {
+      import graft.operators.Quantiles.{ldiv, medianRank, orderStats}
+      val li = t(s, dir, "lineitem")
+      def err(c: Column): Column = ldiv(c + lit(99L), 100L) // ⌈n/100⌉
+      val exact = orderStats(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq[(String, Column => Column)](
+          "exact_median" -> (c => medianRank(c)),
+          "lob" -> (c => greatest(lit(1L), medianRank(c) - err(c))),
+          "hib" -> (c => least(c, medianRank(c) + err(c)))))
+      val approx = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 100)")
+          .as("approx_median"))
+      exact.join(approx, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_median"),
+          (col("approx_median") >= col("lob") &&
+            col("approx_median") <= col("hib")).as("within_bound"))
+    }),
+
     // Tokenizer APPLY: map every token to an id via a corpus-derived
     // vocab (top-64 tokens by document frequency, ids assigned in
     // (df desc, token) order) with an engine-portable arithmetic OOV
@@ -427,6 +454,20 @@ object Surface10Queries {
                  count(*) - sum(CAST(l_orderkey IN (SELECT o_orderkey
                    FROM fo) AS BIGINT))
           FROM lineitem""",
+    // the exact median is restated; within_bound TRUE is the sketch's
+    // contract — a violating sketch hash-mismatches
+    "e51_approx_quantile_audit" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+          SELECT l_returnflag,
+                 max(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END)
+                   AS exact_median,
+                 TRUE AS within_bound
+          FROM r GROUP BY l_returnflag""",
     // same vocab (df desc, tok), same OOV arithmetic, order restored
     // from position on both engines
     "e50_tokenize" ->
