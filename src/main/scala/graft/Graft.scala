@@ -49,6 +49,8 @@ object Graft {
   val catalog: graft.schemas.Catalog.type = graft.schemas.Catalog
   val quantiles: graft.operators.Quantiles.type = graft.operators.Quantiles
   val rank: graft.operators.Rank.type = graft.operators.Rank
+  val incremental: graft.operators.Incremental.type =
+    graft.operators.Incremental
 
   /** Register the engine's native SQL functions (`vec_dot`) on a live
     * session; alternatively set
