@@ -305,6 +305,29 @@ object Surface10Queries {
           size(col("ids")).cast("long").as("n_ids"))
     }),
 
+    // Z-order (Morton) clustering key ([[graft.operators.ZOrder]]):
+    // the interleaved key over (key-bits, balance-bits) that a layout
+    // job would range-partition/sort by so min-max file stats prune
+    // 2-D predicates. Pure builtin bit expressions — narrow map,
+    // whole-stage codegen, no UDF. The judged frame carries the per-row
+    // key, its decoded round-trip (ok must be TRUE everywhere — the
+    // bijection is judged, not assumed), and the quadrant the top bits
+    // encode.
+    "q90_zorder" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      val x = col("c_custkey").cast("int").bitwiseAND(lit(0xFFFF))
+      val y = (floor(col("c_acctbal")).cast("int") + lit(1000))
+        .bitwiseAND(lit(0xFFFF))
+      val z = ZOrder.interleave16(x, y)
+      val (dx, dy) = ZOrder.deinterleave16(col("zval"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), x.as("xb"), y.as("yb"), z.as("zval"))
+        .withColumn("ok", dx === col("xb") && dy === col("yb"))
+        .withColumn("quadrant",
+          shiftright(col("zval"), 30).bitwiseAND(lit(3)))
+        .select("c_custkey", "zval", "ok", "quadrant")
+    }),
+
     // Recursive CTE (Spark 4 UnionLoop): depth of every customer in a
     // synthetic parent tree (parent(k) = k div 2, rooted at 0) —
     // iterative plan, each UnionLoop step a narrow join of the frontier
@@ -492,6 +515,19 @@ object Surface10Queries {
           SELECT doc_id, list(id ORDER BY pos) AS ids,
                  count(*) AS n_ids
           FROM ids GROUP BY doc_id""",
+    // same interleave arithmetic, spelled out as 32 disjoint-bit terms
+    // (disjoint powers of two, so + is |); round-trip asserted TRUE
+    "q90_zorder" -> {
+      // every term fully parenthesized (DuckDB << binds looser than +)
+      val z = (0 until 16).map { i =>
+        s"((((c_custkey & 65535) >> $i) & 1) << ${2 * i})" +
+          s" + (((((CAST(floor(c_acctbal) AS INT) + 1000) & 65535)" +
+          s" >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""SELECT c_custkey, ($z) AS zval, TRUE AS ok,
+            ((($z) >> 30) & 3) AS quadrant
+          FROM customer"""
+    },
     // same synthetic parent tree, same reachability semantics
     "q89_recursive" ->
       """WITH RECURSIVE reach(c_custkey, depth) AS (
