@@ -293,6 +293,48 @@ object RuntimeQueries {
         .select(col("symbol"), col("barStartMs"), col("open"), col("high"),
           col("low"), col("close"), col("volume").cast("long").as("volume_k"),
           col("n_trades"))
+    }),
+
+    // Multi-sink FANOUT with exactly-once semantics: one stream feeds
+    // TWO sinks (raw append + per-type aggregate) from the same
+    // foreachBatch, each write keyed by epoch directory so redelivery
+    // OVERWRITES instead of duplicating. The run is then REPEATED on a
+    // fresh checkpoint — a full redelivery of every batch — and the
+    // judged frame audits that (a) the raw sink holds exactly the feed
+    // (delivered_once), (b) both sinks agree (sinks_consistent). This
+    // is the reference's one-topic-many-sinks Kafka Connect shape with
+    // the delivery contract made auditable.
+    "c19_fanout" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      val tmp = Files.createTempDirectory("graft-c19-").toString
+      val feed = s"$tmp/feed"
+      val rawSink = s"$tmp/raw"; val aggSink = s"$tmp/agg"
+      ev.coalesce(1).write.mode("append").parquet(feed)
+      val longT = org.apache.spark.sql.types.LongType
+      val schema = StructType(Seq(StructField("event_id", longT),
+        StructField("event_type", StringType)))
+      def run(ckpt: String): Unit =
+        s.readStream.schema(schema).parquet(feed)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            batch.write.mode("overwrite").parquet(s"$rawSink/epoch=$epoch")
+            batch.groupBy("event_type").agg(count(lit(1)).as("n"))
+              .write.mode("overwrite").parquet(s"$aggSink/epoch=$epoch")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow).start().awaitTermination()
+      run(s"$tmp/ckpt1")
+      run(s"$tmp/ckpt2") // fresh checkpoint = full redelivery, same epochs
+      val raw = s.read.parquet(rawSink)
+      val agg = s.read.parquet(aggSink)
+      val once = raw.count() == ev.count()
+      agg.groupBy("event_type").agg(sum(col("n")).as("n"))
+        .join(raw.groupBy("event_type").agg(count(lit(1)).as("n_raw")),
+          "event_type")
+        .select(col("event_type"), col("n"),
+          lit(once).as("delivered_once"),
+          (col("n") === col("n_raw")).as("sinks_consistent"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -356,5 +398,11 @@ object RuntimeQueries {
                  max(CASE WHEN rn_d = 1 THEN price END) AS close,
                  CAST(sum(qty) AS BIGINT) AS volume_k,
                  count(*) AS n_trades
-          FROM r GROUP BY symbol, barStartMs""")
+          FROM r GROUP BY symbol, barStartMs""",
+    // after a full redelivery, both sinks must still hold exactly one
+    // copy of the feed
+    "c19_fanout" ->
+      """SELECT event_type, count(*) AS n, TRUE AS delivered_once,
+             TRUE AS sinks_consistent
+         FROM events GROUP BY event_type""")
 }
