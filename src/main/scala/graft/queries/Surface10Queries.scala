@@ -238,6 +238,34 @@ object Surface10Queries {
           col("fo").isNotNull))
     }),
 
+    // Small-file COMPACTION — the maintenance job every streaming sink
+    // needs: a fragmented table (64 files here; a real CDC sink makes
+    // thousands/day) is rewritten into a few right-sized files with
+    // `coalesce` (narrow — no shuffle: compaction must not pay a
+    // cluster-wide exchange to merge files). The judged frame carries
+    // the row counts before/after (loss or duplication is red) and the
+    // actual file counts (the compaction must demonstrably happen).
+    "c20_compaction" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-c20-").toString
+      val frag = s"$tmp/frag"; val compact = s"$tmp/compact"
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "ts")
+      ev.repartition(64).write.parquet(frag)
+      val before = s.read.parquet(frag)
+      before.coalesce(4).write.parquet(compact)
+      val after = s.read.parquet(compact)
+      def files(d: org.apache.spark.sql.DataFrame): Long =
+        d.inputFiles.length.toLong
+      // `coalesce(n)` can only LOWER the partition count, so the output
+      // file count is ≤ 4 (exact value depends on how the scan packs
+      // the 64 fragments, which varies with core count) — the judged
+      // contract is the bound, not the packing
+      after.agg(
+        lit(ev.count()).as("rows_src"),
+        count(lit(1)).as("rows_after"),
+        lit(files(before)).as("files_before"),
+        lit(files(after) <= 4L && files(after) >= 1L).as("compacted"))
+    }),
+
     // Sketch-vs-exact quantile audit (the e24 pattern for order
     // statistics): approx_percentile's GK sketch guarantees rank error
     // ≤ n/accuracy; the audit brackets the exact median with the exact
@@ -477,6 +505,12 @@ object Surface10Queries {
                  count(*) - sum(CAST(l_orderkey IN (SELECT o_orderkey
                    FROM fo) AS BIGINT))
           FROM lineitem""",
+    // compaction preserves every row; the file counts are the job's
+    // own contract (64 fragments in, 4 files out)
+    "c20_compaction" ->
+      """SELECT count(*) AS rows_src, count(*) AS rows_after,
+             CAST(64 AS BIGINT) AS files_before, TRUE AS compacted
+         FROM events""",
     // the exact median is restated; within_bound TRUE is the sketch's
     // contract — a violating sketch hash-mismatches
     "e51_approx_quantile_audit" ->
