@@ -55,7 +55,7 @@ object Bench {
       case None => SparkEntry.queries
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = selected.map { case (name, fn) =>
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop write materializes every output column (a count() would let
       // Catalyst prune the query down to a row-count scan)
@@ -64,8 +64,30 @@ object Bench {
       // operators persist stage boundaries (dedup candidates, shingle
       // frames); drop them so caches never accumulate across queries
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val results = selected.map { case (name, fn) => name -> timed(name, fn) }
+    // contention canary: a bench number is only as good as the box it
+    // ran on (r7 recorded 719 s for a suite that re-measures at 203 s —
+    // host contention, not plans). Re-measure one query at the END of
+    // the run; if the two timings disagree >5×, mark the whole line
+    // suspect so a contended run is machine-detectable instead of
+    // masquerading as a regression. The canary must be a PURE query:
+    // ones that stage a fixture on first touch (q87, e15/e38) re-run
+    // 50×+ faster by design and would always cry wolf.
+    val canaryName = Seq("q1_agg", "q3_join", "p1_project")
+      .find(n => selected.contains(n) && !failed.contains(n))
+      .orElse(selected.keys.find(!failed.contains(_)))
+    val canary = canaryName.map { name =>
+      (name, results(name), timed(name, selected(name)))
+    }
+    val suspect = canary.exists { case (_, first, rerun) =>
+      val (lo, hi) = (math.min(first, rerun), math.max(first, rerun))
+      lo > 0 && hi / lo > 5.0
+    }
+    val canaryJson = canary.map { case (n, f, r) =>
+      s""""canary":{"name":"$n","first":${"%.3f".format(f)},"rerun":${"%.3f".format(r)}},"suspect":$suspect,"""
+    }.getOrElse("")
     // failed queries are listed separately (and excluded from the
     // headline total) so a query that throws instantly can never
     // masquerade as a sub-second success
@@ -77,12 +99,12 @@ object Bench {
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val top = ok.toSeq.sortBy(-_._2).take(25)
     val fs = failed.map(k => "\"" + k + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${ok.size},"queries":${dict(top)},"failed":$fs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${ok.size},$canaryJson"queries":${dict(top)},"failed":$fs,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"total":${ms(total)},"n":${ok.size},"queries":${dict(ok.toSeq.sortBy(_._1))},"failed":$fs,"sf":"$sfDir"}"""
+        s"""{"total":${ms(total)},"n":${ok.size},$canaryJson"queries":${dict(ok.toSeq.sortBy(_._1))},"failed":$fs,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // silence any executor/shutdown logging that could land AFTER the

@@ -212,6 +212,19 @@ object Dedup {
     // three branches, and at scale this stage boundary is where a real
     // pipeline would checkpoint anyway
     val pairs = minhashCandidatePairs(d, id, shingles, k, bands).persist()
+    nearDupRemoveWithPairs(d, pairs, id, shingles, minJaccard)
+  }
+
+  /** [[nearDupRemove]] with the candidate pairs supplied by the caller —
+    * the form a staged pipeline uses when the LSH pair frame is already
+    * materialized (a real corpus run checkpoints candidate pairs once
+    * and feeds removal, cluster labeling, and audits from that stage).
+    * `pairs` must be (id_a, id_b) from the same id domain as `df(id)`.
+    */
+  def nearDupRemoveWithPairs(df: DataFrame, pairs: DataFrame, id: String,
+                             shingles: String,
+                             minJaccard: Double = 0.3): DataFrame = {
+    val d = df.persist()
     val candIds = pairs.select(col("id_a").as(id))
       .union(pairs.select(col("id_b").as(id))).distinct()
     // shingle explosion for verification touches candidate docs only,
@@ -239,9 +252,32 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, a: String, b: String,
                           maxSweeps: Int = 50): DataFrame = {
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+    // Size the iteration to the GRAPH, not the session: the candidate
+    // graph is orders of magnitude smaller than the corpus it came
+    // from (LSH pairs from a 100 TB corpus are GBs, not TBs), and
+    // every sweep pays two exchanges + a checkpoint + a count per
+    // partition. ~1M edges per partition keeps partitions comfortably
+    // in memory; a big graph stays at the session default, a small one
+    // stops paying dozens of near-empty state round-trips per sweep.
+    // The conf is restored after the loop (sweeps replan each
+    // iteration, so the setting takes effect per sweep); the persisted
+    // symmetric adjacency is coalesced to the same width so the
+    // per-hop scans match the shuffle.
+    val spark = edges.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    // materialize the edge frame ONCE up front: the symmetric union
+    // below references it twice and the sizing count a third time —
+    // un-checkpointed, each reference would re-run the whole candidate
+    // generation feeding this operator
+    val edgesM = edges.localCheckpoint(true)
+    val graphParts = math.max(1L, math.min(sessionParts.toLong,
+      edgesM.count() / 1000000L + 1)).toInt
+    val sym = edgesM.select(col(a).as("src"), col(b).as("dst"))
+      .union(edgesM.select(col(b).as("src"), col(a).as("dst")))
+      .coalesce(graphParts)
       .persist()
+    spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+    try {
     // Each sweep references the previous labels frame several times
     // (neighbor join, least(), change count), so chaining plain lazy
     // plans doubles the plan tree per sweep — 2^sweeps nodes by sweep 30.
@@ -259,17 +295,27 @@ object Dedup {
     var sweep = 1
     var changed = 1L
     while (changed > 0 && sweep < maxSweeps) {
-      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
-      // the pre-sweep label rides along as `old` so convergence is read
+      // (loop body replans under the graph-sized shuffle setting)
+      // TWO propagation hops per materialize+count cycle: the
+      // checkpoint and the convergence count are the per-iteration
+      // fixed costs, and labels are monotone non-increasing under
+      // least(), so "no change across a double hop" is exactly the
+      // single-hop fixpoint (a hop can never undo another). Same total
+      // join work, half the materializations.
+      def hop(l: DataFrame): DataFrame = {
+        val neighborMin = sym.join(l, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
+        l.join(neighborMin, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nb_label"), col("label")))
+              .as("label"),
+            col("old"))
+      }
+      // the pre-cycle label rides along as `old` so convergence is read
       // off the already-materialized partitions — a narrow scan, not the
       // extra shuffle join a separate next⋈labels comparison would cost
-      val next = labels.join(neighborMin, labels("id") === neighborMin("src"),
-          "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nb_label"), col("label")))
-            .as("label"),
-          col("label").as("old"))
+      val next = hop(hop(
+        labels.select(col("id"), col("label"), col("label").as("old"))))
         .localCheckpoint(true)
       changed = next.where(col("label") =!= col("old")).count()
       labels = next.select("id", "label")
@@ -279,9 +325,10 @@ object Dedup {
     if (changed != 0)
       // propagation needs ~diameter sweeps; a graph that blows the sweep
       // budget (long chains) switches to the O(log n)-round contraction
-      connectedComponentsContraction(edges, a, b)
+      connectedComponentsContraction(edgesM, a, b)
     else
       labels.select(col("id"), col("label").as("component"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
 
   /** Alternating large-star/small-star contraction (the public

@@ -335,6 +335,47 @@ object RuntimeQueries {
         .select(col("event_type"), col("n"),
           lit(once).as("delivered_once"),
           (col("n") === col("n_raw")).as("sinks_consistent"))
+    }),
+
+    // SESSION windows through the RUNTIME: `session_window` + watermark
+    // driven by the real micro-batch engine — the MERGING-window state
+    // path (sessions extend/merge as events arrive), which tumbling
+    // windows (`c9_stream_window`) never touch. The feed is two
+    // time-ordered files with maxFilesPerTrigger=1, so sessions that
+    // straddle the cut are started in batch 1's state and extended by
+    // batch 2 before the final no-data batch flushes them. Append mode
+    // emits exactly the sessions the watermark (max event time − 1 h)
+    // finalized; Spark's merge rule — an event joins a session iff it
+    // lands strictly before last_event + gap — is restated in the
+    // oracle's gaps-and-islands form (split when diff ≥ gap).
+    "c21_stream_session" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("ts", "user_id")
+      val tmp = Files.createTempDirectory("graft-c21-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      val cut = lit("2024-01-21").cast("timestamp")
+      ev.where(col("ts") < cut).coalesce(1)
+        .write.mode("append").parquet(feed)
+      ev.where(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(feed)
+      val schema = StructType(Seq(
+        StructField("ts", org.apache.spark.sql.types.TimestampType),
+        StructField("user_id", org.apache.spark.sql.types.LongType)))
+      withStatePartitions(s, 8) {
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow).start()
+          .awaitTermination()
+      }
+      s.read.parquet(out)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -404,5 +445,31 @@ object RuntimeQueries {
     "c19_fanout" ->
       """SELECT event_type, count(*) AS n, TRUE AS delivered_once,
              TRUE AS sinks_consistent
-         FROM events GROUP BY event_type""")
+         FROM events GROUP BY event_type""",
+    // append-mode session contract: gaps-and-islands per user (split
+    // when the gap to the previous event is ≥ 30 min — Spark merges
+    // strictly-within-gap), session end = last event + gap, and only
+    // sessions the final watermark (max event time − 1 h) finalized
+    "c21_stream_session" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id
+                    FROM events),
+          wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),
+          d AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+                FROM e),
+          g AS (SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d),
+          sess AS (SELECT user_id,
+                     min(ts) AS session_start,
+                     max(ts) + INTERVAL 30 MINUTE AS session_end,
+                     count(*) AS n
+                   FROM g GROUP BY user_id, sid)
+          SELECT user_id, session_start, session_end, n
+          FROM sess, wm WHERE session_end <= w""")
 }

@@ -170,7 +170,9 @@ object Surface9Queries {
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(dsum(rev4, 4).as("total_revenue"))
-        .persist()
+        .localCheckpoint() // computed once, reused twice; unlike
+      // persist() this holds no executor cache past this query — the
+      // bench session runs every judged query in one JVM
       val top = rev.agg(max(col("total_revenue")).as("mx"))
       t(s, dir, "supplier")
         .join(rev, col("s_suppkey") === col("supplier_no"))
@@ -272,10 +274,10 @@ object Surface9Queries {
       """SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
              CAST(l_shipdate AS DATE)) > 90
            THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-             THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-             THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
            AND l_shipdate < TIMESTAMP '1998-01-01'

@@ -29,6 +29,22 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** A table about to feed a CPU-heavy narrow derivation (per-shingle
+    * md5, tokenization, signature folds), rebalanced to cluster
+    * parallelism IF the source is under-split. A small-sf parquet is
+    * one input split, so without this the whole hashing pass runs on
+    * one core of 32; a 100 TB table has thousands of splits, takes the
+    * `else` branch, and never pays the shuffle. The round-robin
+    * exchange moves only the raw rows — cheap relative to the per-row
+    * hashing it parallelizes.
+    */
+  def tBalanced(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < parallelism) df.repartition(parallelism)
+    else df
+  }
+
   /** `events` with ts normalized to microsecond TimestampType (see above). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -44,7 +44,22 @@ class ZOrderSpec extends SparkSpec {
     val tile = (0 until 16).flatMap(x => (0 until 16).map(y => (x, y)))
       .toDF("x", "y")
       .select(ZOrder.interleave16(col("x"), col("y")).as("z"))
-    val zs = tile.as[Int].collect().sorted
-    assert(zs.head === 0 && zs.last === 255 && zs.length === 256)
+    val zs = tile.as[Long].collect().sorted
+    assert(zs.head === 0L && zs.last === 255L && zs.length === 256)
+  }
+
+  test("keys stay non-negative when y bit 15 is set (no int sign bit)") {
+    // y ≥ 32768 puts a bit at key position 31 — in a 32-bit compute
+    // that is the int sign bit and quadrants 2/3 would sort before
+    // 0/1; the long-typed key must keep z monotone by quadrant
+    val corners = Seq((0, 0), (65535, 0), (0, 65535), (65535, 65535))
+      .toDF("x", "y")
+      .select(col("y"), ZOrder.interleave16(col("x"), col("y")).as("z"))
+    assert(corners.where(col("z") < 0).count() === 0)
+    val lowQ = corners.where(col("y") < 32768)
+      .agg(max(col("z"))).as[Long].head()
+    val highQ = corners.where(col("y") >= 32768)
+      .agg(min(col("z"))).as[Long].head()
+    assert(lowQ < highQ)
   }
 }
