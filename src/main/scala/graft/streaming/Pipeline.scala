@@ -55,13 +55,25 @@ object Pipeline {
     * initial snapshot to the same topics (reference:
     * debezium-config.json:15).
     */
+  /** The exact reader configuration [[kafkaSource]] passes to the
+    * `kafka` provider, exposed so its contract is testable without a
+    * broker or the connector jar (this harness ships neither — see
+    * PipelineKafkaSpec): the subscribe pattern must cover every
+    * Debezium topic and nothing else, and `earliest` must be pinned
+    * (snapshot-then-stream, C7, depends on it).
+    */
+  def kafkaSourceOptions(brokers: String,
+                         serverName: String = "dbserver1"): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribePattern" -> s"$serverName\\.public\\..*",
+      "startingOffsets" -> "earliest")
+
   def kafkaSource(spark: SparkSession, brokers: String,
                   serverName: String = "dbserver1"): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribePattern", s"$serverName\\.public\\..*")
-      .option("startingOffsets", "earliest")
+      .options(kafkaSourceOptions(brokers, serverName))
       .load()
       .select(col("value").cast("string").as("value"), col("topic"))
 
