@@ -26,7 +26,7 @@ object SparkEntry {
       SimilarityQueries.all ++ WindowQueries.all ++ MiscQueries.all ++
       RuntimeQueries.all ++ Surface5Queries.all ++ Surface6Queries.all ++
       Surface7Queries.all ++ Surface8Queries.all ++ Surface9Queries.all ++
-      Surface10Queries.all
+      Surface10Queries.all ++ Surface11Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +42,6 @@ object SparkEntry {
       MiscQueries.oracles ++ RuntimeQueries.oracles ++
       Surface5Queries.oracles ++ Surface6Queries.oracles ++
       Surface7Queries.oracles ++ Surface8Queries.oracles ++
-      Surface9Queries.oracles ++ Surface10Queries.oracles
+      Surface9Queries.oracles ++ Surface10Queries.oracles ++
+      Surface11Queries.oracles
 }

@@ -81,24 +81,52 @@ object Dedup {
     * sharing at least one band. Equi-join on the band key — shuffle on
     * band, no cross join.
     */
-  def minhashCandidatePairs(df: DataFrame, id: String, shingles: String,
-                            k: Int = 8, bands: Int = 4): DataFrame = {
+  /** (id, band) long-format LSH frame: one row per document per band —
+    * the joinable image every banding consumer (symmetric self-join,
+    * delta-vs-corpus join) derives candidate pairs from.
+    */
+  def minhashBandLong(df: DataFrame, id: String, shingles: String,
+                      k: Int = 8, bands: Int = 4): DataFrame = {
     val hashed = df.select(col(id),
       transform(col(shingles), s => shingleHash(s)).as("__sh_hashes"))
     val sigs = hashed.select(
       col(id) +: minhashSignaturesFromHashes(col("__sh_hashes"), k): _*)
     val banded = sigs.select(
       col(id) +: bandKeys((0 until k).map(j => col(s"sig_$j")), bands): _*)
+    banded.select(col(id), explode(array(
+      (0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+  }
+
+  def minhashCandidatePairs(df: DataFrame, id: String, shingles: String,
+                            k: Int = 8, bands: Int = 4): DataFrame = {
     // both sides of the self-join read this frame: persist it so the
     // md5 + signature derivation over the corpus runs once, not twice
-    val long = banded.select(col(id), explode(array(
-      (0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
-      .persist()
+    val long = minhashBandLong(df, id, shingles, k, bands).persist()
     val a = long.as("a")
     val b = long.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+  }
+
+  /** INCREMENTAL near-dup candidates: new documents (`delta`) banded
+    * against an existing corpus (`corpus`) — the daily-ingest shape. A
+    * pipeline that re-ran [[minhashCandidatePairs]] over corpus∪delta
+    * would pay the full corpus self-join every day; here the join is
+    * delta-bands ⋈ corpus-bands, so per-ingest work scales with the
+    * DELTA (corpus side is one scan of its banded image, which a real
+    * deployment keeps materialized — band keys are append-only).
+    * Returns distinct (id_new, id_corpus); corpus-internal pairs are
+    * by construction never produced.
+    */
+  def minhashCandidatePairsBetween(delta: DataFrame, corpus: DataFrame,
+                                   id: String, shingles: String,
+                                   k: Int = 8, bands: Int = 4): DataFrame = {
+    val d = minhashBandLong(delta, id, shingles, k, bands)
+    val c = minhashBandLong(corpus, id, shingles, k, bands)
+    d.as("a").join(c.as("b"), col("a.band") === col("b.band"))
+      .select(col(s"a.$id").as("id_new"), col(s"b.$id").as("id_corpus"))
       .distinct()
   }
 

@@ -40,6 +40,20 @@ object DedupQueries {
     // equi-join on band keys, never all-pairs
     "e1_minhash_pairs" -> ((s, dir) => candidatePairs(s, dir)),
 
+    // INCREMENTAL dedup — the daily-ingest shape: today's delta
+    // (doc_id % 10 = 0 here) banded against the standing corpus, so
+    // per-ingest work scales with the delta while the corpus
+    // contributes one scan of its (materialized, append-only) banded
+    // image. Corpus-internal pairs are never produced — at 100 TB
+    // re-deriving them daily is exactly the bill this shape avoids.
+    "e54_incremental_dedup" -> ((s, dir) => {
+      val docs = shingledDocs(s, dir)
+      Dedup.minhashCandidatePairsBetween(
+        docs.where(col("doc_id") % 10 === 0),
+        docs.where(col("doc_id") % 10 =!= 0),
+        "doc_id", "sh", minhashK, bands)
+    }),
+
     // SimHash (32-bit, expression-only) per document; token hashes are
     // projected once, then 32 bit-folds reuse the array. Zero-token docs
     // are filtered on BOTH sides: the oracle's unnest() drops them
@@ -327,6 +341,18 @@ object DedupQueries {
             md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig)
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id""",
+    // delta-vs-corpus banding: same sig/band derivation, asymmetric join
+    "e54_incremental_dedup" ->
+      s"""WITH $shingleCte,
+          sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
+          band AS (SELECT doc_id, unnest([
+            md5(concat_ws('_', sig_0, sig_1)),
+            md5(concat_ws('_', sig_2, sig_3)),
+            md5(concat_ws('_', sig_4, sig_5)),
+            md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig)
+          SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+          FROM band a JOIN band b ON a.band = b.band
+          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0""",
     "e1_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tk FROM documents),
           bits AS (SELECT doc_id, g.j,

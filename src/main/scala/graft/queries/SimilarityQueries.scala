@@ -39,6 +39,22 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)),
 
+    // FILTERED top-k — the RAG/hybrid-retrieval shape: a metadata
+    // predicate restricts the corpus BEFORE any scoring work (here
+    // label % 3; in production a partition/zone-map-prunable column),
+    // then exact cosine ranks the survivors. The filter sits under the
+    // projection in the same WholeStageCodegen span, so at 100 TB the
+    // scan prunes first and the expensive arithmetic runs only on the
+    // filtered fraction — never score-then-filter.
+    "e52_filtered_topk" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .where(col("vec_id") =!= 0 && col("label") % 3 === 0)
+        .crossJoin(queryVec(s, dir))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          Similarity.cosineExact(col("embedding"), col("qe")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)),
+
     // Production double-arithmetic variant (rows-only check):
     // scan → map → TakeOrderedAndProject, no exchange
     "e2_topk_double" -> ((s, dir) =>
@@ -317,6 +333,20 @@ object SimilarityQueries {
             WHERE e.vec_id <> 0
             GROUP BY e.vec_id)
           SELECT vec_id, (CAST(dotf AS DOUBLE) / 1e7) /
+              (sqrt(CAST(naf AS DOUBLE) / 1e7) * sqrt(CAST(nqf AS DOUBLE) / 1e7))
+            AS cosine
+          FROM p ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "e52_filtered_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          p AS (SELECT e.vec_id, e.label,
+              SUM(${prodSql("e.embedding[g.i]", "q.qe[g.i]")}) AS dotf,
+              SUM(${prodSql("e.embedding[g.i]", "e.embedding[g.i]")}) AS naf,
+              SUM(${prodSql("q.qe[g.i]", "q.qe[g.i]")}) AS nqf
+            FROM embeddings e, q, generate_series(1, 64) AS g(i)
+            WHERE e.vec_id <> 0 AND e.label % 3 = 0
+            GROUP BY e.vec_id, e.label)
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+            (CAST(dotf AS DOUBLE) / 1e7) /
               (sqrt(CAST(naf AS DOUBLE) / 1e7) * sqrt(CAST(nqf AS DOUBLE) / 1e7))
             AS cosine
           FROM p ORDER BY cosine DESC, vec_id LIMIT 10""",

@@ -128,6 +128,33 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("minhashCandidatePairsBetween: delta-only work, consistent with " +
+    "the symmetric join (E1 incremental)") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words about spark query engines"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.wordShingles(col("text")).as("sh"))
+    val delta = docs.where(col("doc_id") % 10 === 0) // doc 10
+    val corpus = docs.where(col("doc_id") % 10 =!= 0) // docs 2, 3, 4
+    val inc = Dedup.minhashCandidatePairsBetween(delta, corpus,
+      "doc_id", "sh", 8, 4).as[(Long, Long)].collect().toSet
+    // the new doc's near-dups in the corpus are found...
+    assert(inc.contains((10L, 2L)) && inc.contains((10L, 4L)))
+    // ...every emitted pair is delta × corpus (no corpus-internal work)
+    assert(inc.forall { case (n, c) => n == 10L && c != 10L })
+    // ...and the pair set equals the symmetric join's cross pairs
+    val full = Dedup.minhashCandidatePairs(docs, "doc_id", "sh", 8, 4)
+      .as[(Long, Long)].collect().toSet
+    val expected = full.collect {
+      case (a, b) if a == 10L || b == 10L =>
+        if (a == 10L) (a, b) else (b, a)
+    }
+    assert(inc === expected)
+  }
+
   test("simhash: identical texts collide; hamming self-distance 0 (E1)") {
     val df = Seq((1L, "spark scans parquet fast"),
       (2L, "spark scans parquet fast"),
