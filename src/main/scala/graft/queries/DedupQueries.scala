@@ -120,6 +120,28 @@ object DedupQueries {
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))),
 
+    // SURVIVOR SELECTION over duplicate clusters — the policy step a
+    // real dedup pipeline runs after clustering: keep the best-quality
+    // member (longest text here; any score column slots in), not
+    // blindly the min id. Singletons (docs in no candidate pair)
+    // survive as their own cluster via the left join + coalesce. One
+    // scan of the corpus metadata + the (tiny, staged) label frame,
+    // single-pass argmax per cluster: max_by over the total order
+    // (n_chars, -doc_id) makes ties deterministic on every engine.
+    "e55_cluster_survivor" -> ((s, dir) => {
+      val labels = componentLabels(s, dir)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val labeled = docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          col("n_chars"))
+      labeled.groupBy("component").agg(
+        max_by(col("doc_id"),
+          struct(col("n_chars"), lit(0L) - col("doc_id"))).as("survivor_id"),
+        max(col("n_chars")).as("survivor_chars"),
+        count(lit(1)).as("cluster_size"))
+    }),
+
     // MinHash fidelity audit: per LSH candidate pair, the signature
     // agreement estimate (n_match/k) against the exact shingle Jaccard
     // — the measured sketch-quality evidence (E[n_match/k] = J). All
@@ -320,6 +342,36 @@ object DedupQueries {
                 SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
           SELECT id AS doc_id, min(reach) AS component
           FROM r GROUP BY id""",
+    // same reachability CTE, then keep the longest doc per cluster
+    // (ties -> min doc_id); singletons are their own cluster
+    "e55_cluster_survivor" ->
+      s"""WITH RECURSIVE $shingleCte,
+          sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
+          band AS (SELECT doc_id, unnest([
+            md5(concat_ws('_', sig_0, sig_1)),
+            md5(concat_ws('_', sig_2, sig_3)),
+            md5(concat_ws('_', sig_4, sig_5)),
+            md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band a JOIN band b ON a.band = b.band
+              AND a.doc_id < b.doc_id),
+          e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+          r AS (SELECT a AS id, a AS reach FROM e
+                UNION
+                SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+          comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+          lab AS (SELECT d.doc_id,
+                    COALESCE(c.component, d.doc_id) AS component, d.n_chars
+                  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+          g AS (SELECT component, max(n_chars) AS mx,
+                  count(*) AS cluster_size
+                FROM lab GROUP BY component)
+          SELECT l.component, min(l.doc_id) AS survivor_id,
+                 g.mx AS survivor_chars, g.cluster_size
+          FROM lab l JOIN g ON l.component = g.component
+            AND l.n_chars = g.mx
+          GROUP BY l.component, g.mx, g.cluster_size""",
     "e1_exact" ->
       """SELECT text AS dedup_key, min(doc_id) AS kept, count(*) AS n_copies
          FROM documents GROUP BY text""",
