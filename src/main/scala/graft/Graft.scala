@@ -51,6 +51,7 @@ object Graft {
   val rank: graft.operators.Rank.type = graft.operators.Rank
   val incremental: graft.operators.Incremental.type =
     graft.operators.Incremental
+  val zorder: graft.operators.ZOrder.type = graft.operators.ZOrder
 
   /** Register the engine's native SQL functions (`vec_dot`) on a live
     * session; alternatively set

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
@@ -54,6 +55,30 @@ object SimilarityQueries {
           Similarity.cosineExact(col("embedding"), col("qe")).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)),
+
+    // BATCH retrieval — every ANN shape above serves ONE query vector;
+    // production retrieval joins a whole query SET against the corpus
+    // in one pass. Both sides are LSH-bucketed once; the bucket
+    // equi-join (query side broadcast: a query batch is MBs at any
+    // corpus scale) scores only bucket mates, and the per-query top-3
+    // rank plans as WindowGroupLimit — each partition forwards at most
+    // 3 rows per query before the exchange. Work: one corpus scan for
+    // the whole batch, never queries × corpus.
+    "e56_batch_ann" -> ((s, dir) => {
+      val withB = t(s, dir, "embeddings")
+        .withColumn("bk", Similarity.lshBucket(col("embedding"), 4, 64))
+      val qs = broadcast(withB.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("bk")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      withB.where(col("vec_id") % 100 =!= 0)
+        .join(qs, "bk")
+        .select(col("query_id"), col("vec_id"),
+          Similarity.cosineExact(col("embedding"), col("qe")).as("cosine"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+    }),
 
     // Production double-arithmetic variant (rows-only check):
     // scan → map → TakeOrderedAndProject, no exchange
@@ -212,6 +237,21 @@ object SimilarityQueries {
         SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
         FROM sc ORDER BY cosine DESC, vec_id LIMIT 10"""
 
+  /** 4-plane LSH bucket of `vec` as SQL (same plane-sign literals the
+    * Spark operator bakes into its plan — Similarity.planeSigns).
+    */
+  private def bucketSql4(vec: String): String = {
+    val signs = Similarity.planeSigns(4, 64)
+    def proj(j: Int) =
+      s"""list_reduce(list_transform(generate_series(1, 64),
+          i -> CAST($vec[i] AS DOUBLE) *
+               (${signs(j).mkString("[", ", ", "]")})[i]),
+          (acc, x) -> acc + x)"""
+    (0 until 4).map { j =>
+      s"(CASE WHEN ${proj(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** The same plane-sign matrix the Spark operator bakes into its plan,
     * as SQL list literals (shared derivation: Similarity.planeSigns).
     */
@@ -336,6 +376,28 @@ object SimilarityQueries {
               (sqrt(CAST(naf AS DOUBLE) / 1e7) * sqrt(CAST(nqf AS DOUBLE) / 1e7))
             AS cosine
           FROM p ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "e56_batch_ann" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+              ${bucketSql4("embedding")} AS bk FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, bk
+                FROM b WHERE vec_id % 100 = 0),
+          c AS (SELECT vec_id, embedding, bk FROM b
+                WHERE vec_id % 100 <> 0),
+          p AS (SELECT q.query_id, c.vec_id,
+              SUM(${prodSql("c.embedding[g.i]", "q.qe[g.i]")}) AS dotf,
+              SUM(${prodSql("c.embedding[g.i]", "c.embedding[g.i]")}) AS naf,
+              SUM(${prodSql("q.qe[g.i]", "q.qe[g.i]")}) AS nqf
+            FROM c JOIN q ON c.bk = q.bk, generate_series(1, 64) AS g(i)
+            GROUP BY q.query_id, c.vec_id),
+          s AS (SELECT query_id, vec_id,
+              (CAST(dotf AS DOUBLE) / 1e7) /
+                (sqrt(CAST(naf AS DOUBLE) / 1e7)
+                 * sqrt(CAST(nqf AS DOUBLE) / 1e7)) AS cosine
+            FROM p),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS rk FROM s)
+          SELECT query_id, vec_id, cosine, CAST(rk AS BIGINT) AS rk
+          FROM r WHERE rk <= 3""",
     "e52_filtered_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
           p AS (SELECT e.vec_id, e.label,
