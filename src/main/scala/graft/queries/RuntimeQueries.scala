@@ -337,6 +337,96 @@ object RuntimeQueries {
           (col("n") === col("n_raw")).as("sinks_consistent"))
     }),
 
+    // Stream-stream LEFT OUTER interval join through the RUNTIME: the
+    // state-EVICTION semantics c11's inner join never exercises — an
+    // unmatched view emits null-extended only when the global watermark
+    // (min of both streams' max event time − 1 h) passes its last
+    // possible match (v_ts + 30 min), proving rows leave state exactly
+    // once with a definitive no-match verdict. Matched pairs emit as
+    // the inner join does; views still inside the match horizon at
+    // end-of-feed are provably withheld. This is the "views that never
+    // converted" feed — at 100 TB/day the outer emission IS the
+    // product (abandonment), and bounded state is what makes it finite.
+    "c22_stream_outer_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tmp = Files.createTempDirectory("graft-c22-").toString
+      val vDir = s"$tmp/views"; val cDir = s"$tmp/clicks"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      ev.where(col("event_type") === "view")
+        .select(col("ts").as("v_ts"), col("event_id").as("v_event_id"),
+          col("user_id"))
+        .coalesce(1).write.mode("append").parquet(vDir)
+      ev.where(col("event_type") === "click")
+        .select(col("ts").as("c_ts"), col("event_id").as("c_event_id"),
+          col("user_id"))
+        .coalesce(1).write.mode("append").parquet(cDir)
+      val tsT = org.apache.spark.sql.types.TimestampType
+      val longT = org.apache.spark.sql.types.LongType
+      val vSchema = StructType(Seq(StructField("v_ts", tsT),
+        StructField("v_event_id", longT), StructField("user_id", longT)))
+      val cSchema = StructType(Seq(StructField("c_ts", tsT),
+        StructField("c_event_id", longT), StructField("user_id", longT)))
+      withStatePartitions(s, 8) {
+        Pipeline.intervalJoin(
+          s.readStream.schema(vSchema).parquet(vDir), "v_ts",
+          s.readStream.schema(cSchema).parquet(cDir), "c_ts",
+          key = "user_id", watermark = "1 hour", within = "30 minutes",
+          joinType = "left_outer")
+          .select("user_id", "v_event_id", "v_ts", "c_event_id", "c_ts")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow).start()
+          .awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
+    // Arbitrary per-key state on Spark 4's transformWithState API
+    // through the RUNTIME — the successor of flatMapGroupsWithState
+    // (c17) with RocksDB-backed ValueState: state lives off-heap and
+    // spills to the store, so key cardinality scales to disk, not JVM
+    // heap — the 100 TB-of-keys shape. The processor emits each key's
+    // (prev → value) transition with a running update count, applied in
+    // event-sequence order so a batch lag()/row_number() oracle can
+    // replay the exact transition chain the stateful operator produced.
+    "c23_stream_tws" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val tmp = Files.createTempDirectory("graft-c23-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      ev.select(
+        concat(col("event_type"), lit("-"),
+          (col("user_id") % 64).cast("string")).as("key"),
+        col("event_id").as("seq"),
+        col("value"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      val longT = org.apache.spark.sql.types.LongType
+      val dblT = org.apache.spark.sql.types.DoubleType
+      val schema = StructType(Seq(StructField("key", StringType),
+        StructField("seq", longT), StructField("value", dblT)))
+      val prevProvider =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStatePartitions(s, 8) {
+        graft.streaming.StatefulOps.orderedDeltaStream(
+          s.readStream.schema(schema).parquet(feed)
+            .as[graft.streaming.StatefulOps.SeqValue])
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow).start()
+          .awaitTermination()
+      } finally prevProvider match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.read.parquet(out)
+        .select("key", "seq", "prev", "has_prev", "value", "n_seen")
+    }),
+
     // SESSION windows through the RUNTIME: `session_window` + watermark
     // driven by the real micro-batch engine — the MERGING-window state
     // path (sessions extend/merge as events arrive), which tumbling
@@ -446,6 +536,44 @@ object RuntimeQueries {
       """SELECT event_type, count(*) AS n, TRUE AS delivered_once,
              TRUE AS sinks_consistent
          FROM events GROUP BY event_type""",
+    // matched pairs = the batch inner join; null-extended views = those
+    // with no match whose horizon (v_ts + 30 min) the final global
+    // watermark strictly passed
+    "c22_stream_outer_join" ->
+      """WITH v AS (SELECT CAST(ts AS TIMESTAMP) AS v_ts,
+             event_id AS v_event_id, user_id
+           FROM events WHERE event_type = 'view'),
+          c AS (SELECT CAST(ts AS TIMESTAMP) AS c_ts,
+             event_id AS c_event_id, user_id
+           FROM events WHERE event_type = 'click'),
+          wm AS (SELECT least((SELECT max(v_ts) FROM v),
+                              (SELECT max(c_ts) FROM c))
+                   - INTERVAL 1 HOUR AS wv),
+          m AS (SELECT v.user_id, v_event_id, v_ts, c_event_id, c_ts
+                FROM v JOIN c ON v.user_id = c.user_id
+                  AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTE),
+          unm AS (SELECT v.user_id, v_event_id, v_ts,
+                         CAST(NULL AS BIGINT) AS c_event_id,
+                         CAST(NULL AS TIMESTAMP) AS c_ts
+                  FROM v CROSS JOIN wm
+                  WHERE NOT EXISTS (SELECT 1 FROM c
+                      WHERE c.user_id = v.user_id AND c_ts >= v_ts
+                        AND c_ts <= v_ts + INTERVAL 30 MINUTE)
+                    AND v_ts + INTERVAL 30 MINUTE < wm.wv)
+          SELECT * FROM m UNION ALL SELECT * FROM unm""",
+    // replay of the ordered per-key ValueState fold: prev = previous
+    // value in seq order (0.0 before the first), n_seen = running count
+    "c23_stream_tws" ->
+      """SELECT event_type || '-' || CAST(user_id % 64 AS VARCHAR) AS key,
+             event_id AS seq,
+             coalesce(lag(value) OVER w, 0.0) AS prev,
+             (row_number() OVER w) > 1 AS has_prev,
+             value,
+             CAST(row_number() OVER w AS BIGINT) AS n_seen
+         FROM events
+         WINDOW w AS (
+           PARTITION BY event_type || '-' || CAST(user_id % 64 AS VARCHAR)
+           ORDER BY event_id)""",
     // append-mode session contract: gaps-and-islands per user (split
     // when the gap to the previous event is ≥ 30 min — Spark merges
     // strictly-within-gap), session end = last event + gap, and only

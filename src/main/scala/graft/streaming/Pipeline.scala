@@ -144,13 +144,14 @@ object Pipeline {
   def intervalJoin(left: DataFrame, leftTs: String,
                    right: DataFrame, rightTs: String,
                    key: String, watermark: String,
-                   within: String): DataFrame = {
+                   within: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       l(key) === r(key) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      joinType)
       .drop(r(key))
   }
 }

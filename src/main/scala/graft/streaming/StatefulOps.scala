@@ -50,4 +50,46 @@ object StatefulOps {
       .transformWithState(new DeltaProcessor, TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** Sequenced input for the order-deterministic variant: `seq` is a
+    * per-key-unique, monotone event sequence (an offset / event id).
+    */
+  case class SeqValue(key: String, seq: Long, value: Double)
+
+  case class SeqDelta(key: String, seq: Long, prev: Double,
+                      has_prev: Boolean, value: Double, n_seen: Long)
+
+  /** Same ValueState fold as [[DeltaProcessor]], but each micro-batch's
+    * rows for a key are applied in `seq` order, making the emitted
+    * transition chain independent of shuffle/file arrival order — the
+    * property that lets a DuckDB lag()/row_number() oracle replay it.
+    *
+    * The sort buffers ONE key's rows for ONE micro-batch (bounded by
+    * the trigger interval, never by history — state itself stays one
+    * (value, count) pair per key in RocksDB), the same per-batch
+    * footprint a session-window merge pays.
+    */
+  class OrderedDeltaProcessor
+      extends StatefulProcessor[String, SeqValue, SeqDelta] {
+    @transient private var last: ValueState[(Double, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState("last",
+        Encoders.product[(Double, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SeqValue],
+                                 timerValues: TimerValues): Iterator[SeqDelta] =
+      rows.toArray.sortBy(_.seq).iterator.map { r =>
+        val (prev, n) = if (last.exists()) last.get() else (0.0, 0L)
+        last.update((r.value, n + 1))
+        SeqDelta(key, r.seq, prev, n > 0, r.value, n + 1)
+      }
+  }
+
+  def orderedDeltaStream(ds: Dataset[SeqValue]): Dataset[SeqDelta] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new OrderedDeltaProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -155,6 +155,37 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("orderedDeltaStream applies a batch's rows in seq order (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulOps
+    import StatefulOps.{SeqDelta, SeqValue}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[SeqValue]
+      val q = StatefulOps.orderedDeltaStream(in.toDS())
+        .writeStream.format("memory").queryName("twsordered")
+        .outputMode("append").start()
+      // one batch, deliberately out of seq order: the fold must follow
+      // seq (10, 20, 30), not arrival
+      in.addData(SeqValue("BTC", 30L, 103.0), SeqValue("BTC", 10L, 101.0),
+        SeqValue("BTC", 20L, 102.0))
+      q.processAllAvailable()
+      // next batch continues from the highest-seq state
+      in.addData(SeqValue("BTC", 40L, 104.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("twsordered")
+        .as[SeqDelta].collect().sortBy(_.seq).toSeq
+      assert(out === Seq(
+        SeqDelta("BTC", 10L, 0.0, false, 101.0, 1L),
+        SeqDelta("BTC", 20L, 101.0, true, 102.0, 2L),
+        SeqDelta("BTC", 30L, 102.0, true, 103.0, 3L),
+        SeqDelta("BTC", 40L, 103.0, true, 104.0, 4L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("referenceRoutes mirror the five-table sink mapping (C3,C4)") {
     val routes = Pipeline.referenceRoutes
     assert(routes.map(_.table) ===
