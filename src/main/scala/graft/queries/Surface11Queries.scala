@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,6 +64,103 @@ object Surface11Queries {
           col("o_orderdate") < col("eff_to"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           col("c_acctbal").as("acctbal_at_order"))
+    }),
+
+    // RUNTIME Bloom-filter join pruning: the dim side's selective
+    // filter (one order month) is turned into a bloom filter applied
+    // to the FACT side's scan before the join shuffle — at 100 TB this
+    // is the mechanism that keeps a shuffle join from moving 98% of
+    // lineitem rows that can never match. The query REQUIRES the
+    // injected `might_contain` probe in its own physical plan (the
+    // broadcast path is disabled so bloom pruning, not broadcast, is
+    // what's proven), and the result is still hash-checked against the
+    // oracle — pruning must be semantically invisible.
+    "q92_runtime_filter" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-q92-").toString
+      val prev = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        .map(k => k -> s.conf.getOption(k)).toMap
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          "0")
+        val ord = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderdate")
+        val joined = t(s, dir, "lineitem")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderdate"))
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("might_contain"),
+          s"runtime bloom filter must be injected:\n$plan")
+        joined.write.mode("overwrite").parquet(s"$tmp/result")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+      s.read.parquet(s"$tmp/result")
+    }),
+
+    // VARIANT semi-structured ingestion (Spark 4 native): event
+    // payloads arrive as JSON text, are parsed ONCE into the binary
+    // VARIANT encoding, and typed fields are extracted with
+    // `variant_get` path expressions — the open-schema metadata-blob
+    // shape every training corpus carries. Unlike a rigid from_json
+    // schema, unknown paths return null instead of failing, and the
+    // judged frame proves typed round-trip (bigint/string/double and
+    // an array index) plus missing-path null semantics. The parse and
+    // extraction are per-row expression work inside one codegen'd
+    // projection — no shuffle, columnar-pruned scan underneath.
+    "q93_variant" -> ((s, dir) => {
+      val payload = to_json(struct(
+        col("event_id").as("id"),
+        struct(col("event_type").as("type"), col("value").as("value"))
+          .as("meta"),
+        array(col("event_type"), lit("corpus")).as("tags")))
+      events(s, dir)
+        .select(parse_json(payload).as("v"))
+        .select(
+          variant_get(col("v"), "$.id", "bigint").as("id"),
+          variant_get(col("v"), "$.meta.type", "string").as("etype"),
+          variant_get(col("v"), "$.meta.value", "double").as("val"),
+          variant_get(col("v"), "$.tags[1]", "string").as("tag1"),
+          variant_get(col("v"), "$.meta.absent", "string").as("missing"))
+    }),
+
+    // INLINE data-quality metrics via the Observation API: null/range
+    // audits computed as accumulator-style aggregates DURING the main
+    // pass — at 100 TB a separate quality scan doubles the job's I/O,
+    // while observe() rides the same task set for free. The main pass
+    // here is a real write (events → parquet); the judged frame is the
+    // audit row the pipeline would publish. Values are proven against
+    // the oracle computing the same aggregates relationally.
+    "q94_observe" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft-q94-").toString
+      val obs = new org.apache.spark.sql.Observation("q94_audit")
+      events(s, dir)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_values"),
+          sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_values"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n_views"),
+          max(col("event_id")).as("max_event_id"))
+        .write.mode("overwrite").parquet(s"$tmp/out")
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long], m("null_values").asInstanceOf[Long],
+        m("neg_values").asInstanceOf[Long], m("n_views").asInstanceOf[Long],
+        m("max_event_id").asInstanceOf[Long]))
+        .toDF("n_rows", "null_values", "neg_values", "n_views",
+          "max_event_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -87,5 +186,29 @@ object Surface11Queries {
          SELECT o_orderkey, o_custkey, o_orderdate,
                 c_acctbal AS acctbal_at_order
          FROM orders JOIN dim ON o_custkey = c_custkey
-           AND o_orderdate >= eff_from AND o_orderdate < eff_to""")
+           AND o_orderdate >= eff_from AND o_orderdate < eff_to""",
+    "q92_runtime_filter" ->
+      """SELECT o_orderdate, count(*) AS n_lines,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY o_orderdate""",
+    // typed extraction must round-trip the source values; unknown
+    // paths are null
+    "q93_variant" ->
+      """SELECT event_id AS id, event_type AS etype, value AS val,
+                'corpus' AS tag1, CAST(NULL AS VARCHAR) AS missing
+         FROM events""",
+    "q94_observe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_values,
+                CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS neg_values,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_views,
+                max(event_id) AS max_event_id
+         FROM events""")
 }
