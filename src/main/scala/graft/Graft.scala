@@ -52,6 +52,8 @@ object Graft {
   val incremental: graft.operators.Incremental.type =
     graft.operators.Incremental
   val zorder: graft.operators.ZOrder.type = graft.operators.ZOrder
+  val heavyHitters: graft.operators.HeavyHitters.type =
+    graft.operators.HeavyHitters
 
   /** Register the engine's native SQL functions (`vec_dot`) on a live
     * session; alternatively set

@@ -129,6 +129,74 @@ object RuntimeQueries {
       s.read.parquet(out)
     }),
 
+    // LATE-DATA semantics through the RUNTIME — the one watermark
+    // behavior c9 cannot show: what happens to rows that arrive AFTER
+    // the watermark passed their window. Probed engine rule (Spark
+    // 4.1.2, verified with a 4-batch file feed): a batch-N input row is
+    // DROPPED iff its window was evicted in a STRICTLY EARLIER batch —
+    // the late-input filter runs against the PREVIOUS batch's watermark
+    // (wm_{N−1}), while eviction/emission at the end of batch N uses
+    // wm_N; a late row whose window is still in state merges and is
+    // emitted exactly once. Three time-ordered files drive this:
+    //  file1 (< Jan 14 00:30) establishes wm1 = max(file1) − 1 h;
+    //  file2 ([Jan 14 00:30, Jan 21 00:30)) — batch 1 evicts ≤ wm1;
+    //  file3 (≥ Jan 21 00:30) also replays three classes:
+    //   (a) ts < Jan 13 — window evicted in batch 1 (end ≤ wm1):
+    //       DROPPED, never re-emitted (no duplicate window rows);
+    //   (b) Jan 18 replays — behind wm2 but their windows are still in
+    //       state (evictions so far only reached wm1): ACCEPTED and
+    //       double-counted — drops happen by window eviction, not by
+    //       comparing raw event time to the current watermark;
+    //   (c) [Jan 20 23:00, 23:05] replays — behind the batch-1→2
+    //       watermark yet their [23:00, 24:00) window never closed:
+    //       ACCEPTED, finalized by the terminal no-data batch.
+    // Every cut sits mid-hour, ≥ 25 min from any decision boundary, so
+    // ms-vs-µs watermark rounding cannot flip a drop. The oracle
+    // recomputes the exact rule: accept a replay iff window_end >
+    // max(ts < Jan 14 00:30) − 1 h; finalize iff window_end ≤
+    // max(ts) − 1 h. State stays bounded by the watermark horizon —
+    // the property that keeps the operator finite at 100 TB/day
+    "c24_stream_late" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("ts", "event_id")
+      val tmp = Files.createTempDirectory("graft-c24-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      val cutA = lit("2024-01-14 00:30:00").cast("timestamp")
+      val cutB = lit("2024-01-21 00:30:00").cast("timestamp")
+      ev.where(col("ts") < cutA).coalesce(1)
+        .write.mode("append").parquet(feed)
+      ev.where(col("ts") >= cutA && col("ts") < cutB).coalesce(1)
+        .write.mode("append").parquet(feed)
+      val evictedLate = ev.where(
+        col("ts") < lit("2024-01-13 00:00:00").cast("timestamp") &&
+          col("event_id") % 5 === 0)
+      val openStateLate = ev.where(
+        col("ts") >= lit("2024-01-18 00:00:00").cast("timestamp") &&
+          col("ts") <= lit("2024-01-18 12:00:00").cast("timestamp") &&
+          col("event_id") % 3 === 0)
+      val openWindowLate = ev.where(
+        col("ts") >= lit("2024-01-20 23:00:00").cast("timestamp") &&
+          col("ts") <= lit("2024-01-20 23:05:00").cast("timestamp") &&
+          col("event_id") % 4 === 0)
+      ev.where(col("ts") >= cutB)
+        .unionAll(evictedLate).unionAll(openStateLate)
+        .unionAll(openWindowLate)
+        .coalesce(1).write.mode("append").parquet(feed)
+      val schema = StructType(Seq(
+        StructField("ts", org.apache.spark.sql.types.TimestampType),
+        StructField("event_id", org.apache.spark.sql.types.LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      withStatePartitions(s, 8) {
+        Pipeline.windowedCounts(stream, "ts", "1 hour", "1 hour")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow).start()
+          .awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
     // E1 through the RUNTIME: watermark-bounded streaming dedup
     // (`dropDuplicatesWithinWatermark`) driven by the real micro-batch
     // engine. The feed carries every event plus an exact duplicate of
@@ -484,6 +552,40 @@ object RuntimeQueries {
                 FROM e GROUP BY 1)
           SELECT win_start, n FROM b, wm
           WHERE win_start + INTERVAL 1 HOUR <= w""",
+    // the judged frame must show exactly the engine's accept/drop rule:
+    // a replay counts iff its window outlived the batch-1 watermark
+    // (the only eviction horizon any replay batch ran behind); windows
+    // finalize at the global watermark
+    "c24_stream_late" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_id
+                    FROM events),
+          f1 AS (SELECT ts FROM e
+                 WHERE ts < TIMESTAMP '2024-01-14 00:30:00'),
+          wm1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM f1),
+          rep AS (SELECT ts FROM e
+                    WHERE ts < TIMESTAMP '2024-01-13 00:00:00'
+                      AND event_id % 5 = 0
+                  UNION ALL
+                  SELECT ts FROM e
+                    WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'
+                      AND ts <= TIMESTAMP '2024-01-18 12:00:00'
+                      AND event_id % 3 = 0
+                  UNION ALL
+                  SELECT ts FROM e
+                    WHERE ts >= TIMESTAMP '2024-01-20 23:00:00'
+                      AND ts <= TIMESTAMP '2024-01-20 23:05:00'
+                      AND event_id % 4 = 0),
+          acc AS (SELECT ts FROM e
+                  UNION ALL
+                  SELECT rep.ts FROM rep, wm1
+                  WHERE date_trunc('hour', rep.ts) + INTERVAL 1 HOUR
+                    > wm1.w),
+          wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),
+          agg AS (SELECT date_trunc('hour', ts) AS win_start,
+                         count(*) AS n
+                  FROM acc GROUP BY 1)
+          SELECT win_start, n FROM agg, wmf
+          WHERE win_start + INTERVAL 1 HOUR <= wmf.w""",
     // streaming dedup must land exactly the distinct feed (= the
     // original events; the injected duplicates all suppressed)
     "c10_stream_dedup" ->

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.HeavyHitters
+
+/** Round-8 surface growth, second wave: reshaping (unpivot), event-time
+  * range frames, time-series gap fill, LATERAL correlated subqueries,
+  * deterministic random projection, winsorized robust aggregation, and
+  * sketch-pruned heavy hitters.
+  *
+  * Determinism rules (see [[Tables]]): money/qty doubles go through
+  * exact decimal sums; float embeddings and event values are quantized
+  * with `floor(x · scale)` into BIGINT fixed-point (floor of an
+  * identical IEEE double is identical in every engine); every integer
+  * SUM the oracle computes is CAST back to BIGINT (DuckDB promotes to
+  * HUGEINT, which the driver would hash as float).
+  */
+object Surface12Queries {
+  import Tables._
+
+  /** Random-projection sign matrix dimensions: 64-dim input → 8 output. */
+  private val rpDims = 8
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // UNPIVOT / melt — the wide→long reshape every metrics pipeline
+    // needs (one row per (group, measure)). The aggregation runs FIRST
+    // (4 sums over one scan, one hash exchange on the 6-group key);
+    // unpivot then explodes 4 measure columns of the tiny aggregate —
+    // reshaping never touches the fact table, so at 100 TB the unpivot
+    // cost is O(groups · measures), not O(rows). Sums are exact decimal
+    // cents (order-independent), surfaced as BIGINT
+    "q95_unpivot" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val base = li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        (dsumDec(col("l_quantity"), 2) * 100).cast("long").as("sum_qty_c"),
+        (dsumDec(col("l_extendedprice"), 2) * 100).cast("long")
+          .as("sum_price_c"),
+        (dsumDec(col("l_discount"), 2) * 100).cast("long").as("sum_disc_c"),
+        count(lit(1)).as("n_lines"))
+      base.unpivot(
+        Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("sum_qty_c"), col("sum_price_c"), col("sum_disc_c"),
+          col("n_lines")),
+        "measure", "value_c")
+    }),
+
+    // Event-time RANGE window frame: per-user trailing-1-hour sum and
+    // count at every event — the "feature at event time" shape of a
+    // training pipeline (no leakage: frame ends AT the current row).
+    // RANGE BETWEEN 3600 PRECEDING on epoch seconds, so rows land in
+    // the frame by TIME distance, not row distance, and ties share one
+    // frame. One hash exchange on user_id + a per-user sort — the same
+    // plan at 100 TB because frames never cross users; values are
+    // floor-quantized BIGINT milli-units so the moving sum is exact
+    // integer arithmetic (any accumulation order)
+    "q96_range_window" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("sec"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"), col("sec"),
+        sum(col("vm")).over(w).as("w_sum"),
+        count(lit(1)).over(w).as("w_cnt"))
+    }),
+
+    // Time-series GAP FILL: resample each user to an hourly grid over
+    // their own [first, last] hour and forward-fill missing hours from
+    // the last observed value — the resample + LOCF primitive behind
+    // feature backfills. Stage 1 aggregates events to (user, hour)
+    // (one hash exchange); stage 2 explodes a per-user sequence() grid
+    // (rows ∝ users · their span — never a global calendar cross
+    // join); stage 3 left-joins observations and forward-fills with
+    // last(ignoreNulls) over a per-user ROWS frame. All exchanges are
+    // on user_id, so the 100 TB plan is one shuffle reused by the
+    // join and the window
+    "q97_gap_fill" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(floor(col("value") * 1000).cast("long")).as("s"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+        .select(col("user_id"),
+          explode(expr("sequence(mn, mx, interval 1 hour)")).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          last(col("s"), ignoreNulls = true).over(w).as("filled"))
+    }),
+
+    // LATERAL correlated subquery — the per-row subquery SQL surface
+    // (Spark decorrelates it into a join + aggregate; the plan is the
+    // same grouped left join you would write by hand, so the lateral
+    // form costs nothing at scale). Customers with no orders keep a
+    // row: count() in a no-group aggregate lateral yields 0, max NULL
+    "q98_lateral" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_q98")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q98")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name, o.mx_price, o.n_orders
+           FROM customer_q98 c,
+           LATERAL (SELECT max(o_totalprice) AS mx_price,
+                           count(*) AS n_orders
+                    FROM orders_q98 WHERE o_custkey = c.c_custkey) o""")
+    }),
+
+    // Deterministic RANDOM PROJECTION (Achlioptas ±1 signs) — the
+    // dimensionality-reduction step before clustering/visualizing
+    // embeddings at scale. The sign matrix is derived from md5, not an
+    // RNG, so it is identical on every engine, executor, and retry —
+    // the property that makes a 100 TB projection reproducible across
+    // task re-runs. Elements are floor-quantized to 1e-4 fixed point;
+    // each output coordinate is an exact BIGINT dot product. The sign
+    // matrix (64×8 rows) is broadcast; the corpus side is one narrow
+    // posexplode → join → hash-agg on (vec_id, dim) — no shuffle of
+    // the raw vectors
+    "e57_random_projection" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+          floor(col("col").cast("double") * lit(10000.0)).cast("long")
+            .as("qx"))
+      val signs = s.range(1, 65).select(col("id").as("j"))
+        .crossJoin(s.range(0, rpDims).select(col("id").as("i")))
+        .select(col("j"), col("i"),
+          when(substring(md5(concat(col("i").cast("string"), lit("_"),
+            col("j").cast("string"))), 1, 1) < "8", 1L)
+            .otherwise(-1L).as("sgn"))
+      q.join(broadcast(signs), Seq("j"))
+        .groupBy(col("vec_id"), col("i"))
+        .agg(sum(col("qx") * col("sgn")).as("p"))
+        .select(col("vec_id"), col("i").as("dim"), col("p"))
+    }),
+
+    // WINSORIZED aggregation — robust corpus statistics: per-language
+    // doc-length mean with tails clipped at the exact type-1 p10/p90
+    // quantiles (k-th smallest, k = ceil(q·n) in pure integer
+    // arithmetic — no float threshold ambiguity). Rank pass = one hash
+    // exchange on lang + per-group sort (spillable, same plan at any
+    // scale); bounds collapse to ≤ |langs| rows, broadcast back, and
+    // the clipped re-aggregation is a second narrow scan. The judged
+    // sum is BIGINT — exact in any order
+    "e58_winsorize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val r = d
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      val bounds = r.groupBy(col("lang")).agg(
+        max(when(col("rn") === expr("(n + 9) div 10"), col("n_chars")))
+          .as("lo"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars")))
+          .as("hi"))
+      d.join(broadcast(bounds), Seq("lang"))
+        .groupBy(col("lang"), col("lo"), col("hi"))
+        .agg(sum(greatest(least(col("n_chars"), col("hi")), col("lo")))
+          .as("sum_clipped"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("lo"), col("hi"), col("sum_clipped"),
+          col("n_docs"))
+    }),
+
+    // HEAVY HITTERS via Misra–Gries sketches + exact confirmation
+    // ([[HeavyHitters]]): keys above fraction 1/65 of the corpus,
+    // found WITHOUT aggregating the full key cardinality — the sketch
+    // pass is narrow (64 counters per partition, union is a provable
+    // candidate superset under any partitioning), and only broadcast
+    // candidates are counted exactly. Deterministic because the final
+    // integer-exact filter is computed from exact counts; the sketch
+    // only prunes. The 100 TB shape for "top domains / hot users"
+    // where groupBy(key) would shuffle billions of groups for a ≤ 64
+    // row answer
+    "e59_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.exactHeavyHitters(
+        t(s, dir, "documents"),
+        concat(col("lang"), lit("|"), col("source")), 64)
+        .orderBy(col("key"))))
+
+  val oracles: Map[String, String] = Map(
+    "q95_unpivot" ->
+      """WITH a AS (
+           SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) * 100 AS BIGINT)
+               AS sum_qty_c,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) * 100
+               AS BIGINT) AS sum_price_c,
+             CAST(sum(CAST(l_discount AS DECIMAL(38,2))) * 100 AS BIGINT)
+               AS sum_disc_c,
+             CAST(count(*) AS BIGINT) AS n_lines
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, 'sum_qty_c' AS measure,
+                sum_qty_c AS value_c FROM a
+         UNION ALL
+         SELECT l_returnflag, l_linestatus, 'sum_price_c', sum_price_c
+         FROM a
+         UNION ALL
+         SELECT l_returnflag, l_linestatus, 'sum_disc_c', sum_disc_c FROM a
+         UNION ALL
+         SELECT l_returnflag, l_linestatus, 'n_lines', n_lines FROM a""",
+    "q96_range_window" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm
+           FROM events)
+         SELECT event_id, user_id, sec,
+           CAST(SUM(vm) OVER (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS w_sum,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS w_cnt
+         FROM e""",
+    "q97_gap_fill" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events),
+           hourly AS (
+             SELECT user_id, date_trunc('hour', ts) AS hr,
+                    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                      AS s
+             FROM e GROUP BY 1, 2),
+           spans AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+                     FROM hourly GROUP BY 1),
+           grid AS (SELECT user_id,
+                           unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                             AS hr
+                    FROM spans),
+           j AS (SELECT g.user_id, g.hr, h.s
+                 FROM grid g LEFT JOIN hourly h
+                   ON g.user_id = h.user_id AND g.hr = h.hr)
+         SELECT user_id, hr,
+           last_value(s IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled
+         FROM j""",
+    "q98_lateral" ->
+      """SELECT c.c_custkey, c.c_name, o.mx_price, o.n_orders
+         FROM customer c,
+         LATERAL (SELECT max(o_totalprice) AS mx_price,
+                         CAST(count(*) AS BIGINT) AS n_orders
+                  FROM orders WHERE o_custkey = c.c_custkey) o""",
+    "e57_random_projection" ->
+      """WITH q AS (
+           SELECT vec_id, g.i AS j,
+                  CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 10000.0)
+                    AS BIGINT) AS qx
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+           sg AS (
+             SELECT gj.j, gi.i,
+                    CASE WHEN substr(md5(CAST(gi.i AS VARCHAR) || '_' ||
+                      CAST(gj.j AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE -1 END AS sgn
+             FROM generate_series(1, 64) AS gj(j),
+                  generate_series(0, 7) AS gi(i))
+         SELECT q.vec_id, sg.i AS dim, CAST(SUM(qx * sgn) AS BIGINT) AS p
+         FROM q JOIN sg ON q.j = sg.j
+         GROUP BY 1, 2""",
+    "e58_winsorize" ->
+      """WITH r AS (
+           SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents),
+           b AS (
+             SELECT lang,
+                    max(CASE WHEN rn = (n + 9) // 10 THEN n_chars END)
+                      AS lo,
+                    max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END)
+                      AS hi
+             FROM r GROUP BY lang)
+         SELECT d.lang, b.lo, b.hi,
+                CAST(sum(greatest(least(d.n_chars, b.hi), b.lo)) AS BIGINT)
+                  AS sum_clipped,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents d JOIN b USING (lang)
+         GROUP BY 1, 2, 3""",
+    "e59_heavy_hitters" ->
+      """SELECT lang || '|' || source AS key, CAST(count(*) AS BIGINT) AS cnt
+         FROM documents GROUP BY 1
+         HAVING count(*) * 65 > (SELECT count(*) FROM documents)""")
+}
