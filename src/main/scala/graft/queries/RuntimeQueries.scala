@@ -197,6 +197,50 @@ object RuntimeQueries {
       s.read.parquet(out)
     }),
 
+    // STATEFUL RESTART through the RUNTIME — checkpoint recovery for a
+    // WATERMARKED AGGREGATION, the durability property c5 (stateless
+    // sink restart) cannot show: the first AvailableNow run ingests the
+    // early feed, finalizes what its watermark passed, and STOPS; more
+    // files land; a second run on the SAME checkpoint must restore the
+    // state store AND the watermark (both live in the checkpoint — a
+    // reset watermark would re-emit finalized windows as duplicates, a
+    // lost state store would undercount windows spanning the stop). The
+    // judged frame is the union of both runs' appends and must equal
+    // the single-run batch restatement exactly — proving the stop was
+    // invisible. This is the upgrade path every 24×7 pipeline exercises
+    // on deploy; at 100 TB the same recovery cost is bounded by state
+    // size per executor, not history length
+    "c25_stream_restart" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("ts", "event_id")
+      val tmp = Files.createTempDirectory("graft-c25-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      val cut1 = lit("2024-01-11 00:30:00").cast("timestamp")
+      val cut2 = lit("2024-01-21 00:30:00").cast("timestamp")
+      val schema = StructType(Seq(
+        StructField("ts", org.apache.spark.sql.types.TimestampType),
+        StructField("event_id", org.apache.spark.sql.types.LongType)))
+      def runEngine(): Unit = withStatePartitions(s, 8) {
+        Pipeline.windowedCounts(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(feed),
+          "ts", "1 hour", "1 hour")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow).start()
+          .awaitTermination()
+      }
+      ev.where(col("ts") < cut1).coalesce(1)
+        .write.mode("append").parquet(feed)
+      runEngine() // run 1: finalizes windows ≤ max(file1) − 1 h, stops
+      ev.where(col("ts") >= cut1 && col("ts") < cut2).coalesce(1)
+        .write.mode("append").parquet(feed)
+      ev.where(col("ts") >= cut2).coalesce(1)
+        .write.mode("append").parquet(feed)
+      runEngine() // run 2: same checkpoint — consumes only new files
+      s.read.parquet(out)
+    }),
+
     // E1 through the RUNTIME: watermark-bounded streaming dedup
     // (`dropDuplicatesWithinWatermark`) driven by the real micro-batch
     // engine. The feed carries every event plus an exact duplicate of
@@ -586,6 +630,17 @@ object RuntimeQueries {
                   FROM acc GROUP BY 1)
           SELECT win_start, n FROM agg, wmf
           WHERE win_start + INTERVAL 1 HOUR <= wmf.w""",
+    // the two-run union must equal the single-run batch restatement:
+    // every window the global watermark passed, counted once — a reset
+    // watermark (duplicate windows) or lost state (undercounts) both
+    // break the hash
+    "c25_stream_restart" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+          wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),
+          b AS (SELECT date_trunc('hour', ts) AS win_start, count(*) AS n
+                FROM e GROUP BY 1)
+          SELECT win_start, n FROM b, wm
+          WHERE win_start + INTERVAL 1 HOUR <= w""",
     // streaming dedup must land exactly the distinct feed (= the
     // original events; the injected duplicates all suppressed)
     "c10_stream_dedup" ->

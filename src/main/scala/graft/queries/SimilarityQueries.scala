@@ -80,6 +80,40 @@ object SimilarityQueries {
         .where(col("rk") <= 3)
     }),
 
+    // kNN CLASSIFIER — majority label among the 10 exact-cosine nearest
+    // corpus vectors per held-out probe (vec_id % 100 = 0): the label-
+    // propagation / auto-labeling shape a training pipeline runs over
+    // unlabeled data. Probes broadcast (a probe batch is MBs at any
+    // corpus scale); the per-probe top-10 plans as WindowGroupLimit, so
+    // each partition forwards ≤ 10 rows per probe before the exchange;
+    // the vote and the argmax pick are deterministic (ties → lower
+    // vec_id for neighbors, lower label for votes). One corpus scan for
+    // the whole probe set — at 100 TB the exact scorer swaps for the
+    // IVF/LSH candidate stage (e2_ivf/e2_lsh_topk) with this same
+    // vote tail
+    "e60_knn_classify" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+      val probes = broadcast(base.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      val nn = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val vote = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label"))
+      base.where(col("vec_id") % 100 =!= 0)
+        .crossJoin(probes)
+        .select(col("query_id"), col("vec_id"),
+          col("label").cast("long").as("label"),
+          Similarity.cosineExact(col("embedding"), col("qe")).as("cosine"))
+        .withColumn("rk", row_number().over(nn))
+        .where(col("rk") <= 10)
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("pick", row_number().over(vote))
+        .where(col("pick") === 1)
+        .select(col("query_id"), col("label").as("pred_label"),
+          col("votes"))
+    }),
+
     // Production double-arithmetic variant (rows-only check):
     // scan → map → TakeOrderedAndProject, no exchange
     "e2_topk_double" -> ((s, dir) =>
@@ -412,6 +446,31 @@ object SimilarityQueries {
               (sqrt(CAST(naf AS DOUBLE) / 1e7) * sqrt(CAST(nqf AS DOUBLE) / 1e7))
             AS cosine
           FROM p ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "e60_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id % 100 = 0),
+          c AS (SELECT vec_id, label, embedding FROM embeddings
+                WHERE vec_id % 100 <> 0),
+          p AS (SELECT q.query_id, c.vec_id, c.label,
+              SUM(${prodSql("c.embedding[g.i]", "q.qe[g.i]")}) AS dotf,
+              SUM(${prodSql("c.embedding[g.i]", "c.embedding[g.i]")}) AS naf,
+              SUM(${prodSql("q.qe[g.i]", "q.qe[g.i]")}) AS nqf
+            FROM c, q, generate_series(1, 64) AS g(i)
+            GROUP BY 1, 2, 3),
+          s AS (SELECT query_id, vec_id, label,
+              (CAST(dotf AS DOUBLE) / 1e7) /
+                (sqrt(CAST(naf AS DOUBLE) / 1e7)
+                 * sqrt(CAST(nqf AS DOUBLE) / 1e7)) AS cosine
+            FROM p),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS rk FROM s),
+          v AS (SELECT query_id, label, count(*) AS votes
+                FROM r WHERE rk <= 10 GROUP BY 1, 2),
+          w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, label) AS pk FROM v)
+          SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+                 CAST(votes AS BIGINT) AS votes
+          FROM w WHERE pk = 1""",
     "e2_topk_double" -> doubleCosineSql,
     "e2_topk_native" -> doubleCosineSql,
     "e2_lsh_topk" -> lshSql,
