@@ -80,30 +80,38 @@ object SimilarityQueries {
         .where(col("rk") <= 3)
     }),
 
-    // kNN CLASSIFIER — majority label among the 10 exact-cosine nearest
+    // kNN CLASSIFIER — majority label among the 10 nearest bucket-mate
     // corpus vectors per held-out probe (vec_id % 100 = 0): the label-
     // propagation / auto-labeling shape a training pipeline runs over
-    // unlabeled data. Probes broadcast (a probe batch is MBs at any
-    // corpus scale); the per-probe top-10 plans as WindowGroupLimit, so
-    // each partition forwards ≤ 10 rows per probe before the exchange;
-    // the vote and the argmax pick are deterministic (ties → lower
-    // vec_id for neighbors, lower label for votes). One corpus scan for
-    // the whole probe set — at 100 TB the exact scorer swaps for the
-    // IVF/LSH candidate stage (e2_ivf/e2_lsh_topk) with this same
-    // vote tail
+    // unlabeled data. Candidates come from the SAME 4-plane LSH bucket
+    // (e56's retrieval stage — pair work is bucket mates, never probes
+    // × corpus: the first cut of this query scored the full cross
+    // product and measured ×43 at the ×10 corpus in SCALE.md's study;
+    // this form is the fix). Self-norms are fixed-point folds computed
+    // ONCE per row ([[Similarity.dotFixedLong]]) and reused across
+    // pairs, so each scored pair pays a single 64-wide fold. Probes
+    // broadcast; per-probe top-10 plans as WindowGroupLimit; the vote
+    // and argmax pick are deterministic (ties → lower vec_id / lower
+    // label)
     "e60_knn_classify" -> ((s, dir) => {
-      val base = t(s, dir, "embeddings")
-      val probes = broadcast(base.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      val withB = t(s, dir, "embeddings")
+        .withColumn("bk", Similarity.lshBucket(col("embedding"), 4, 64))
+        .withColumn("nf",
+          Similarity.dotFixedLong(col("embedding"), col("embedding")))
+      val probes = broadcast(withB.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("bk"), col("nf").as("nqf")))
       val nn = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("vec_id"))
       val vote = Window.partitionBy("query_id")
         .orderBy(col("votes").desc, col("label"))
-      base.where(col("vec_id") % 100 =!= 0)
-        .crossJoin(probes)
+      withB.where(col("vec_id") % 100 =!= 0)
+        .join(probes, "bk")
         .select(col("query_id"), col("vec_id"),
           col("label").cast("long").as("label"),
-          Similarity.cosineExact(col("embedding"), col("qe")).as("cosine"))
+          Similarity.cosineFromFixed(
+            Similarity.dotFixedLong(col("embedding"), col("qe")),
+            col("nf"), col("nqf")).as("cosine"))
         .withColumn("rk", row_number().over(nn))
         .where(col("rk") <= 10)
         .groupBy(col("query_id"), col("label"))
@@ -447,15 +455,17 @@ object SimilarityQueries {
             AS cosine
           FROM p ORDER BY cosine DESC, vec_id LIMIT 10""",
     "e60_knn_classify" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-            FROM embeddings WHERE vec_id % 100 = 0),
-          c AS (SELECT vec_id, label, embedding FROM embeddings
+      s"""WITH b AS (SELECT vec_id, label, embedding,
+              ${bucketSql4("embedding")} AS bk FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, bk
+            FROM b WHERE vec_id % 100 = 0),
+          c AS (SELECT vec_id, label, embedding, bk FROM b
                 WHERE vec_id % 100 <> 0),
           p AS (SELECT q.query_id, c.vec_id, c.label,
               SUM(${prodSql("c.embedding[g.i]", "q.qe[g.i]")}) AS dotf,
               SUM(${prodSql("c.embedding[g.i]", "c.embedding[g.i]")}) AS naf,
               SUM(${prodSql("q.qe[g.i]", "q.qe[g.i]")}) AS nqf
-            FROM c, q, generate_series(1, 64) AS g(i)
+            FROM c JOIN q ON c.bk = q.bk, generate_series(1, 64) AS g(i)
             GROUP BY 1, 2, 3),
           s AS (SELECT query_id, vec_id, label,
               (CAST(dotf AS DOUBLE) / 1e7) /
