@@ -449,6 +449,50 @@ object RuntimeQueries {
           (col("n") === col("n_raw")).as("sinks_consistent"))
     }),
 
+    // UPDATE-mode MATERIALIZED VIEW through the RUNTIME — the
+    // complement of c9's append contract: update mode re-emits a
+    // window EVERY time its count changes (c9 emits it once, when the
+    // watermark finalizes it), and a keyed last-wins upsert sink keyed
+    // by (win_start, epoch) turns that revision stream into a live MV.
+    // The judged frame is the MV's final image and must equal the
+    // plain batch GROUP BY over ALL events — including the windows
+    // inside the watermark horizon that append mode provably withholds
+    // (c9's oracle excludes them; this one includes them). Two
+    // time-ordered files make cut-straddling windows emit twice with
+    // revised counts, so the upsert's epoch order is load-bearing.
+    // This is the live-dashboard / serving-table shape; at 100 TB/day
+    // the upsert cost is ∝ changed windows per batch, never history
+    "c26_stream_update_mv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("ts", "event_id")
+      val tmp = Files.createTempDirectory("graft-c26-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      val cut = lit("2024-01-21 00:30:00").cast("timestamp")
+      ev.where(col("ts") < cut).coalesce(1)
+        .write.mode("append").parquet(feed)
+      ev.where(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(feed)
+      val schema = StructType(Seq(
+        StructField("ts", org.apache.spark.sql.types.TimestampType),
+        StructField("event_id", org.apache.spark.sql.types.LongType)))
+      withStatePartitions(s, 8) {
+        Pipeline.windowedCounts(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(feed),
+          "ts", "1 hour", "1 hour")
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            Sinks.appendParquet(
+              batch.withColumn("epoch", lit(epoch)), out)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow).start().awaitTermination()
+      }
+      Sinks.sinkState(s, out, keys = Seq("win_start"),
+        orderCols = Seq("epoch")).drop("epoch")
+    }),
+
     // Stream-stream LEFT OUTER interval join through the RUNTIME: the
     // state-EVICTION semantics c11's inner join never exercises — an
     // unmatched view emits null-extended only when the global watermark
@@ -630,6 +674,13 @@ object RuntimeQueries {
                   FROM acc GROUP BY 1)
           SELECT win_start, n FROM agg, wmf
           WHERE win_start + INTERVAL 1 HOUR <= wmf.w""",
+    // the MV's final image must equal the batch GROUP BY over ALL
+    // events — update mode + keyed upsert serves every window,
+    // including those append mode still withholds
+    "c26_stream_update_mv" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events)
+         SELECT date_trunc('hour', ts) AS win_start, count(*) AS n
+         FROM e GROUP BY 1""",
     // the two-run union must equal the single-run batch restatement:
     // every window the global watermark passed, counted once — a reset
     // watermark (duplicate windows) or lost state (undercounts) both
