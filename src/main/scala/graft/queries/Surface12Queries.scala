@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.HeavyHitters
+import graft.operators.{HeavyHitters, TextAnalysis}
 
 /** Round-8 surface growth, second wave: reshaping (unpivot), event-time
   * range frames, time-series gap fill, LATERAL correlated subqueries,
@@ -166,6 +166,83 @@ object Surface12Queries {
           col("n_docs"))
     }),
 
+    // DYNAMIC partition pruning — q87 proves STATIC pruning (the
+    // predicate names the partition); here the partitions to read are
+    // only discoverable AT RUNTIME, from the dim side of a join: fact
+    // partitioned by event_type ⋈ a category dim filtered to
+    // 'engagement'. Catalyst plants a DynamicPruning subquery on the
+    // fact scan (reusing the dim's broadcast), so the scan lists only
+    // the partitions whose keys survive the dim filter — the "join to
+    // a 2-of-50-category dim" 100 TB read skips 96% of the files
+    // before a byte moves, with no literal in the query to push down.
+    // The plan is REQUIRED to carry the dynamic filter; reuses q87's
+    // staged partitioned fixture (same deterministic path)
+    "q99_dpp" -> ((s, dir) => {
+      val stage = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-q87-fixture-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val events = s"$stage/events"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$events/_SUCCESS"))) {
+        Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "value", "event_type")
+          .write.mode("overwrite").partitionBy("event_type").parquet(events)
+      }
+      import s.implicits._
+      // the dim must be a SCANNABLE relation (a LocalRelation never
+      // gets a DPP subquery — probed on 4.1.2); stage it beside the
+      // fact fixture like any real catalog dim
+      val dimPath = s"$stage/dim_cat"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dimPath/_SUCCESS"))) {
+        Seq(
+          ("click", "engagement"), ("view", "engagement"),
+          ("purchase", "conversion"), ("signup", "conversion"),
+          ("error", "ops")).toDF("event_type", "category")
+          .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      }
+      val dim = s.read.parquet(dimPath)
+      val joined = s.read.parquet(events)
+        .join(dim.where(col("category") === "engagement"), "event_type")
+        .groupBy(col("event_type").cast("string").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("vm"))
+      require(joined.queryExecution.executedPlan.toString
+        .contains("dynamicpruning"),
+        "fact scan must carry a DynamicPruning partition filter")
+      joined
+    }),
+
+    // EXACT repeated-SPAN detection — the substring-level duplication
+    // signal (à la training-data dedup of repeated passages): a 5-token
+    // sliding window per doc, a span is "duplicated" when it appears in
+    // MORE THAN ONE doc, and each doc reports its span count + how many
+    // of its spans are shared. Spans are distinct-per-doc, so the
+    // per-span doc count is a plain count(*) window over ONE span-keyed
+    // exchange (no self-join, no second tokenize pass); the per-doc
+    // rollup rides a doc_id exchange. At 100 TB this is the inverted-
+    // index dataflow — the span exchange is the inherent cost, and
+    // uniform md5-free keys mean no hot bucket. Counts are BIGINT —
+    // exact at any parallelism
+    "e61_span_dedup" -> ((s, dir) => {
+      val W = 5
+      val spans = tBalanced(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= W)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("tk")) - (W - 1)),
+          i => concat_ws(" ",
+            (0 until W).map(o => element_at(col("tk"), i + lit(o))): _*))))
+          .as("span"))
+      spans
+        .withColumn("span_docs",
+          count(lit(1)).over(Window.partitionBy(col("span"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("span_docs") > 1, 1L).otherwise(0L))
+            .as("n_dup_spans"))
+    }),
+
     // HEAVY HITTERS via Misra–Gries sketches + exact confirmation
     // ([[HeavyHitters]]): keys above fraction 1/65 of the corpus,
     // found WITHOUT aggregating the full key cardinality — the sketch
@@ -284,5 +361,39 @@ object Surface12Queries {
     "e59_heavy_hitters" ->
       """SELECT lang || '|' || source AS key, CAST(count(*) AS BIGINT) AS cnt
          FROM documents GROUP BY 1
-         HAVING count(*) * 65 > (SELECT count(*) FROM documents)""")
+         HAVING count(*) * 65 > (SELECT count(*) FROM documents)""",
+    "e61_span_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents
+           WHERE len(list_filter(string_split_regex(lower(text),
+             '[^a-z0-9]+'), x -> x <> '')) >= 5),
+           sp AS (
+             SELECT DISTINCT doc_id,
+                    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                      tk[i+3] || ' ' || tk[i+4] AS span
+             FROM (SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk)-4)) AS i
+                   FROM toks)),
+           sc AS (SELECT doc_id, span,
+                    count(*) OVER (PARTITION BY span) AS span_docs
+                  FROM sp)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN span_docs > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_spans
+         FROM sc GROUP BY 1""",
+    "q99_dpp" ->
+      """WITH d AS (SELECT * FROM (VALUES
+             ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'conversion'), ('signup', 'conversion'),
+             ('error', 'ops')) AS t(event_type, category)),
+           e AS (SELECT event_type, value FROM events)
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS vm
+         FROM e JOIN d ON e.event_type = d.event_type
+         WHERE d.category = 'engagement'
+         GROUP BY 1""")
 }
