@@ -213,6 +213,30 @@ object Surface12Queries {
       joined
     }),
 
+    // BLOCKLIST / multi-term safety filter — the keyword-screening pass
+    // every corpus curation stack runs (safety terms, PII keywords,
+    // boilerplate markers). The term set rides the plan as a literal
+    // array (broadcast-equivalent; a real deployment swaps in a
+    // broadcast dim without changing shape) and matching is
+    // array_intersect over the SAME tokenizer every other text op uses
+    // — one narrow scan, no shuffle until the tiny per-doc rollup.
+    // Matched terms surface sorted so the judged frame is
+    // deterministic; docs with no hits keep a row (matched = empty,
+    // blocked = false) because a filter that silently drops rows can't
+    // be audited
+    "e62_blocklist" -> ((s, dir) => {
+      val terms = Seq("spark", "stream", "vector", "window")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_sort(array_intersect(
+            array_distinct(TextAnalysis.tokens(col("text"))),
+            lit(terms.toArray))).as("m"))
+        .select(col("doc_id"),
+          concat_ws(",", col("m")).as("matched"),
+          (size(col("m")) > 0).as("blocked"),
+          size(col("m")).cast("long").as("n_matched"))
+    }),
+
     // EXACT repeated-SPAN detection — the substring-level duplication
     // signal (à la training-data dedup of repeated passages): a 5-token
     // sliding window per doc, a span is "duplicated" when it appears in
@@ -362,6 +386,18 @@ object Surface12Queries {
       """SELECT lang || '|' || source AS key, CAST(count(*) AS BIGINT) AS cnt
          FROM documents GROUP BY 1
          HAVING count(*) * 65 > (SELECT count(*) FROM documents)""",
+    "e62_blocklist" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  list_sort(list_intersect(
+                    list_distinct(list_filter(string_split_regex(
+                      lower(text), '[^a-z0-9]+'), x -> x <> '')),
+                    ['spark', 'stream', 'vector', 'window'])) AS mm
+           FROM documents)
+         SELECT doc_id, COALESCE(array_to_string(mm, ','), '') AS matched,
+                len(mm) > 0 AS blocked,
+                CAST(len(mm) AS BIGINT) AS n_matched
+         FROM m""",
     "e61_span_dedup" ->
       """WITH toks AS (
            SELECT doc_id,
