@@ -213,6 +213,31 @@ object Surface12Queries {
       joined
     }),
 
+    // TOKEN-BUDGETED mixture sampling — the training-mixture builder's
+    // core move: consume each source's docs in a stable pseudo-random
+    // order (md5 of the id — identical on every engine and retry)
+    // until that source's TOKEN budget is spent, greedy
+    // start-before-budget rule (a doc is in iff the tokens consumed
+    // before it are under quota — so the budget can overshoot by at
+    // most one doc, never undershoot). One hash exchange on source +
+    // a per-source running sum; at 100 TB the window sort is
+    // source-local and spillable, and the same plan serves per-source
+    // quotas of any size. Counts exact BIGINT; e53 samples by DOC
+    // quota, this samples by TOKEN budget — the unit mixtures are
+    // actually specified in
+    "e63_token_budget" -> ((s, dir) => {
+      val quota = 600L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .where(col("cum") - col("n_tok") < quota)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
+    }),
+
     // BLOCKLIST / multi-term safety filter — the keyword-screening pass
     // every corpus curation stack runs (safety terms, PII keywords,
     // boilerplate markers). The term set rides the plan as a literal
@@ -386,6 +411,21 @@ object Surface12Queries {
       """SELECT lang || '|' || source AS key, CAST(count(*) AS BIGINT) AS cnt
          FROM documents GROUP BY 1
          HAVING count(*) * 65 > (SELECT count(*) FROM documents)""",
+    "e63_token_budget" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+           c AS (
+             SELECT doc_id, source, n_tok,
+                    CAST(SUM(n_tok) OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+             FROM d)
+         SELECT doc_id, source, n_tok, cum FROM c
+         WHERE cum - n_tok < 600""",
     "e62_blocklist" ->
       """WITH m AS (
            SELECT doc_id,
