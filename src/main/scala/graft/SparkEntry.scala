@@ -26,7 +26,8 @@ object SparkEntry {
       SimilarityQueries.all ++ WindowQueries.all ++ MiscQueries.all ++
       RuntimeQueries.all ++ Surface5Queries.all ++ Surface6Queries.all ++
       Surface7Queries.all ++ Surface8Queries.all ++ Surface9Queries.all ++
-      Surface10Queries.all ++ Surface11Queries.all ++ Surface12Queries.all
+      Surface10Queries.all ++ Surface11Queries.all ++ Surface12Queries.all ++
+      Surface13Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
       Surface5Queries.oracles ++ Surface6Queries.oracles ++
       Surface7Queries.oracles ++ Surface8Queries.oracles ++
       Surface9Queries.oracles ++ Surface10Queries.oracles ++
-      Surface11Queries.oracles ++ Surface12Queries.oracles
+      Surface11Queries.oracles ++ Surface12Queries.oracles ++
+      Surface13Queries.oracles
 }

@@ -88,4 +88,42 @@ object Corpus {
         size(col("chunk")).cast("long").as("n_tok"),
         array_join(col("chunk"), " ").as("chunk_text"))
   }
+
+  /** Boilerplate segment removal WITH reassembly (C4-style cleanup):
+    * split each document into non-overlapping `segTokens`-token
+    * segments, drop every segment whose verbatim text appears in ≥
+    * `minDocs` distinct documents, and reassemble the survivors in
+    * original order. Returns (id, clean_text, n_segs, n_removed); a
+    * document fully consumed by boilerplate keeps a row with ''.
+    *
+    * Plan: one exchange to (doc, seg_id) for segment assembly, one
+    * hash-agg on segment text for the frequency side — which collapses
+    * to the (tiny) repeated-segment list and joins back as a broadcast
+    * — and a per-document sort_array over collected (seg_id, seg)
+    * structs for reassembly. No global sort, no self-join; at 100 TB
+    * every stage is a narrow map or an equi-key exchange.
+    */
+  def segmentDedup(df: DataFrame, id: String, textCol: String,
+                   segTokens: Int, minDocs: Int): DataFrame = {
+    val toks = df.select(col(id),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val segs = toks
+      .groupBy(col(id), floor(col("pos") / segTokens).as("seg_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("seg"))
+    val dup = segs.groupBy(col("seg"))
+      .agg(countDistinct(col(id)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("seg"), lit(true).as("dup"))
+    segs.join(broadcast(dup), Seq("seg"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("dup"), 1)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("dup").isNull, struct(col("seg_id"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+      .select(col(id), col("clean_text"), col("n_segs"), col("n_removed"))
+  }
 }

@@ -202,6 +202,16 @@ object Similarity {
     greatest(scored: _*).getField("i")
   }
 
+  /** Cosine of a vector to its own (nearest) centroid — the cell
+    * cohesion score SemDeDup-style pruning ranks by: within a cluster,
+    * the member CLOSER to the centroid is the redundant one (its
+    * information is better represented); the peripheral member carries
+    * the diversity. Same max the greatest-struct in [[ivfCell]] takes,
+    * read on the score side.
+    */
+  def ivfCellScore(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    greatest(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
+
   /** Multi-probe cell list: the `nprobe` best cells for a vector,
     * ordered by descending cosine with ties to the higher index — the
     * same total order [[ivfCell]]'s greatest-struct uses, so probe 1 of

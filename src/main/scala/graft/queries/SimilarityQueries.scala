@@ -20,7 +20,7 @@ object SimilarityQueries {
   /** IVF centroid count (small on purpose: the oracle SQL embeds
     * ivfN × 64 literal doubles).
     */
-  private val ivfN = 4
+  private[queries] val ivfN = 4
 
   /** The query vector: embeddings row vec_id=0, as a broadcast 1-row
     * frame (no driver collect; at 100 TB this is a broadcast of 256
@@ -335,7 +335,7 @@ object SimilarityQueries {
 
   // mirrors greatest(struct(s, i)).getField("i"): lexicographic max on
   // (score, index) — descending >= CASE chain gives ties to higher j
-  private def ivfCellSql(vec: String) = {
+  private[queries] def ivfCellSql(vec: String) = {
     val ss = (0 until ivfN).map(j => ivfScore(vec, j))
     val cases = (ivfN - 1 to 1 by -1).map { j =>
       val ge = (0 until j).map(o => s"${ss(j)} >= ${ss(o)}")
@@ -344,6 +344,11 @@ object SimilarityQueries {
     }.mkString(" ")
     s"(CASE $cases ELSE 0 END)"
   }
+
+  /** Max cosine over the centroid set — SQL mirror of
+    * Similarity.ivfCellScore (the cell-cohesion score). */
+  private[queries] def ivfMaxScoreSql(vec: String): String =
+    s"GREATEST(${(0 until ivfN).map(j => ivfScore(vec, j)).mkString(", ")})"
 
   private[queries] val ivfSql: String =
     s"""WITH q AS (SELECT embedding AS qe, ${ivfCellSql("embedding")} AS qcell
