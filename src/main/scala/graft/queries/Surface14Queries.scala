@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -32,6 +32,30 @@ object Surface14Queries {
   private val pqSub = 16
   private val pqK = 4
   private def pqCents = Similarity.syntheticCentroids(pqK, 64)
+
+  // ---- PQ plan-side expressions (shared by e67 encode / e69 ADC) ------
+  private def pqSubVec(vec: Column, m: Int): Column =
+    slice(vec, m * pqSub + 1, pqSub)
+  private def pqSubLitArr(m: Int, j: Int): Column =
+    array(pqCents(j).slice(m * pqSub, m * pqSub + pqSub).map(lit): _*)
+  private def pqSubCosCol(vec: Column, m: Int, j: Int): Column =
+    Similarity.cosine(pqSubVec(vec, m), pqSubLitArr(m, j))
+  private def pqCodeCol(vec: Column, m: Int): Column =
+    greatest((0 until pqK).map(j =>
+      struct(pqSubCosCol(vec, m, j).as("s"), lit(j).as("i"))): _*)
+      .getField("i").cast("long")
+  private def pqBestCol(vec: Column, m: Int): Column =
+    greatest((0 until pqK).map(j => pqSubCosCol(vec, m, j)): _*)
+
+  /** Shared micro-batch shuffle sizing for the runtime queries (32
+    * state-store dirs per stateful op is waste at test scale; a real
+    * cluster sizes this to executor count).
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // NOT IN (subquery) under three-valued logic — the null-aware anti
@@ -74,19 +98,51 @@ object Surface14Queries {
     // monitoring signal codebook training would maximize. One narrow
     // scan, all plan literals: no shuffle, no join, codegen end to end
     "e67_pq" -> ((s, dir) => {
-      def subVec(m: Int) = slice(col("embedding"), m * pqSub + 1, pqSub)
-      def subCos(m: Int, j: Int) =
-        Similarity.cosine(subVec(m),
-          array(pqCents(j).slice(m * pqSub, m * pqSub + pqSub).map(lit): _*))
-      def code(m: Int) = greatest((0 until pqK).map(j =>
-        struct(subCos(m, j).as("s"), lit(j).as("i"))): _*)
-        .getField("i").cast("long")
-      def best(m: Int) = greatest((0 until pqK).map(j => subCos(m, j)): _*)
+      val v = col("embedding")
       t(s, dir, "embeddings").select(col("vec_id"),
-        code(0).as("code_0"), code(1).as("code_1"),
-        code(2).as("code_2"), code(3).as("code_3"),
-        floor((best(0) + best(1) + best(2) + best(3)) * 1e6)
-          .cast("long").as("cohesion_c"))
+        pqCodeCol(v, 0).as("code_0"), pqCodeCol(v, 1).as("code_1"),
+        pqCodeCol(v, 2).as("code_2"), pqCodeCol(v, 3).as("code_3"),
+        floor((pqBestCol(v, 0) + pqBestCol(v, 1) + pqBestCol(v, 2) +
+          pqBestCol(v, 3)) * 1e6).cast("long").as("cohesion_c"))
+    }),
+
+    // IVF-PQ retrieval, the ADC (asymmetric distance computation) half:
+    // the query's 16 sub-cosines against every sub-codebook entry are
+    // computed ONCE into a lookup table that lives in the broadcast
+    // 1-row query frame; each corpus row then scores as 4 table lookups
+    // selected by its PQ codes — no per-pair vector arithmetic at all.
+    // That table-lookup structure is what makes PQ search memory-bound
+    // rather than compute-bound at 100 TB: the corpus side touches only
+    // M code bytes per row, the float vectors never leave storage.
+    // Approximation error vs exact cosine is the PQ reconstruction
+    // error (bounded by e67's cohesion); recall audits ride e24/e34
+    "e69_pq_adc" -> ((s, dir) => {
+      val luts = (0 until pqM).flatMap { m =>
+        (0 until pqK).map(j =>
+          pqSubCosCol(col("qe"), m, j).as(s"lut_${m}_$j"))
+      }
+      val q = broadcast(t(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+        .select(Seq(col("qe")) ++ luts: _*))
+      val v = col("embedding")
+      val codes = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          pqCodeCol(v, 0).as("code_0"), pqCodeCol(v, 1).as("code_1"),
+          pqCodeCol(v, 2).as("code_2"), pqCodeCol(v, 3).as("code_3"))
+      def lutSel(m: Int) = {
+        val c = col(s"code_$m")
+        when(c === 0, col(s"lut_${m}_0"))
+          .when(c === 1, col(s"lut_${m}_1"))
+          .when(c === 2, col(s"lut_${m}_2"))
+          .otherwise(col(s"lut_${m}_3"))
+      }
+      codes.crossJoin(q)
+        .select(col("vec_id"),
+          (lutSel(0) + lutSel(1) + lutSel(2) + lutSel(3)).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"),
+          floor(col("adc") * 1e6).cast("long").as("adc_c"))
     }),
 
     // Deterministic training-order shuffle — the write-side op every
@@ -131,9 +187,7 @@ object Surface14Queries {
       val schema = StructType(Seq(
         StructField("event_id", LongType),
         StructField("event_type", StringType)))
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withShufflePartitions(s, 8) {
         s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
           .parquet(feed)
           .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
@@ -144,12 +198,56 @@ object Surface14Queries {
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow).start().awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       val nBatches = new java.io.File(s"$ckpt/offsets").listFiles()
         .count(f => f.getName.forall(_.isDigit))
       s.read.parquet(out)
         .withColumn("n_epochs", lit(nBatches.toLong))
         .withColumn("complete_ok", lit(nBatches == 2))
+    }),
+
+    // CHAINED stateful operators in one streaming query — streaming
+    // dedup feeding a windowed aggregation, both keeping state in the
+    // SAME micro-batch pipeline (the shape Spark only admits when every
+    // stateful op rides the one event-time watermark). The feed injects
+    // duplicates (event_id % 7 re-sent in-batch); dedup suppresses them
+    // within the watermark horizon, the downstream hourly count sees
+    // each event once, and append mode emits exactly the windows the
+    // final watermark (max ts − 1 h) finalized. State audit: the
+    // checkpoint must hold TWO state-store operators. At 100 TB/day
+    // both stores stay finite: dedup keys age out at the watermark,
+    // windows close at the watermark — one pipeline, no intermediate
+    // sink between the two stateful stages
+    "c30_stream_chained" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("ts", "event_id")
+      val tmp = Files.createTempDirectory("graft-c30-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      val cut = lit("2024-01-21").cast("timestamp")
+      def leg(rows: DataFrame): Unit =
+        rows.unionAll(rows.where(col("event_id") % 7 === 0))
+          .coalesce(1).write.mode("append").parquet(feed)
+      leg(ev.where(col("ts") < cut))
+      leg(ev.where(col("ts") >= cut))
+      val schema = StructType(Seq(
+        StructField("ts", org.apache.spark.sql.types.TimestampType),
+        StructField("event_id", LongType)))
+      withShufflePartitions(s, 8) {
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(feed)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("win_start"), col("n"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow).start()
+          .awaitTermination()
+      }
+      val nStateOps = new java.io.File(s"$ckpt/state").listFiles()
+        .count(_.isDirectory)
+      s.read.parquet(out)
+        .withColumn("n_state_ops", lit(nStateOps.toLong))
     }))
 
   // ---- oracle SQL helpers (PQ) ----------------------------------------
@@ -244,5 +342,40 @@ object Surface14Queries {
     "c29_stream_complete" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(2 AS BIGINT) AS n_epochs, TRUE AS complete_ok
-         FROM events GROUP BY event_type""")
+         FROM events GROUP BY event_type""",
+    "e69_pq_adc" -> {
+      val luts = (0 until pqM).flatMap { m =>
+        (0 until pqK).map(j =>
+          s"${pqCosSql("embedding", m, j)} AS lut_${m}_$j")
+      }.mkString(",\n              ")
+      val scores = (0 until pqM).flatMap { m =>
+        (0 until pqK).map(j => s"${pqCosSql("embedding", m, j)} AS s${m}_$j")
+      }.mkString(",\n              ")
+      val codes = (0 until pqM)
+        .map(m => s"${pqCodeSql(m)} AS code_$m").mkString(",\n              ")
+      val sel = (0 until pqM).map { m =>
+        s"""CASE c.code_$m WHEN 0 THEN q.lut_${m}_0 WHEN 1 THEN q.lut_${m}_1
+            WHEN 2 THEN q.lut_${m}_2 ELSE q.lut_${m}_3 END"""
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qe,
+              $luts
+            FROM embeddings WHERE vec_id = 0),
+          sc AS (SELECT vec_id,
+              $scores
+            FROM embeddings WHERE vec_id <> 0),
+          codes AS (SELECT vec_id,
+              $codes
+            FROM sc),
+          a AS (SELECT c.vec_id, ($sel) AS adc FROM codes c, q)
+          SELECT vec_id, CAST(floor(adc * 1e6) AS BIGINT) AS adc_c
+          FROM a ORDER BY adc DESC, vec_id LIMIT 10"""
+    },
+    "c30_stream_chained" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+          wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),
+          b AS (SELECT date_trunc('hour', ts) AS win_start,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM e GROUP BY 1)
+          SELECT win_start, n, CAST(2 AS BIGINT) AS n_state_ops
+          FROM b, wm WHERE win_start + INTERVAL 1 HOUR <= w""")
 }
