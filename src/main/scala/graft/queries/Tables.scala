@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   * Every judged query must hash-match a DuckDB oracle on the same parquet
   * (TESTDATA.md). Two engine-difference hazards are handled centrally:
   *
-  *  1. `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-  *     rejects; we read it as epoch-nanos long
-  *     (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-  *     microseconds — the exact value DuckDB produces with
-  *     `CAST(ts AS TIMESTAMP)`.
+  *  1. `events.ts` has drifted across driver fixture generations:
+  *     originally parquet TIMESTAMP(NANOS) (which Spark's reader rejects,
+  *     so we read it as epoch-nanos long via
+  *     `spark.sql.legacy.parquet.nanosAsLong` and truncate to micros),
+  *     currently TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ).
+  *     [[events]] dispatches on the schema it actually finds and
+  *     normalizes either form to microsecond `TimestampType` in the UTC
+  *     session zone — the exact value DuckDB produces with
+  *     `CAST(ts AS TIMESTAMP)`. `EventsFixtureSpec` is the drift canary:
+  *     it fails loudly if the fixture changes to a third encoding.
   *  2. Double aggregation order differs between engines (and between runs
   *     of a parallel engine), so judged sums go through exact,
   *     order-independent decimal arithmetic: cast each term to a decimal
@@ -45,11 +50,26 @@ object Tables {
     else df
   }
 
-  /** `events` with ts normalized to microsecond TimestampType (see above). */
+  /** `events` with ts normalized to microsecond TimestampType (see above).
+    * Schema-dispatched so both known fixture encodings work: epoch-nanos
+    * long (legacy TIMESTAMP(NANOS) fixture) and native TIMESTAMP(MICROS).
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case TimestampNTZType =>
+        // NTZ wall-clock reinterpreted in the UTC session zone — identical
+        // micros value to the legacy path and to DuckDB's TIMESTAMP read.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts fixture drifted to unsupported type $other; " +
+            "update Tables.events dispatch")
+    }
   }
 
   /** Exact decimal image of a double column at the data's decimal scale. */
