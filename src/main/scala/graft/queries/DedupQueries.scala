@@ -148,25 +148,12 @@ object DedupQueries {
     // arithmetic is exact-integer + one IEEE division per column, so
     // the audit itself is judged, not just asserted
     "e39_minhash_est" -> ((s, dir) => {
-      // one md5 pass feeds BOTH the candidate-pair derivation and the
-      // per-pair signature comparison (minhashCandidatePairs would
-      // re-hash internally — measured ~2× on this query's hot path)
-      val docs = shingledDocs(s, dir)
-        .select(col("doc_id"), col("sh"),
-          transform(col("sh"), x => Dedup.shingleHash(x)).as("hs"))
-        .persist()
-      val sig = docs.select(col("doc_id") +:
-        Dedup.minhashSignaturesFromHashes(col("hs"), minhashK): _*)
-        .persist()
-      val banded = sig.select(col("doc_id") +:
-        Dedup.bandKeys((0 until minhashK).map(j => col(s"sig_$j")), bands): _*)
-      val long = banded.select(col("doc_id"), explode(array(
-        (0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
-      val pairs = long.as("a")
-        .join(long.as("b"), col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct().persist()
+      // signatures and candidate pairs come from the shared stage dirs
+      // (one md5+signature pass per JVM×sf, amortized across the whole
+      // minhash family) — this query adds only narrow scans + two joins
+      // plus the exact-Jaccard verification over the pair set
+      val sig = stagedSignatures(s, dir)
+      val pairs = candidatePairs(s, dir)
       val nMatch = (0 until minhashK)
         .map(j => when(col(s"sa.sig_$j") === col(s"sb.sig_$j"), lit(1L))
           .otherwise(lit(0L)))
@@ -175,7 +162,8 @@ object DedupQueries {
         .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
         .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
         .select(col("id_a"), col("id_b"), nMatch.as("n_match"))
-      val exact = Dedup.jaccardForPairs(pairs, docs, "doc_id", "sh")
+      val exact = Dedup.jaccardForPairs(pairs, shingledDocs(s, dir),
+        "doc_id", "sh")
       val estJ = col("n_match").cast("double") / lit(minhashK.toDouble)
       est.join(exact, Seq("id_a", "id_b"))
         .select(col("id_a"), col("id_b"), col("n_match"),
@@ -196,32 +184,42 @@ object DedupQueries {
     * later read is a narrow scan. A deterministic stage path, never a
     * Spark cache (nothing pins executor memory across queries).
     */
-  private val pairStage =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val componentStage =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** k=8 MinHash signatures staged once per (JVM, sf): the one
+    * md5-per-shingle + k-fold pass over the corpus that every
+    * minhash-family query needs. Downstream consumers (banding, pair
+    * audit e39) read this narrow (id, 8×long) parquet instead of
+    * re-hashing the corpus.
+    */
+  private def stagedSignatures(s: SparkSession, dir: String): DataFrame =
+    Stage.frame(s, s"sig:$dir", "graft-sig-") {
+      stagedShingleHashes(s, dir)
+        .select(col("doc_id") +:
+          Dedup.minhashSignaturesFromHashes(col("hs"), minhashK): _*)
+    }
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val path = pairStage.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-lsh-")
-        .toString + "/pairs"
-      Dedup.minhashCandidatePairs(shingledDocs(s, dir),
-        "doc_id", "sh", minhashK, bands)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
+    val sig = stagedSignatures(s, dir) // hoisted (see Stage scaladoc)
+    Stage.frame(s, s"pairs:$dir", "graft-lsh-") {
+      // band + self-join over the STAGED signatures: both join sides
+      // re-scan the tiny sig parquet (no persist needed), the corpus
+      // text is never touched again
+      val banded = sig.select(col("doc_id") +:
+        Dedup.bandKeys((0 until minhashK).map(j => col(s"sig_$j")), bands): _*)
+      val long = banded.select(col("doc_id"), explode(array(
+        (0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+      long.as("a")
+        .join(long.as("b"), col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+    }
   }
 
   private def componentLabels(s: SparkSession, dir: String): DataFrame = {
-    val path = componentStage.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-e15-")
-        .toString + "/components"
-      Dedup.connectedComponents(candidatePairs(s, dir), "id_a", "id_b")
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
+    val pairs = candidatePairs(s, dir) // hoisted (see Stage scaladoc)
+    Stage.frame(s, s"cc:$dir", "graft-e15-") {
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }
   }
 
   /** tokens → distinct word shingles (the frame every minhash-family

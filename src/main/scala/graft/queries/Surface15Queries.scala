@@ -91,15 +91,20 @@ object Surface15Queries {
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
           concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
         .distinct()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-      // static per-iteration join side, materialized once (Verify/Bench
-      // clear the cache after each query; see q84's precedent)
-      val edgesD = edges.join(deg, "src").persist()
+      // static per-iteration join side, staged ONCE to a temp parquet:
+      // every iteration (and the node count) is a narrow scan of the
+      // (src, dst, od) frame — nothing stays pinned in executor memory
+      // after the query, and on a cluster the stage is durable storage
+      val edgesD = Stage.frame(s, s"pr-edges:$dir", "graft-pr-") {
+        val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+          .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+        edges.join(deg, "src")
+      }
       val n = edgesD.select(countDistinct(col("src"))).head().getLong(0)
       val tele = (15L * (prS / n)) / 100L
-      var ranks = deg.select(col("src").as("node"), lit(prS / n).as("r"))
+      var ranks = edgesD.select(col("src").as("node")).distinct()
+        .withColumn("r", lit(prS / n))
       for (_ <- 1 to prIters) {
         ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
           .select(col("dst"), Quantiles.ldiv(col("r"), col("od")).as("contrib"))
