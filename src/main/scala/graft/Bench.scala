@@ -21,6 +21,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.Graft.excludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen + parquet reader init + first-touch

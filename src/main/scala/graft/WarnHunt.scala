@@ -12,6 +12,8 @@ object WarnHunt {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.Graft.excludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Round-9 tranche: retrieval-curation shapes a training-data pipeline
+  * runs between dedup and packing — margin-based bitext mining
+  * (Artetxe–Schwenk style difference margin), hard-negative mining for
+  * contrastive training, centroid-distance outlier pruning, n-gram
+  * novelty scoring — plus an IGNORE NULLS forward-fill window on the
+  * events table (reference has no window surface at all; SURVEY §2.5).
+  *
+  * Float discipline matches the repo convention: every cross-engine
+  * sum is fixed-point-quantized (floor(x·1e7) as BIGINT) so aggregation
+  * order can never change a judged value; IEEE ops appear only in
+  * per-row scalar tails identical on both engines.
+  */
+object Surface16Queries {
+  import Tables._
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MARGIN-BASED MINING between two embedding populations (labels 0
+    // and 1 standing in for two languages/domains): for every source
+    // vector, its best candidate and the margin over the runner-up —
+    // the standard accept/reject signal for mined parallel pairs.
+    // Candidate side is broadcast (a candidate batch is MBs at any
+    // corpus scale); at corpus×corpus scale both sides go through the
+    // LSH bucket join exactly as e56_batch_ann — the margin criterion
+    // composes unchanged on top of any candidate generator.
+    "e72_bitext_margin" -> ((s, dir) => {
+      val a = emb(s, dir).where(col("label") === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+      val b = emb(s, dir).where(col("label") === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("be"))
+      val scored = a.crossJoin(broadcast(b))
+        .select(col("a_id"), col("b_id"),
+          Similarity.cosineExact(col("ae"), col("be")).as("cosine"))
+      val w = Window.partitionBy("a_id")
+        .orderBy(col("cosine").desc, col("b_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("runner_up", lead(col("cosine"), 1).over(w))
+        .where(col("rn") === 1)
+        .select(col("a_id"), col("b_id"), col("cosine"),
+          (col("cosine") - col("runner_up")).as("margin"))
+    }),
+
+    // HARD-NEGATIVE MINING for contrastive training: per query vector,
+    // the top-3 most similar vectors with a DIFFERENT label — similar
+    // enough to be informative, guaranteed-wrong by construction. The
+    // tiny query batch broadcasts; the label predicate prunes inside
+    // the same codegen span as the scoring, and the per-query top-3
+    // plans as WindowGroupLimit (each partition forwards ≤3 rows per
+    // query before the exchange).
+    "e75_hard_negatives" -> ((s, dir) => {
+      val q = broadcast(emb(s, dir).where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qe")))
+      val scored = emb(s, dir)
+        .join(q, col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.cosineExact(col("embedding"), col("qe")).as("cosine"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    }),
+
+    // CENTROID-DISTANCE OUTLIERS: per-label centroid (fixed-point
+    // sums, same construction as e23_mean_pool), then each vector's
+    // squared distance to its own centroid, top-3 farthest per label —
+    // the embedding-space pruning pass that drops mislabeled/garbage
+    // rows before training. Two hash exchanges total (dim-wise centroid
+    // agg, per-vector distance agg); the centroid frame is
+    // labels×dims = tiny, so the join broadcasts.
+    "e73_centroid_outliers" -> ((s, dir) => {
+      val x = emb(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("col").cast("double").as("x"))
+      val cent = x.groupBy("label", "pos").agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("x") * lit(1e7)).cast("long")).as("sq"))
+        .select(col("label"), col("pos"),
+          (col("sq").cast("double") / lit(1e7) / col("n")).as("mean_v"))
+      val d = x.join(broadcast(cent), Seq("label", "pos"))
+        .select(col("vec_id"), col("label"),
+          floor(pow(col("x") - col("mean_v"), 2) * lit(1e7))
+            .cast("long").as("d2q"))
+        .groupBy("vec_id", "label").agg(sum(col("d2q")).as("s"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("s").desc, col("vec_id"))
+      d.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("vec_id"), col("label"),
+          (col("s").cast("double") / lit(1e7)).as("dist2"), col("rank"))
+    }),
+
+    // N-GRAM NOVELTY: per document, the fraction of its distinct word
+    // bigrams appearing in NO other document — the redundancy/novelty
+    // score curation uses to prefer fresh text when trimming to a token
+    // budget. Document frequency is one explode+groupBy (the exchange
+    // is on the shingle key, map-side partials apply); the ratio is
+    // exact-integer until one final division.
+    "e76_novelty" -> ((s, dir) => {
+      val sh = tBalanced(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 1)
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis
+            .wordShinglesFromTokens(col("tk"))).as("sn"))
+      val df = sh.groupBy("sn").agg(count(lit(1)).as("df"))
+      sh.join(df, "sn")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          (col("n_unique").cast("double") / col("n_shingles"))
+            .as("novelty"))
+    }),
+
+    // IGNORE NULLS forward-fill: per user in event order, carry the
+    // last non-null value forward (error events contribute no value).
+    // One window pass, partition-parallel by user — the canonical
+    // gap-fill for sensor/clickstream feeds. No float arithmetic: the
+    // carried value is copied, never summed, so doubles are safe.
+    "q103_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"),
+          last(when(col("event_type") =!= "error", col("value")),
+            ignoreNulls = true).over(w).as("filled_value"))
+    }))
+
+  private val prodSql = (a: String, b: String) =>
+    s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e7) AS BIGINT)"
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private val shingleCte =
+    s"""toks AS (SELECT doc_id, $tokensSql AS tk FROM documents
+                 WHERE len($tokensSql) > 1),
+        sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS sn
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, len(tk)-1)) AS i FROM toks))"""
+
+  val oracles: Map[String, String] = Map(
+    "e72_bitext_margin" ->
+      s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ae
+            FROM embeddings WHERE label = 0),
+          b AS (SELECT vec_id AS b_id, embedding AS be
+            FROM embeddings WHERE label = 1),
+          p AS (SELECT a_id, b_id,
+              SUM(${prodSql("ae[g.i]", "be[g.i]")}) AS dotf,
+              SUM(${prodSql("ae[g.i]", "ae[g.i]")}) AS naf,
+              SUM(${prodSql("be[g.i]", "be[g.i]")}) AS nbf
+            FROM a, b, generate_series(1, 64) AS g(i)
+            GROUP BY a_id, b_id),
+          sc AS (SELECT a_id, b_id,
+              (CAST(dotf AS DOUBLE) / 1e7) /
+                (sqrt(CAST(naf AS DOUBLE) / 1e7)
+                 * sqrt(CAST(nbf AS DOUBLE) / 1e7)) AS cosine
+            FROM p),
+          r AS (SELECT a_id, b_id, cosine,
+              row_number() OVER w AS rn,
+              lead(cosine) OVER w AS runner_up
+            FROM sc WINDOW w AS (PARTITION BY a_id
+              ORDER BY cosine DESC, b_id))
+          SELECT a_id, b_id, cosine, cosine - runner_up AS margin
+          FROM r WHERE rn = 1""",
+    "e75_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+              embedding AS qe
+            FROM embeddings WHERE vec_id % 100 = 0),
+          p AS (SELECT q.query_id, e.vec_id,
+              SUM(${prodSql("e.embedding[g.i]", "q.qe[g.i]")}) AS dotf,
+              SUM(${prodSql("e.embedding[g.i]", "e.embedding[g.i]")}) AS naf,
+              SUM(${prodSql("q.qe[g.i]", "q.qe[g.i]")}) AS nqf
+            FROM embeddings e JOIN q ON e.label <> q.qlabel,
+              generate_series(1, 64) AS g(i)
+            GROUP BY q.query_id, e.vec_id),
+          sc AS (SELECT query_id, vec_id,
+              (CAST(dotf AS DOUBLE) / 1e7) /
+                (sqrt(CAST(naf AS DOUBLE) / 1e7)
+                 * sqrt(CAST(nqf AS DOUBLE) / 1e7)) AS cosine
+            FROM p),
+          r AS (SELECT query_id, vec_id, cosine,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rank
+            FROM sc)
+          SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 3""",
+    "e73_centroid_outliers" ->
+      """WITH x AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, 64) AS g(i)),
+          cent AS (SELECT label, pos, count(*) AS n,
+              SUM(CAST(floor(x * 1e7) AS BIGINT)) AS sq
+            FROM x GROUP BY label, pos),
+          d AS (SELECT x.vec_id, x.label,
+              SUM(CAST(floor(pow(x.x - CAST(sq AS DOUBLE) / 1e7 / n, 2)
+                * 1e7) AS BIGINT)) AS s
+            FROM x JOIN cent ON x.label = cent.label AND x.pos = cent.pos
+            GROUP BY x.vec_id, x.label),
+          r AS (SELECT vec_id, label, s,
+              row_number() OVER (PARTITION BY label
+                ORDER BY s DESC, vec_id) AS rank
+            FROM d)
+          SELECT vec_id, label, CAST(s AS DOUBLE) / 1e7 AS dist2, rank
+          FROM r WHERE rank <= 3""",
+    "e76_novelty" ->
+      s"""WITH $shingleCte,
+          df AS (SELECT sn, count(*) AS df FROM sh GROUP BY sn)
+          SELECT doc_id, count(*) AS n_shingles,
+            CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_unique,
+            CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) AS novelty
+          FROM sh JOIN df USING (sn) GROUP BY doc_id""",
+    "q103_ignore_nulls" ->
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+           last_value(CASE WHEN event_type <> 'error' THEN value END
+             IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+         FROM events""")
+}

@@ -11,6 +11,8 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.Graft.excludedOptimizerRules)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
