@@ -142,6 +142,24 @@ object DedupQueries {
         count(lit(1)).as("cluster_size"))
     }),
 
+    // CONTAINMENT check over the LSH candidate pairs: which near-dup
+    // candidates are literal substring containments (quote, excerpt,
+    // boilerplate-wrapped copy) vs merely-similar text — the triage a
+    // dedup pipeline runs to pick removal policy (containment → keep
+    // superset doc; similarity → keep best-quality). Work = one narrow
+    // text join per pair side over the staged pair frame; the corpus
+    // is never self-joined on text.
+    "e77_containment" -> ((s, dir) => {
+      val pairs = candidatePairs(s, dir)
+      val txt = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      pairs
+        .join(txt.as("ta"), col("id_a") === col("ta.doc_id"))
+        .join(txt.as("tb"), col("id_b") === col("tb.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          col("ta.text").contains(col("tb.text")).as("a_contains_b"),
+          col("tb.text").contains(col("ta.text")).as("b_contains_a"))
+    }),
+
     // MinHash fidelity audit: per LSH candidate pair, the signature
     // agreement estimate (n_match/k) against the exact shingle Jaccard
     // — the measured sketch-quality evidence (E[n_match/k] = J). All
@@ -370,6 +388,14 @@ object DedupQueries {
           FROM lab l JOIN g ON l.component = g.component
             AND l.n_chars = g.mx
           GROUP BY l.component, g.mx, g.cluster_size""",
+    "e77_containment" ->
+      s"""WITH $shingleCte, $bandPairsCte
+          SELECT id_a, id_b,
+            contains(ta.text, tb.text) AS a_contains_b,
+            contains(tb.text, ta.text) AS b_contains_a
+          FROM pairs
+          JOIN documents ta ON id_a = ta.doc_id
+          JOIN documents tb ON id_b = tb.doc_id""",
     "e1_exact" ->
       """SELECT text AS dedup_key, min(doc_id) AS kept, count(*) AS n_copies
          FROM documents GROUP BY text""",

@@ -129,6 +129,33 @@ object Surface16Queries {
             .as("novelty"))
     }),
 
+    // PER-SOURCE DISTRIBUTION DRIFT: chi-square divergence of each
+    // source's token distribution against the corpus distribution
+    // (over the tokens the source actually emits) — the drift monitor
+    // a curation pipeline runs per ingest source to catch a feed gone
+    // bad. One tokenize+explode pass feeds every aggregate; counts are
+    // exact integers, each chi-square term is quantized before the sum
+    // so the score is aggregation-order independent; the corpus-total
+    // frame is a 1-row broadcast.
+    "e78_source_drift" -> ((s, dir) => {
+      val tok = tBalanced(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as("t"))
+      val st = tok.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+      val ct = st.groupBy("t").agg(sum(col("c_st")).as("c_t"))
+      val ns = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+      val n = broadcast(ct.agg(sum(col("c_t")).as("n")))
+      val p = col("c_st").cast("double") / col("n_s")
+      val q = col("c_t").cast("double") / col("n")
+      st.join(ct, "t").join(ns, "source").crossJoin(n)
+        .select(col("source"), col("n_s"),
+          floor(pow(p - q, 2) / q * lit(1e9)).cast("long").as("tq"))
+        .groupBy("source", "n_s")
+        .agg((sum(col("tq")).cast("double") / lit(1e9)).as("chi2"))
+        .select(col("source"), col("n_s").as("n_tokens"), col("chi2"))
+    }),
+
     // IGNORE NULLS forward-fill: per user in event order, carry the
     // last non-null value forward (error events contribute no value).
     // One window pass, partition-parallel by user — the canonical
@@ -229,6 +256,23 @@ object Surface16Queries {
             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
               / count(*) AS novelty
           FROM sh JOIN df USING (sn) GROUP BY doc_id""",
+    "e78_source_drift" ->
+      s"""WITH tok AS (SELECT source, unnest($tokensSql) AS t
+            FROM documents),
+          st AS (SELECT source, t, count(*) AS c_st FROM tok GROUP BY 1, 2),
+          ct AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t
+            FROM st GROUP BY 1),
+          ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+            FROM st GROUP BY 1),
+          nt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct),
+          terms AS (SELECT st.source, ns.n_s,
+              CAST(floor(pow(CAST(c_st AS DOUBLE) / n_s
+                  - CAST(c_t AS DOUBLE) / nt.n, 2)
+                / (CAST(c_t AS DOUBLE) / nt.n) * 1e9) AS BIGINT) AS tq
+            FROM st JOIN ct USING (t) JOIN ns USING (source), nt)
+          SELECT source, n_s AS n_tokens,
+            CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e9 AS chi2
+          FROM terms GROUP BY source, n_s""",
     "q103_ignore_nulls" ->
       """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
            last_value(CASE WHEN event_type <> 'error' THEN value END
