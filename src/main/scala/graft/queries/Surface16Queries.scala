@@ -33,14 +33,28 @@ object Surface16Queries {
     // corpus scale); at corpus×corpus scale both sides go through the
     // LSH bucket join exactly as e56_batch_ann — the margin criterion
     // composes unchanged on top of any candidate generator.
+    // Pair scoring is the native codegen vec_dot (sequential double
+    // fold, bit-equal to the oracle's list_reduce); self-norms are
+    // hoisted into per-row projections BELOW the join so each pair
+    // pays exactly one 64-wide fold + one divide — at pairs =
+    // |A|·|B| scale the unhoisted form triples the dominant cost. The
+    // source side is repartitioned to cluster parallelism (a filtered
+    // small read is one split; the pair loop must not run one-core).
     "e72_bitext_margin" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val a = emb(s, dir).where(col("label") === 0)
-        .select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+          sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+            .as("sna"))
       val b = emb(s, dir).where(col("label") === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("be"))
+        .select(col("vec_id").as("b_id"), col("embedding").as("be"),
+          sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+            .as("snb"))
       val scored = a.crossJoin(broadcast(b))
         .select(col("a_id"), col("b_id"),
-          Similarity.cosineExact(col("ae"), col("be")).as("cosine"))
+          (call_function("vec_dot", col("ae"), col("be")) /
+            (col("sna") * col("snb"))).as("cosine"))
       val w = Window.partitionBy("a_id")
         .orderBy(col("cosine").desc, col("b_id"))
       scored
@@ -58,14 +72,30 @@ object Surface16Queries {
     // the same codegen span as the scoring, and the per-query top-3
     // plans as WindowGroupLimit (each partition forwards ≤3 rows per
     // query before the exchange).
+    // Same native-fold + hoisted-norm shape as e72: the corpus side is
+    // the stream side of the broadcast join (repartitioned to cluster
+    // parallelism); per (query, corpus-row) pair the cost is one
+    // codegen fold. Per-query work is inherently linear in the corpus
+    // — the 100 TB route swaps the exact scorer for the e56 LSH bucket
+    // candidate generator (recall audited by e24/e34) with this exact
+    // ranking unchanged on the candidates.
     "e75_hard_negatives" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val q = broadcast(emb(s, dir).where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-          col("embedding").as("qe")))
-      val scored = emb(s, dir)
+          col("embedding").as("qe"),
+          sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+            .as("snq")))
+      val corpus = emb(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+            .as("snc"))
+      val scored = corpus
         .join(q, col("label") =!= col("qlabel"))
         .select(col("query_id"), col("vec_id"),
-          Similarity.cosineExact(col("embedding"), col("qe")).as("cosine"))
+          (call_function("vec_dot", col("embedding"), col("qe")) /
+            (col("snc") * col("snq"))).as("cosine"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -171,9 +201,6 @@ object Surface16Queries {
             ignoreNulls = true).over(w).as("filled_value"))
     }))
 
-  private val prodSql = (a: String, b: String) =>
-    s"CAST(floor(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e7) AS BIGINT)"
-
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
@@ -186,21 +213,18 @@ object Surface16Queries {
 
   val oracles: Map[String, String] = Map(
     "e72_bitext_margin" ->
-      s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ae
+      s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ae,
+              sqrt(${SimilarityQueries.foldDot("embedding", "embedding")})
+                AS sna
             FROM embeddings WHERE label = 0),
-          b AS (SELECT vec_id AS b_id, embedding AS be
+          b AS (SELECT vec_id AS b_id, embedding AS be,
+              sqrt(${SimilarityQueries.foldDot("embedding", "embedding")})
+                AS snb
             FROM embeddings WHERE label = 1),
-          p AS (SELECT a_id, b_id,
-              SUM(${prodSql("ae[g.i]", "be[g.i]")}) AS dotf,
-              SUM(${prodSql("ae[g.i]", "ae[g.i]")}) AS naf,
-              SUM(${prodSql("be[g.i]", "be[g.i]")}) AS nbf
-            FROM a, b, generate_series(1, 64) AS g(i)
-            GROUP BY a_id, b_id),
           sc AS (SELECT a_id, b_id,
-              (CAST(dotf AS DOUBLE) / 1e7) /
-                (sqrt(CAST(naf AS DOUBLE) / 1e7)
-                 * sqrt(CAST(nbf AS DOUBLE) / 1e7)) AS cosine
-            FROM p),
+              ${SimilarityQueries.foldDot("ae", "be")} / (sna * snb)
+                AS cosine
+            FROM a, b),
           r AS (SELECT a_id, b_id, cosine,
               row_number() OVER w AS rn,
               lead(cosine) OVER w AS runner_up
@@ -210,20 +234,18 @@ object Surface16Queries {
           FROM r WHERE rn = 1""",
     "e75_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
-              embedding AS qe
+              embedding AS qe,
+              sqrt(${SimilarityQueries.foldDot("embedding", "embedding")})
+                AS snq
             FROM embeddings WHERE vec_id % 100 = 0),
-          p AS (SELECT q.query_id, e.vec_id,
-              SUM(${prodSql("e.embedding[g.i]", "q.qe[g.i]")}) AS dotf,
-              SUM(${prodSql("e.embedding[g.i]", "e.embedding[g.i]")}) AS naf,
-              SUM(${prodSql("q.qe[g.i]", "q.qe[g.i]")}) AS nqf
-            FROM embeddings e JOIN q ON e.label <> q.qlabel,
-              generate_series(1, 64) AS g(i)
-            GROUP BY q.query_id, e.vec_id),
-          sc AS (SELECT query_id, vec_id,
-              (CAST(dotf AS DOUBLE) / 1e7) /
-                (sqrt(CAST(naf AS DOUBLE) / 1e7)
-                 * sqrt(CAST(nqf AS DOUBLE) / 1e7)) AS cosine
-            FROM p),
+          c AS (SELECT vec_id, label, embedding,
+              sqrt(${SimilarityQueries.foldDot("embedding", "embedding")})
+                AS snc
+            FROM embeddings),
+          sc AS (SELECT q.query_id, c.vec_id,
+              ${SimilarityQueries.foldDot("c.embedding", "q.qe")}
+                / (snc * snq) AS cosine
+            FROM c JOIN q ON c.label <> q.qlabel),
           r AS (SELECT query_id, vec_id, cosine,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, vec_id) AS rank
