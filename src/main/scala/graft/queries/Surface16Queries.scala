@@ -159,6 +159,30 @@ object Surface16Queries {
             .as("novelty"))
     }),
 
+    // JOIN-CARDINALITY ESTIMATION: the equi-width key-histogram
+    // statistic a cost-based planner keeps — self-join size of
+    // lineitem on suppkey estimated from 64 md5-bucketed (rows,
+    // distinct-keys) pairs under the uniform-within-bucket assumption,
+    // judged against the exact Σ n(k)² answer computed in the same
+    // pass. Estimator arithmetic is exact-integer (nb² div db summed
+    // as longs), so the audit is reproducible at any parallelism; the
+    // exact side is one (key → count) aggregate — the map-side-combine
+    // exchange that also feeds the histogram.
+    "q104_join_card" -> ((s, dir) => {
+      val perKey = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("n"))
+      val exact = perKey.agg(sum(col("n") * col("n")).as("exact_card"))
+      val bucket = conv(substring(md5(col("k").cast("string")), 1, 4),
+        16, 10).cast("long") % 64
+      val est = perKey.groupBy(bucket.as("b"))
+        .agg(sum(col("n")).as("nb"), count(lit(1)).as("db"))
+        .agg(sum(expr("(nb * nb) div db")).as("est_card"))
+      exact.crossJoin(est)
+        .select(col("exact_card"), col("est_card"),
+          (col("est_card").cast("double") /
+            col("exact_card").cast("double")).as("est_over_exact"))
+    }),
+
     // PER-SOURCE DISTRIBUTION DRIFT: chi-square divergence of each
     // source's token distribution against the corpus distribution
     // (over the tokens the source actually emits) — the drift monitor
@@ -278,6 +302,20 @@ object Surface16Queries {
             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
               / count(*) AS novelty
           FROM sh JOIN df USING (sn) GROUP BY doc_id""",
+    "q104_join_card" ->
+      """WITH pk AS (SELECT l_suppkey AS k, count(*) AS n
+            FROM lineitem GROUP BY 1),
+          ex AS (SELECT CAST(SUM(n * n) AS BIGINT) AS exact_card FROM pk),
+          h AS (SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 64 AS b,
+                CAST(SUM(n) AS BIGINT) AS nb, count(*) AS db
+            FROM pk GROUP BY 1),
+          es AS (SELECT CAST(SUM((nb * nb) // db) AS BIGINT) AS est_card
+            FROM h)
+          SELECT exact_card, est_card,
+            CAST(est_card AS DOUBLE) / CAST(exact_card AS DOUBLE)
+              AS est_over_exact
+          FROM ex, es""",
     "e78_source_drift" ->
       s"""WITH tok AS (SELECT source, unnest($tokensSql) AS t
             FROM documents),
