@@ -3,19 +3,22 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
 
 /** Round-9 tranche: retrieval-curation shapes a training-data pipeline
   * runs between dedup and packing — margin-based bitext mining
   * (Artetxe–Schwenk style difference margin), hard-negative mining for
   * contrastive training, centroid-distance outlier pruning, n-gram
-  * novelty scoring — plus an IGNORE NULLS forward-fill window on the
-  * events table (reference has no window surface at all; SURVEY §2.5).
+  * novelty scoring, per-source distribution drift, join-cardinality
+  * estimation — plus an IGNORE NULLS forward-fill window on the events
+  * table (reference has no window surface at all; SURVEY §2.5).
   *
-  * Float discipline matches the repo convention: every cross-engine
-  * sum is fixed-point-quantized (floor(x·1e7) as BIGINT) so aggregation
-  * order can never change a judged value; IEEE ops appear only in
-  * per-row scalar tails identical on both engines.
+  * Float discipline matches the repo convention, one of two judged
+  * recipes per query: order-independent fixed-point sums
+  * (floor(x·1e7) as BIGINT before any aggregate — e73, e78) or the
+  * native `vec_dot` sequential double fold whose element order is
+  * fixed and bit-equal to the oracle's `list_reduce` (e72, e75).
+  * IEEE ops otherwise appear only in per-row scalar tails identical
+  * on both engines.
   */
 object Surface16Queries {
   import Tables._
