@@ -142,6 +142,31 @@ object DedupQueries {
         count(lit(1)).as("cluster_size"))
     }),
 
+    // BAND-PARAMETER SWEEP: candidate-pair counts for every (bands ×
+    // rows-per-band) split of the SAME staged k=8 signatures — the
+    // S-curve sizing audit run before committing an LSH config (more
+    // bands = higher recall = more pairs to verify; the count is the
+    // verification bill). Four narrow scans of the tiny signature
+    // parquet, one band self-join each; the corpus is never re-hashed.
+    "e79_band_sweep" -> ((s, dir) => {
+      val sig = stagedSignatures(s, dir)
+      val frames = Seq(1, 2, 4, 8).map { nb =>
+        val banded = sig.select(col("doc_id") +:
+          Dedup.bandKeys((0 until minhashK).map(j => col(s"sig_$j")), nb): _*)
+        val long = banded.select(col("doc_id"), explode(array(
+          (0 until nb).map(b => col(s"band_$b")): _*)).as("band"))
+        long.as("a")
+          .join(long.as("b"), col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(lit(nb.toLong).as("bands"),
+            lit((minhashK / nb).toLong).as("rows_per_band"), col("n_pairs"))
+      }
+      frames.reduce(_ unionAll _)
+    }),
+
     // CONTAINMENT check over the LSH candidate pairs: which near-dup
     // candidates are literal substring containments (quote, excerpt,
     // boilerplate-wrapped copy) vs merely-similar text — the triage a
@@ -388,6 +413,30 @@ object DedupQueries {
           FROM lab l JOIN g ON l.component = g.component
             AND l.n_chars = g.mx
           GROUP BY l.component, g.mx, g.cluster_size""",
+    "e79_band_sweep" -> {
+      def bandCte(nb: Int): String = {
+        val r = minhashK / nb
+        val groups = (0 until nb).map { b =>
+          val cols = (b * r until (b + 1) * r).map(j => s"sig_$j")
+            .mkString(", ")
+          s"md5(concat_ws('_', $cols))"
+        }.mkString(", ")
+        s"""b$nb AS (SELECT doc_id, unnest([$groups]) AS band FROM sig),
+            p$nb AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM b$nb a JOIN b$nb b
+                ON a.band = b.band AND a.doc_id < b.doc_id)"""
+      }
+      s"""WITH $shingleCte,
+          sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh
+                  GROUP BY doc_id),
+          ${bandCte(1)}, ${bandCte(2)}, ${bandCte(4)}, ${bandCte(8)}
+          SELECT CAST(1 AS BIGINT) AS bands, CAST(8 AS BIGINT)
+              AS rows_per_band,
+            (SELECT count(*) FROM p1) AS n_pairs
+          UNION ALL SELECT 2, 4, (SELECT count(*) FROM p2)
+          UNION ALL SELECT 4, 2, (SELECT count(*) FROM p4)
+          UNION ALL SELECT 8, 1, (SELECT count(*) FROM p8)"""
+    },
     "e77_containment" ->
       s"""WITH $shingleCte, $bandPairsCte
           SELECT id_a, id_b,
