@@ -162,6 +162,45 @@ object Surface16Queries {
             .as("novelty"))
     }),
 
+    // TOKENIZER FERTILITY by language: BPE-ish subword count over
+    // whitespace-word count — the per-language tokenizer-cost metric a
+    // multilingual pipeline tracks when budgeting context windows
+    // (high fertility = language pays more tokens per word). Narrow
+    // expression-only map + one small group-by; exact integer sums,
+    // one final division.
+    "e81_tokenizer_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("nw"),
+          graft.operators.TextAnalysis.bpeTokenCount(col("text")).as("nb"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpe"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+          (col("n_bpe").cast("double") / col("n_words")).as("fertility"))),
+
+    // LENGTH-THRESHOLD SWEEP: survivors and surviving token mass for a
+    // grid of min-length cutoffs, from ONE corpus scan (conditional
+    // sums per threshold, no per-threshold pass) — the audit run
+    // before fixing a length filter, where the kept-token curve is
+    // the decision input. Integer-exact; scales as a single narrow
+    // aggregate.
+    "e82_length_sweep" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("n_chars"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("nt"))
+      val rows = Seq(50L, 100L, 200L, 400L, 800L).map { th =>
+        base.agg(
+          sum(when(col("n_chars") >= th, lit(1L)).otherwise(lit(0L)))
+            .as("n_kept"),
+          sum(when(col("n_chars") >= th, col("nt")).otherwise(lit(0L)))
+            .as("tokens_kept"))
+          .select(lit(th).as("min_chars"), col("n_kept"),
+            col("tokens_kept"))
+      }
+      rows.reduce(_ unionAll _)
+    }),
+
     // JOIN-CARDINALITY ESTIMATION: the equi-width key-histogram
     // statistic a cost-based planner keeps — self-join size of
     // lineitem on suppkey estimated from 64 md5-bucketed (rows,
@@ -305,6 +344,28 @@ object Surface16Queries {
             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
               / count(*) AS novelty
           FROM sh JOIN df USING (sn) GROUP BY doc_id""",
+    "e81_tokenizer_fertility" ->
+      s"""WITH d AS (SELECT lang, len($tokensSql) AS nw,
+            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+              AS nb
+          FROM documents),
+          g AS (SELECT lang, count(*) AS n_docs,
+              CAST(SUM(nw) AS BIGINT) AS n_words,
+              CAST(SUM(nb) AS BIGINT) AS n_bpe
+            FROM d GROUP BY lang)
+          SELECT lang, n_docs, n_words, n_bpe,
+            CAST(n_bpe AS DOUBLE) / n_words AS fertility
+          FROM g""",
+    "e82_length_sweep" ->
+      s"""WITH d AS (SELECT n_chars, len($tokensSql) AS nt FROM documents),
+          t(min_chars) AS (VALUES (CAST(50 AS BIGINT)), (100), (200),
+            (400), (800))
+          SELECT t.min_chars,
+            CAST(SUM(CASE WHEN n_chars >= t.min_chars THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept,
+            CAST(SUM(CASE WHEN n_chars >= t.min_chars THEN nt ELSE 0 END)
+              AS BIGINT) AS tokens_kept
+          FROM d, t GROUP BY t.min_chars""",
     "q104_join_card" ->
       """WITH pk AS (SELECT l_suppkey AS k, count(*) AS n
             FROM lineitem GROUP BY 1),
