@@ -81,11 +81,17 @@ object Graft {
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
   /** Apply the engine's session-level optimizer policy to a live
-    * session (runtime-settable conf; no restart needed).
+    * session (runtime-settable conf; no restart needed). Appends to any
+    * exclusions the embedding application already set — never replaces
+    * them.
     */
   def tune(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      excludedOptimizerRules)
+    val existing = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val merged = (existing ++ excludedOptimizerRules.split(",").map(_.trim))
+      .distinct.mkString(",")
+    spark.conf.set("spark.sql.optimizer.excludedRules", merged)
     spark
   }
 

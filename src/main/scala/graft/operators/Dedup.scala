@@ -65,13 +65,17 @@ object Dedup {
 
   /** LSH band keys from minhash signature columns: `bands` groups of
     * `rowsPerBand` signatures hashed together. Docs sharing any band key
-    * are near-dup candidates.
+    * are near-dup candidates. The band INDEX is folded into the hash so
+    * equal signature values in different band positions land in
+    * different buckets — without it, cross-band value collisions
+    * manufacture candidate pairs the (band, key) model never intended.
     */
   def bandKeys(sigCols: Seq[Column], bands: Int): Seq[Column] = {
     val rowsPerBand = sigCols.size / bands
     (0 until bands).map { b =>
       md5(concat_ws("_",
-        sigCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
+        lit(b.toString) +:
+          sigCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
         .cast(BinaryType)).as(s"band_$b")
     }
   }

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.Debezium
@@ -123,7 +121,7 @@ object CdcQueries {
     // indistinguishable from rescanning history (count and exact
     // decimal sum are monoids — associativity is the whole trick).
     "c13_incremental_agg" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-c13-").toString
+      val tmp = Stage.tempDir("graft-c13-").toString
       val o = t(s, dir, "orders")
       val cut = lit("1997-01-01").cast("timestamp")
       // day 0: the view's stored state lands (simulated MV table)
@@ -146,7 +144,7 @@ object CdcQueries {
     // reference's fixed DDL cannot absorb. Key ranges are disjoint so
     // the oracle is a plain UNION ALL with a NULL literal.
     "c15_schema_evolution" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-c15-").toString
+      val tmp = Stage.tempDir("graft-c15-").toString
       val c = t(s, dir, "customer")
       c.where(col("c_custkey") % 2 === 0)
         .select("c_custkey", "c_name", "c_acctbal")

@@ -316,10 +316,10 @@ object DedupQueries {
   private val bandPairsCte =
     s"""sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
         band AS (SELECT doc_id, unnest([
-          md5(concat_ws('_', sig_0, sig_1)),
-          md5(concat_ws('_', sig_2, sig_3)),
-          md5(concat_ws('_', sig_4, sig_5)),
-          md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig),
+          md5(concat_ws('_', '0', sig_0, sig_1)),
+          md5(concat_ws('_', '1', sig_2, sig_3)),
+          md5(concat_ws('_', '2', sig_4, sig_5)),
+          md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig),
         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM band a JOIN band b ON a.band = b.band
             AND a.doc_id < b.doc_id)"""
@@ -369,10 +369,10 @@ object DedupQueries {
       s"""WITH RECURSIVE $shingleCte,
           sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
           band AS (SELECT doc_id, unnest([
-            md5(concat_ws('_', sig_0, sig_1)),
-            md5(concat_ws('_', sig_2, sig_3)),
-            md5(concat_ws('_', sig_4, sig_5)),
-            md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig),
+            md5(concat_ws('_', '0', sig_0, sig_1)),
+            md5(concat_ws('_', '1', sig_2, sig_3)),
+            md5(concat_ws('_', '2', sig_4, sig_5)),
+            md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig),
           pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM band a JOIN band b ON a.band = b.band
               AND a.doc_id < b.doc_id),
@@ -389,10 +389,10 @@ object DedupQueries {
       s"""WITH RECURSIVE $shingleCte,
           sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
           band AS (SELECT doc_id, unnest([
-            md5(concat_ws('_', sig_0, sig_1)),
-            md5(concat_ws('_', sig_2, sig_3)),
-            md5(concat_ws('_', sig_4, sig_5)),
-            md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig),
+            md5(concat_ws('_', '0', sig_0, sig_1)),
+            md5(concat_ws('_', '1', sig_2, sig_3)),
+            md5(concat_ws('_', '2', sig_4, sig_5)),
+            md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig),
           pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM band a JOIN band b ON a.band = b.band
               AND a.doc_id < b.doc_id),
@@ -419,7 +419,7 @@ object DedupQueries {
         val groups = (0 until nb).map { b =>
           val cols = (b * r until (b + 1) * r).map(j => s"sig_$j")
             .mkString(", ")
-          s"md5(concat_ws('_', $cols))"
+          s"md5(concat_ws('_', '$b', $cols))"
         }.mkString(", ")
         s"""b$nb AS (SELECT doc_id, unnest([$groups]) AS band FROM sig),
             p$nb AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -460,10 +460,10 @@ object DedupQueries {
       s"""WITH $shingleCte,
           sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
           band AS (SELECT doc_id, unnest([
-            md5(concat_ws('_', sig_0, sig_1)),
-            md5(concat_ws('_', sig_2, sig_3)),
-            md5(concat_ws('_', sig_4, sig_5)),
-            md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig)
+            md5(concat_ws('_', '0', sig_0, sig_1)),
+            md5(concat_ws('_', '1', sig_2, sig_3)),
+            md5(concat_ws('_', '2', sig_4, sig_5)),
+            md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig)
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id""",
     // delta-vs-corpus banding: same sig/band derivation, asymmetric join
@@ -471,10 +471,10 @@ object DedupQueries {
       s"""WITH $shingleCte,
           sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
           band AS (SELECT doc_id, unnest([
-            md5(concat_ws('_', sig_0, sig_1)),
-            md5(concat_ws('_', sig_2, sig_3)),
-            md5(concat_ws('_', sig_4, sig_5)),
-            md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig)
+            md5(concat_ws('_', '0', sig_0, sig_1)),
+            md5(concat_ws('_', '1', sig_2, sig_3)),
+            md5(concat_ws('_', '2', sig_4, sig_5)),
+            md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig)
           SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
           FROM band a JOIN band b ON a.band = b.band
           WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0""",
@@ -510,10 +510,10 @@ object DedupQueries {
       s"""WITH $shingleCte,
           sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
           band AS (SELECT doc_id, unnest([
-            md5(concat_ws('_', sig_0, sig_1)),
-            md5(concat_ws('_', sig_2, sig_3)),
-            md5(concat_ws('_', sig_4, sig_5)),
-            md5(concat_ws('_', sig_6, sig_7))]) AS band FROM sig),
+            md5(concat_ws('_', '0', sig_0, sig_1)),
+            md5(concat_ws('_', '1', sig_2, sig_3)),
+            md5(concat_ws('_', '2', sig_4, sig_5)),
+            md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig),
           pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM band a JOIN band b
               ON a.band = b.band AND a.doc_id < b.doc_id),

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -60,7 +58,7 @@ object RuntimeQueries {
     "c5_runtime" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val cols = c.columns.toIndexedSeq
-      val tmp = Files.createTempDirectory("graft-c5-").toString
+      val tmp = Stage.tempDir("graft-c5-").toString
       val inDir = s"$tmp/feed"; val outDir = s"$tmp/sink"
       val ckptDir = s"$tmp/ckpt"
       val topic = Debezium.topicFor("customer")
@@ -106,7 +104,7 @@ object RuntimeQueries {
     // hour are provably withheld — visible watermark semantics, judged
     "c9_stream_window" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id")
-      val tmp = Files.createTempDirectory("graft-c9-").toString
+      val tmp = Stage.tempDir("graft-c9-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       val cut = lit("2024-01-21").cast("timestamp")
@@ -158,7 +156,7 @@ object RuntimeQueries {
     // the property that keeps the operator finite at 100 TB/day
     "c24_stream_late" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id")
-      val tmp = Files.createTempDirectory("graft-c24-").toString
+      val tmp = Stage.tempDir("graft-c24-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       val cutA = lit("2024-01-14 00:30:00").cast("timestamp")
@@ -212,7 +210,7 @@ object RuntimeQueries {
     // size per executor, not history length
     "c25_stream_restart" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id")
-      val tmp = Files.createTempDirectory("graft-c25-").toString
+      val tmp = Stage.tempDir("graft-c25-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       val cut1 = lit("2024-01-11 00:30:00").cast("timestamp")
@@ -255,7 +253,7 @@ object RuntimeQueries {
     // both break it
     "c10_stream_dedup" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id", "user_id")
-      val tmp = Files.createTempDirectory("graft-c10-").toString
+      val tmp = Stage.tempDir("graft-c10-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       val cut = lit("2024-01-21").cast("timestamp")
@@ -295,7 +293,7 @@ object RuntimeQueries {
     // state eviction changes WHEN rows leave memory, never the result
     "c11_stream_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val tmp = Files.createTempDirectory("graft-c11-").toString
+      val tmp = Stage.tempDir("graft-c11-").toString
       val vDir = s"$tmp/views"; val cDir = s"$tmp/clicks"
       val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       ev.where(col("event_type") === "view")
@@ -337,7 +335,7 @@ object RuntimeQueries {
       val ev = Tables.events(s, dir)
       val dim = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val tmp = Files.createTempDirectory("graft-c14-").toString
+      val tmp = Stage.tempDir("graft-c14-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       ev.select("ts", "event_id", "user_id", "event_type")
@@ -371,7 +369,7 @@ object RuntimeQueries {
     "c17_stream_ohlc" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
-      val tmp = Files.createTempDirectory("graft-c17-").toString
+      val tmp = Stage.tempDir("graft-c17-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       ev.select(
@@ -418,7 +416,7 @@ object RuntimeQueries {
     // the delivery contract made auditable.
     "c19_fanout" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "event_type")
-      val tmp = Files.createTempDirectory("graft-c19-").toString
+      val tmp = Stage.tempDir("graft-c19-").toString
       val feed = s"$tmp/feed"
       val rawSink = s"$tmp/raw"; val aggSink = s"$tmp/agg"
       ev.coalesce(1).write.mode("append").parquet(feed)
@@ -464,7 +462,7 @@ object RuntimeQueries {
     // the upsert cost is ∝ changed windows per batch, never history
     "c26_stream_update_mv" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id")
-      val tmp = Files.createTempDirectory("graft-c26-").toString
+      val tmp = Stage.tempDir("graft-c26-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       val cut = lit("2024-01-21 00:30:00").cast("timestamp")
@@ -505,7 +503,7 @@ object RuntimeQueries {
     // product (abandonment), and bounded state is what makes it finite.
     "c22_stream_outer_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val tmp = Files.createTempDirectory("graft-c22-").toString
+      val tmp = Stage.tempDir("graft-c22-").toString
       val vDir = s"$tmp/views"; val cDir = s"$tmp/clicks"
       val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       ev.where(col("event_type") === "view")
@@ -548,7 +546,7 @@ object RuntimeQueries {
     "c23_stream_tws" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
-      val tmp = Files.createTempDirectory("graft-c23-").toString
+      val tmp = Stage.tempDir("graft-c23-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       ev.select(
@@ -596,7 +594,7 @@ object RuntimeQueries {
     // oracle's gaps-and-islands form (split when diff ≥ gap).
     "c21_stream_session" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "user_id")
-      val tmp = Files.createTempDirectory("graft-c21-").toString
+      val tmp = Stage.tempDir("graft-c21-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       val cut = lit("2024-01-21").cast("timestamp")

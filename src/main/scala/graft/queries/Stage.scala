@@ -29,16 +29,28 @@ object Stage {
     s.read.parquet(path)
   }
 
+  // One shutdown hook sweeps every staged dir (a hook thread per dir
+  // would accumulate with the number of staged keys).
+  private val cleanupDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    cleanupDirs.forEach { d =>
+      if (Files.exists(d)) {
+        val walk = Files.walk(d)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach((p: Path) => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+  }))
+
   /** Temp dir removed on JVM exit (library embeddings don't leak /tmp). */
   def tempDir(prefix: String): java.nio.file.Path = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(d))
-        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-          .forEach((p: Path) => Files.deleteIfExists(p))
-    }))
+    cleanupDirs.add(d)
     d
   }
 }

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -76,7 +74,7 @@ object Surface11Queries {
     // what's proven), and the result is still hash-checked against the
     // oracle — pruning must be semantically invisible.
     "q92_runtime_filter" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-q92-").toString
+      val tmp = Stage.tempDir("graft-q92-").toString
       val prev = Seq(
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.optimizer.runtime.bloomFilter.enabled",
@@ -144,7 +142,7 @@ object Surface11Queries {
     // the oracle computing the same aggregates relationally.
     "q94_observe" -> ((s, dir) => {
       import s.implicits._
-      val tmp = Files.createTempDirectory("graft-q94-").toString
+      val tmp = Stage.tempDir("graft-q94-").toString
       val obs = new org.apache.spark.sql.Observation("q94_audit")
       events(s, dir)
         .observe(obs,

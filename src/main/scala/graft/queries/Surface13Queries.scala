@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -118,24 +116,39 @@ object Surface13Queries {
     }),
 
     // Blocked fuzzy entity resolution: candidate pairs ONLY within a
-    // blocking key (nation × market segment), verified by edit
-    // distance — the classic ER shape. Blocking turns O(n²) matching
-    // into an equi-join whose cost is Σ|block|²; at 100 TB the block
-    // key comes from a cheap normalizer (phonetic code, sorted tokens)
-    // chosen so blocks stay ~10²-10³ rows. levenshtein is builtin
-    // codegen — no UDF in the verify stage
+    // blocking key, verified by edit distance — the classic ER shape.
+    // The key must DISCRIMINATE: (nation × segment) alone is 125 fixed
+    // blocks, so within-block pairs grow O(N²) with the corpus. Here
+    // each name emits TWO name-prefix block keys (multi-pass blocking:
+    // name minus its last 2 chars; name with chars 15-16 masked out),
+    // so key cardinality grows O(N) and block size is bounded by the
+    // masked-suffix alphabet (≤10² rows) at ANY corpus size — total
+    // candidate work is linear, not quadratic. Recall: any pair within
+    // ≤2 trailing-region substitutions shares a key; wider typos are
+    // the documented blocking trade-off (production adds more passes /
+    // phonetic keys, same plan shape). levenshtein is builtin codegen
+    // — no UDF in the verify stage.
     "e65_entity_match" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"),
           col("c_nationkey"), col("c_mktsegment"))
-      val a = c.select(col("c_nationkey").as("nation"),
-        col("c_mktsegment").as("segment"),
+      val keyed = c.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"),
+        posexplode(array(
+          substring(col("c_name"), 1, 16),
+          concat(substring(col("c_name"), 1, 14),
+            substring(col("c_name"), 17, 2)))).as(Seq("ci", "bkey")))
+      val a = keyed.select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"), col("ci"), col("bkey"),
         col("c_custkey").as("id_a"), col("c_name").as("name_a"))
-      val b = c.select(col("c_nationkey").as("nation"),
-        col("c_mktsegment").as("segment"),
+      val b = keyed.select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"), col("ci"), col("bkey"),
         col("c_custkey").as("id_b"), col("c_name").as("name_b"))
-      a.join(b, Seq("nation", "segment"))
+      a.join(b, Seq("nation", "segment", "ci", "bkey"))
         .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("nation"), col("segment"),
+          col("name_a"), col("name_b"))
+        .distinct()
         .where(levenshtein(col("name_a"), col("name_b")) <= 2)
         .select(col("id_a"), col("id_b"), col("nation"), col("segment"),
           levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
@@ -164,7 +177,7 @@ object Surface13Queries {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
         col("event_type"), floor(col("value") * 1000).cast("long")
           .as("value_m"))
-      val tmp = Files.createTempDirectory("graft-c27-").toString
+      val tmp = Stage.tempDir("graft-c27-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       (0 until 4).foreach { k =>
@@ -278,14 +291,24 @@ object Surface13Queries {
           FROM e LEFT JOIN r ON e.vec_id = r.rid"""
     },
     "e65_entity_match" ->
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-           a.c_nationkey AS nation, a.c_mktsegment AS segment,
-           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-         FROM customer a JOIN customer b
-           ON a.c_nationkey = b.c_nationkey
-          AND a.c_mktsegment = b.c_mktsegment
-          AND a.c_custkey < b.c_custkey
-         WHERE levenshtein(a.c_name, b.c_name) <= 2""",
+      """WITH k AS (
+           SELECT c_custkey, c_name, c_nationkey, c_mktsegment, ci,
+                  CASE ci WHEN 0 THEN substr(c_name, 1, 16)
+                          ELSE substr(c_name, 1, 14) || substr(c_name, 17, 2)
+                  END AS bkey
+           FROM customer, (VALUES (0), (1)) t(ci)),
+         cand AS (
+           SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                  a.c_nationkey AS nation, a.c_mktsegment AS segment,
+                  a.c_name AS name_a, b.c_name AS name_b
+           FROM k a JOIN k b
+             ON a.c_nationkey = b.c_nationkey
+            AND a.c_mktsegment = b.c_mktsegment
+            AND a.ci = b.ci AND a.bkey = b.bkey
+            AND a.c_custkey < b.c_custkey)
+         SELECT id_a, id_b, nation, segment,
+                CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(name_a, name_b) <= 2""",
     "e66_segment_dedup" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -177,7 +175,7 @@ object Surface14Queries {
     // the epoch count)
     "c29_stream_complete" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "event_type")
-      val tmp = Files.createTempDirectory("graft-c29-").toString
+      val tmp = Stage.tempDir("graft-c29-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       ev.where(col("event_id") % 2 === 0).coalesce(1)
@@ -220,7 +218,7 @@ object Surface14Queries {
     // sink between the two stateful stages
     "c30_stream_chained" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id")
-      val tmp = Files.createTempDirectory("graft-c30-").toString
+      val tmp = Stage.tempDir("graft-c30-").toString
       val feed = s"$tmp/feed"; val out = s"$tmp/out"
       val ckpt = s"$tmp/ckpt"
       val cut = lit("2024-01-21").cast("timestamp")

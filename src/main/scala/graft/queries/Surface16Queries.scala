@@ -186,19 +186,24 @@ object Surface16Queries {
     // the decision input. Integer-exact; scales as a single narrow
     // aggregate.
     "e82_length_sweep" -> ((s, dir) => {
+      // all 10 conditional sums ride ONE aggregate over one scan (a
+      // per-threshold .agg union would plan 5 independent scans, each
+      // re-running tokenCount over the corpus); the 1-row result is
+      // then unpivoted to threshold rows with a single explode
+      val ths = Seq(50L, 100L, 200L, 400L, 800L)
       val base = t(s, dir, "documents")
         .select(col("n_chars"),
           graft.operators.TextAnalysis.tokenCount(col("text")).as("nt"))
-      val rows = Seq(50L, 100L, 200L, 400L, 800L).map { th =>
-        base.agg(
-          sum(when(col("n_chars") >= th, lit(1L)).otherwise(lit(0L)))
-            .as("n_kept"),
-          sum(when(col("n_chars") >= th, col("nt")).otherwise(lit(0L)))
-            .as("tokens_kept"))
-          .select(lit(th).as("min_chars"), col("n_kept"),
-            col("tokens_kept"))
-      }
-      rows.reduce(_ unionAll _)
+      val aggs = ths.flatMap { th => Seq(
+        sum(when(col("n_chars") >= th, lit(1L)).otherwise(lit(0L)))
+          .as(s"k_$th"),
+        sum(when(col("n_chars") >= th, col("nt")).otherwise(lit(0L)))
+          .as(s"t_$th")) }
+      base.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(ths.map(th =>
+          struct(lit(th).as("min_chars"), col(s"k_$th").as("n_kept"),
+            col(s"t_$th").as("tokens_kept"))): _*)).as("r"))
+        .select(col("r.min_chars"), col("r.n_kept"), col("r.tokens_kept"))
     }),
 
     // JOIN-CARDINALITY ESTIMATION: the equi-width key-histogram
@@ -258,7 +263,10 @@ object Surface16Queries {
     // gap-fill for sensor/clickstream feeds. No float arithmetic: the
     // carried value is copied, never summed, so doubles are safe.
     "q103_ignore_nulls" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts")
+      // (ts, event_id) order: duplicate timestamps within a user would
+      // otherwise make the carried value engine/run-dependent (same
+      // tie-break discipline as e5_sessionize)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, dir)
         .select(col("event_id"), col("user_id"),
@@ -400,7 +408,7 @@ object Surface16Queries {
     "q103_ignore_nulls" ->
       """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
            last_value(CASE WHEN event_type <> 'error' THEN value END
-             IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+             IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS filled_value
          FROM events""")
