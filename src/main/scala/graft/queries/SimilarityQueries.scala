@@ -122,6 +122,51 @@ object SimilarityQueries {
           col("votes"))
     }),
 
+    // RERANK AUDIT — the retrieve-then-rerank pipeline shape: stage 1
+    // ranks each probe's LSH bucket mates by the CHEAP unnormalized
+    // fixed-point dot (no sqrt, no division — the score a first-pass
+    // retriever pays) and keeps a top-10 shortlist; stage 2 reranks
+    // ONLY the shortlist by exact cosine. The audit reports, per
+    // probe, how much normalization changed the ranking (top-1
+    // flipped? shortlist top-3 overlap) — the evidence that decides
+    // whether the cheap score suffices at retrieval time. The rerank
+    // reuses the stage-1 dot (normalizes it with the two hoisted
+    // self-norms), so stage 2 costs no second scoring pass; shortlist
+    // ranks plan as WindowGroupLimit, work is bucket mates only,
+    // never probes × corpus — at 100 TB the rerank input is k rows
+    // per query regardless of corpus size.
+    "e83_rerank_audit" -> ((s, dir) => {
+      val withB = t(s, dir, "embeddings")
+        .withColumn("bk", Similarity.lshBucket(col("embedding"), 4, 64))
+        .withColumn("nf",
+          Similarity.dotFixedLong(col("embedding"), col("embedding")))
+      val probes = broadcast(withB.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("bk"), col("nf").as("nqf")))
+      val w1 = Window.partitionBy("query_id")
+        .orderBy(col("dotf").desc, col("vec_id"))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      withB.where(col("vec_id") % 100 =!= 0)
+        .join(probes, "bk")
+        .select(col("query_id"), col("vec_id"), col("nf"), col("nqf"),
+          Similarity.dotFixedLong(col("embedding"), col("qe")).as("dotf"))
+        .withColumn("rk1", row_number().over(w1))
+        .where(col("rk1") <= 10)
+        .select(col("query_id"), col("vec_id"), col("rk1"),
+          Similarity.cosineFromFixed(col("dotf"), col("nf"), col("nqf"))
+            .as("cosine"))
+        .withColumn("rk2", row_number().over(w2))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_cands"),
+          min(when(col("rk1") === 1, col("vec_id"))).as("top1_stage1"),
+          min(when(col("rk2") === 1, col("vec_id"))).as("top1_rerank"),
+          sum(when(col("rk1") <= 3 && col("rk2") <= 3, lit(1L))
+            .otherwise(lit(0L))).as("overlap3"))
+        .withColumn("top1_changed",
+          col("top1_stage1") =!= col("top1_rerank"))
+    }),
+
     // Production double-arithmetic variant (rows-only check):
     // scan → map → TakeOrderedAndProject, no exchange
     "e2_topk_double" -> ((s, dir) =>
@@ -445,6 +490,35 @@ object SimilarityQueries {
                   ORDER BY cosine DESC, vec_id) AS rk FROM s)
           SELECT query_id, vec_id, cosine, CAST(rk AS BIGINT) AS rk
           FROM r WHERE rk <= 3""",
+    "e83_rerank_audit" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+              ${bucketSql4("embedding")} AS bk FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, bk
+                FROM b WHERE vec_id % 100 = 0),
+          c AS (SELECT vec_id, embedding, bk FROM b
+                WHERE vec_id % 100 <> 0),
+          p AS (SELECT q.query_id, c.vec_id,
+              SUM(${prodSql("c.embedding[g.i]", "q.qe[g.i]")}) AS dotf,
+              SUM(${prodSql("c.embedding[g.i]", "c.embedding[g.i]")}) AS naf,
+              SUM(${prodSql("q.qe[g.i]", "q.qe[g.i]")}) AS nqf
+            FROM c JOIN q ON c.bk = q.bk, generate_series(1, 64) AS g(i)
+            GROUP BY q.query_id, c.vec_id),
+          r1 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY dotf DESC, vec_id) AS rk1 FROM p),
+          k AS (SELECT * FROM r1 WHERE rk1 <= 10),
+          r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY (CAST(dotf AS DOUBLE) / 1e7) /
+                     (sqrt(CAST(naf AS DOUBLE) / 1e7)
+                      * sqrt(CAST(nqf AS DOUBLE) / 1e7)) DESC, vec_id)
+                   AS rk2 FROM k)
+          SELECT query_id, count(*) AS n_cands,
+            min(CASE WHEN rk1 = 1 THEN vec_id END) AS top1_stage1,
+            min(CASE WHEN rk2 = 1 THEN vec_id END) AS top1_rerank,
+            CAST(SUM(CASE WHEN rk1 <= 3 AND rk2 <= 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS overlap3,
+            (min(CASE WHEN rk1 = 1 THEN vec_id END)
+              <> min(CASE WHEN rk2 = 1 THEN vec_id END)) AS top1_changed
+          FROM r2 GROUP BY query_id""",
     "e52_filtered_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
           p AS (SELECT e.vec_id, e.label,
