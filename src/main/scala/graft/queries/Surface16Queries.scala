@@ -257,6 +257,26 @@ object Surface16Queries {
         .select(col("source"), col("n_s").as("n_tokens"), col("chi2"))
     }),
 
+    // PER-SOURCE CAP (domain cap): keep at most K docs per source,
+    // preferring longer docs (ties → lower doc_id) — the Gopher/CCNet
+    // curation step that stops one over-crawled domain from dominating
+    // a training mix. One exchange on source + a partition-local rank;
+    // every row keeps its rank and kept flag, so the audit (who was
+    // capped, by how much) is the judged result. At 100 TB a
+    // heavy-hitter domain concentrates its rank sort in one partition;
+    // since only the top-K survive, the production form pre-filters
+    // with a per-salt top-K (TakeOrdered per (source, salt), then one
+    // merge rank over ≤ salt·K rows per source) — the cap semantics
+    // and this plan's output are unchanged by that rewrite.
+    "e84_source_cap" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("src_rank", row_number().over(w).cast("long"))
+        .withColumn("kept", col("src_rank") <= 20)
+    }),
+
     // IGNORE NULLS forward-fill: per user in event order, carry the
     // last non-null value forward (error events contribute no value).
     // One window pass, partition-parallel by user — the canonical
@@ -405,6 +425,14 @@ object Surface16Queries {
           SELECT source, n_s AS n_tokens,
             CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e9 AS chi2
           FROM terms GROUP BY source, n_s""",
+    "e84_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS src_rank
+           FROM documents)
+         SELECT doc_id, source, n_chars, src_rank,
+           (src_rank <= 20) AS kept
+         FROM r""",
     "q103_ignore_nulls" ->
       """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
            last_value(CASE WHEN event_type <> 'error' THEN value END
