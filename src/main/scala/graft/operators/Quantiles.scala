@@ -73,15 +73,31 @@ object Quantiles {
   def orderStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
                  ranks: Seq[(String, Column => Column)],
                  numPartitions: Int = 0): DataFrame = {
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val g = groupCols.map(col)
-    val keyCols = (groupCols :+ valueCol).map(col)
     // null values are excluded so cnt and ranks match SQL
     // percentile/median semantics (which ignore nulls)
     val hist = df.where(col(valueCol).isNotNull)
-      .groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    orderStatsFromHist(hist, groupCols, valueCol, ranks, numPartitions)
+  }
+
+  /** [[orderStats]] over a PREBUILT `(groupCols, valueCol, __n)` count
+    * histogram — the entry point when the histogram is a shared staged
+    * intermediate (several judged order-statistics queries over the
+    * same fact column pay the corpus scan once; each then runs only
+    * the histogram-sized selection). `__n` must be the non-null row
+    * count per distinct (group, value).
+    */
+  def orderStatsFromHist(hist: DataFrame, groupCols: Seq[String],
+                         valueCol: String,
+                         ranks: Seq[(String, Column => Column)],
+                         numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else hist.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt
+    val g = groupCols.map(col)
+    val keyCols = (groupCols :+ valueCol).map(col)
     // spark_partition_id is read twice (subtotals + ranking); both
     // consumers must see one partition assignment. Exchange reuse
     // already dedups the identical range-exchange subtree within the

@@ -53,4 +53,20 @@ object Stage {
     cleanupDirs.add(d)
     d
   }
+
+  /** Durable per-sf FIXTURE root under the build's target dir — for
+    * staged table layouts (bucketed tables, partitioned copies) that
+    * model "pay the write once when the tables land". Unlike
+    * [[tempDir]] these survive JVM exit on purpose: /tmp is swept
+    * between harness sessions, and a fixture rebuilt per JVM would
+    * charge every benched run for a one-time layout cost. Callers gate
+    * reuse on the writer's own `_SUCCESS` marker.
+    */
+  def fixtureDir(name: String, dir: String): String = {
+    val sfKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val p = java.nio.file.Paths.get(
+      "target", "graft-fixtures", s"$name-$sfKey").toAbsolutePath
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
 }

@@ -178,9 +178,7 @@ object Surface12Queries {
     // The plan is REQUIRED to carry the dynamic filter; reuses q87's
     // staged partitioned fixture (same deterministic path)
     "q99_dpp" -> ((s, dir) => {
-      val stage = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-q87-fixture-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val stage = Stage.fixtureDir("q87", dir)
       val events = s"$stage/events"
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$events/_SUCCESS"))) {
