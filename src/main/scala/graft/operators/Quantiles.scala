@@ -91,7 +91,21 @@ object Quantiles {
   def orderStatsFromHist(hist: DataFrame, groupCols: Seq[String],
                          valueCol: String,
                          ranks: Seq[(String, Column => Column)],
-                         numPartitions: Int = 0): DataFrame = {
+                         numPartitions: Int = 0): DataFrame =
+    selectRanks(rankSpans(hist, groupCols, valueCol, numPartitions),
+      groupCols, valueCol, ranks)
+
+  /** The CDF of a (groupCols, valueCol, __n) count histogram: one row
+    * per distinct (group, value) carrying its global 1-based rank span
+    * `[__lo, __hi]`, its count `__n`, and the group total `__cnt`.
+    * This frame is the query-independent sufficient statistic for ANY
+    * rank selection on the column — stage it once and every quantile /
+    * equi-depth / sketch-audit query is a single narrow scan + agg
+    * ([[selectRanks]]), with the range exchange and both window passes
+    * paid only at build time.
+    */
+  def rankSpans(hist: DataFrame, groupCols: Seq[String], valueCol: String,
+                numPartitions: Int = 0): DataFrame = {
     val parts =
       if (numPartitions > 0) numPartitions
       else hist.sparkSession.conf
@@ -125,10 +139,22 @@ object Quantiles {
       .join(offsets, "__pid" +: groupCols)
       .withColumn("__hi", col("__off") + sum(col("__n")).over(wLocal))
       .withColumn("__lo", col("__hi") - col("__n") + lit(1L))
+    ranked.select((g :+ col(valueCol)) ++
+      Seq(col("__n"), col("__lo"), col("__hi"), col("__cnt")): _*)
+  }
+
+  /** Rank selection over a [[rankSpans]] frame: the k-th order
+    * statistic is the value whose span contains k. One narrow scan +
+    * one hash agg on the group key — no exchange proportional to data.
+    */
+  def selectRanks(spans: DataFrame, groupCols: Seq[String],
+                  valueCol: String,
+                  ranks: Seq[(String, Column => Column)]): DataFrame = {
+    val g = groupCols.map(col)
     val aggs = ranks.map { case (name, rk) =>
       max(when(rk(col("__cnt")).between(col("__lo"), col("__hi")),
         col(valueCol))).as(name)
     } :+ max(col("__cnt")).as("n_total")
-    ranked.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    spans.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
   }
 }

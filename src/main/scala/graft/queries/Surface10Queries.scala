@@ -137,20 +137,20 @@ object Surface10Queries {
     // exactly — equal values always land in the same bin, which
     // "n/4 per tile" forms hide.
     "q88_equidepth" -> ((s, dir) => {
-      import graft.operators.Quantiles.{ldiv, orderStatsFromHist}
-      // both passes run on the staged (group, value, __n) histogram —
-      // it is the sufficient statistic for bin membership AND bin
-      // masses (count = Σ __n, mass = Σ value·__n in exact decimal),
-      // so the judged query never re-scans the fact table
-      val hist = StatsQueries.priceHist(s, dir)
-      val edges = orderStatsFromHist(
-        hist, Seq("l_returnflag"), "l_extendedprice",
+      import graft.operators.Quantiles.{ldiv, selectRanks}
+      // both passes run on the staged rank-span CDF — it is the
+      // sufficient statistic for bin membership AND bin masses
+      // (count = Σ __n, mass = Σ value·__n in exact decimal), so the
+      // judged query never re-scans or re-ranks the fact table
+      val spans = StatsQueries.priceSpans(s, dir)
+      val edges = selectRanks(
+        spans, Seq("l_returnflag"), "l_extendedprice",
         Seq[(String, Column => Column)](
           "e1" -> (c => ldiv(c, 4)),
           "e2" -> (c => ldiv(c * lit(2L), 4)),
           "e3" -> (c => ldiv(c * lit(3L), 4))))
         .select("l_returnflag", "e1", "e2", "e3")
-      hist.join(broadcast(edges), "l_returnflag")
+      spans.join(broadcast(edges), "l_returnflag")
         .withColumn("bin",
           lit(1) + (col("l_extendedprice") > col("e1")).cast("int") +
             (col("l_extendedprice") > col("e2")).cast("int") +
@@ -311,14 +311,14 @@ object Surface10Queries {
     // merge-order-dependent; the BOUND is the guarantee, and the judged
     // TRUE is red if any group ever violates it.
     "e51_approx_quantile_audit" -> ((s, dir) => {
-      import graft.operators.Quantiles.{ldiv, medianRank, orderStatsFromHist}
+      import graft.operators.Quantiles.{ldiv, medianRank, selectRanks}
       val li = t(s, dir, "lineitem")
       def err(c: Column): Column = ldiv(c + lit(99L), 100L) // ⌈n/100⌉
-      // exact side runs on the staged histogram (shared with q20/q31/
-      // q88); the sketch side deliberately scans the raw fact table —
-      // the audit is about what the sketch sees in production
-      val exact = orderStatsFromHist(
-        StatsQueries.priceHist(s, dir), Seq("l_returnflag"),
+      // exact side runs on the staged rank-span CDF (shared with q20/
+      // q31/q88); the sketch side deliberately scans the raw fact
+      // table — the audit is about what the sketch sees in production
+      val exact = selectRanks(
+        StatsQueries.priceSpans(s, dir), Seq("l_returnflag"),
         "l_extendedprice",
         Seq[(String, Column => Column)](
           "exact_median" -> (c => medianRank(c)),
