@@ -55,6 +55,31 @@ class QuantilesRankSpec extends SparkSpec {
     }
   }
 
+  test("rankSpans partitions [1, n] per group, in value order") {
+    val df = rows(500).toDF("g", "v")
+    val hist = df.groupBy("g", "v").agg(count(lit(1)).as("__n"))
+    val spans = Quantiles.rankSpans(hist, Seq("g"), "v")
+      .select(col("g"), col("v"), col("__n"), col("__lo"), col("__hi"),
+        col("__cnt"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val totals = rows(500).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    spans.foreach { case (g, rs) =>
+      val sorted = rs.sortBy(_._2) // ascending value
+      assert(sorted.forall(_._6 === totals(g)), s"group $g __cnt")
+      assert(sorted.head._4 === 1L, s"group $g first lo")
+      assert(sorted.last._5 === totals(g), s"group $g last hi")
+      sorted.foreach { case (_, _, n, lo, hi, _) =>
+        assert(hi - lo + 1 === n, s"group $g span width = count")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._5 + 1,
+          s"group $g spans contiguous in value order")
+        case _ => ()
+      }
+    }
+  }
+
   test("orderStats ignores nulls like SQL percentile") {
     val df = Seq(("a", Some(1L)), ("a", None), ("a", Some(3L)),
       ("b", None), ("b", Some(5L))).toDF("g", "v")
