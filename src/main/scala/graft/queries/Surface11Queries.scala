@@ -107,6 +107,70 @@ object Surface11Queries {
       s.read.parquet(s"$tmp/result")
     }),
 
+    // AQE RUNTIME SKEW-JOIN: the other half of the skew story (q13 is
+    // manual salting). A hot key holding ~90% of the fact side would
+    // pin a sort-merge join to one straggler task; AQE measures the
+    // actual shuffle-partition sizes at runtime and SPLITS the
+    // oversized partition into parallel sub-joins — no salting column,
+    // no plan rewrite by the user, and at 100 TB this is what turns a
+    // one-task 90-TB partition into hundreds of bounded tasks. The
+    // query REQUIRES `skew=true` on the executed SortMergeJoin (the
+    // broadcast path is disabled so the skew handler, not a broadcast,
+    // is what's proven) and the result is still hash-checked against
+    // the oracle — the split must be semantically invisible. Detection
+    // thresholds are lowered in proportion to the fixture (a real
+    // cluster keeps the 256 MB default); factor 1 + tiny advisory size
+    // make the 90%-key partition skewed at any sf.
+    "q105_skew_join" -> ((s, dir) => {
+      val tmp = Stage.tempDir("graft-q105-").toString
+      val prev = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(k => k -> s.conf.getOption(k)).toMap
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        s.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        // hot key: ~90% of lineitem rows join to order key 1 (present
+        // at every sf); the rest keep their real key. The repartition
+        // synthesizes upstream MAP parallelism: AQE splits a skewed
+        // reduce partition at mapper granularity, and the local
+        // single-row-group parquet fixture yields exactly one mapper
+        // (nothing to split) — a 100 TB input has thousands of mappers
+        // and needs no such step.
+        val fact = t(s, dir, "lineitem").repartition(8).select(
+          when(col("l_orderkey") % 10 =!= 0, lit(1L))
+            .otherwise(col("l_orderkey")).as("k"),
+          col("l_extendedprice"), col("l_discount"))
+        val joined = fact
+          .join(t(s, dir, "orders"), col("k") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"))
+        // AQE decides at runtime, so the assert must read the SAME
+        // QueryExecution that ran (a .write plans a fresh one whose
+        // adaptive plan would still be the pre-execution snapshot):
+        // execute via toRdd, then check the finalized plan
+        val qe = joined.queryExecution
+        qe.toRdd.count()
+        val plan = qe.executedPlan.toString
+        require(plan.contains("skew=true"),
+          s"AQE must split the skewed join partition:\n$plan")
+        joined.write.mode("overwrite").parquet(s"$tmp/result")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+      s.read.parquet(s"$tmp/result")
+    }),
+
     // VARIANT semi-structured ingestion (Spark 4 native): event
     // payloads arrive as JSON text, are parsed ONCE into the binary
     // VARIANT encoding, and typed fields are extracted with
@@ -185,6 +249,17 @@ object Surface11Queries {
                 c_acctbal AS acctbal_at_order
          FROM orders JOIN dim ON o_custkey = c_custkey
            AND o_orderdate >= eff_from AND o_orderdate < eff_to""",
+    // the skew split must be semantically invisible: plain join SQL
+    "q105_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+         FROM (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1
+                           ELSE l_orderkey END AS k,
+                      l_extendedprice, l_discount
+               FROM lineitem) l
+         JOIN orders ON k = o_orderkey
+         GROUP BY o_orderpriority""",
     "q92_runtime_filter" ->
       """SELECT o_orderdate, count(*) AS n_lines,
                 CAST(sum(CAST(l_extendedprice * (1 - l_discount)
