@@ -142,6 +142,46 @@ object DedupQueries {
         count(lit(1)).as("cluster_size"))
     }),
 
+    // DEDUP-AWARE SPLIT audit: eval leakage happens when near-duplicate
+    // documents land on opposite sides of the train/eval fence — the
+    // per-doc hash split (e8) guarantees it for any multi-doc cluster
+    // whose members hash to different buckets. Assigning the split from
+    // the CLUSTER label (hash the component, not the doc) pins every
+    // near-dup family to one split by construction. One row per
+    // strategy: how many clusters straddle >1 split and how many docs
+    // sit inside them (per_cluster must audit to zero). Cost: one
+    // corpus-key scan joined to the tiny staged label frame — the
+    // clustering itself is never recomputed here, and at 100 TB the
+    // label frame is the candidate graph (dup-rate-sized), not the
+    // corpus.
+    "e85_cluster_split" -> ((s, dir) => {
+      val labels = componentLabels(s, dir)
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val labeled = docs
+        .join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+      val assigned = labeled.select(col("cluster"),
+        Corpus.splitName(Corpus.hashBucket(col("doc_id"))).as("doc_split"),
+        Corpus.splitName(Corpus.hashBucket(col("cluster")))
+          .as("cluster_split"))
+      val byStrategy = assigned
+        .select(col("cluster"), lit("per_doc").as("strategy"),
+          col("doc_split").as("split"))
+        .unionByName(assigned.select(col("cluster"),
+          lit("per_cluster").as("strategy"),
+          col("cluster_split").as("split")))
+      byStrategy.groupBy("strategy", "cluster")
+        .agg(countDistinct(col("split")).as("n_splits"),
+          count(lit(1)).as("n_docs"))
+        .groupBy("strategy")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+            .as("straddling_clusters"),
+          sum(when(col("n_splits") > 1, col("n_docs")).otherwise(0L))
+            .as("leaked_docs"))
+    }),
+
     // BAND-PARAMETER SWEEP: candidate-pair counts for every (bands ×
     // rows-per-band) split of the SAME staged k=8 signatures — the
     // S-curve sizing audit run before committing an LSH config (more
@@ -282,6 +322,16 @@ object DedupQueries {
     s"""CASE WHEN $splitBucketSql < 90 THEN 'train'
         WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END"""
 
+  /** [[splitNameSql]] parameterized on the hashed column (e85 splits
+    * on the cluster label as well as the doc id).
+    */
+  private def splitCaseSql(c: String): String = {
+    val b = s"CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 4) " +
+      s"AS BIGINT) % 100"
+    s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' " +
+      "ELSE 'test' END"
+  }
+
   /** tokens → shingles → shingle-hashes, one projection per stage. */
   private def stagedShingleHashes(s: SparkSession, dir: String): DataFrame =
     tBalanced(s, dir, "documents")
@@ -413,6 +463,44 @@ object DedupQueries {
           FROM lab l JOIN g ON l.component = g.component
             AND l.n_chars = g.mx
           GROUP BY l.component, g.mx, g.cluster_size""",
+    // same reachability CTE; per split strategy, clusters whose
+    // members straddle >1 split (per_cluster is zero by construction)
+    "e85_cluster_split" ->
+      s"""WITH RECURSIVE $shingleCte,
+          sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
+          band AS (SELECT doc_id, unnest([
+            md5(concat_ws('_', '0', sig_0, sig_1)),
+            md5(concat_ws('_', '1', sig_2, sig_3)),
+            md5(concat_ws('_', '2', sig_4, sig_5)),
+            md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band a JOIN band b ON a.band = b.band
+              AND a.doc_id < b.doc_id),
+          e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+          r AS (SELECT a AS id, a AS reach FROM e
+                UNION
+                SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+          comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+          lab AS (SELECT d.doc_id,
+                    COALESCE(c.component, d.doc_id) AS cluster
+                  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+          a AS (SELECT cluster, ${splitCaseSql("doc_id")} AS doc_split,
+                  ${splitCaseSql("cluster")} AS cluster_split
+                FROM lab),
+          st AS (SELECT cluster, 'per_doc' AS strategy,
+                   doc_split AS split FROM a
+                 UNION ALL
+                 SELECT cluster, 'per_cluster', cluster_split FROM a),
+          g AS (SELECT strategy, cluster,
+                  count(DISTINCT split) AS n_splits, count(*) AS n_docs
+                FROM st GROUP BY 1, 2)
+          SELECT strategy, count(*) AS n_clusters,
+            CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS straddling_clusters,
+            CAST(sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END)
+              AS BIGINT) AS leaked_docs
+          FROM g GROUP BY 1""",
     "e79_band_sweep" -> {
       def bandCte(nb: Int): String = {
         val r = minhashK / nb
