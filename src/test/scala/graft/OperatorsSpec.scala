@@ -252,4 +252,22 @@ class OperatorsSpec extends SparkSpec {
       .collect().sortBy(_.doc_id)
     assert(again.map(_.mean_byte).toSeq === feats.map(_.mean_byte).toSeq)
   }
+
+  test("cluster-granularity split assigns exactly one split per cluster") {
+    // 100 clusters of 3 consecutive doc ids: hashing the CLUSTER label
+    // must put all members on one side of the eval fence, while the
+    // per-doc hash provably straddles some multi-doc clusters (the
+    // leakage e85_cluster_split exists to audit)
+    val docs = (1L to 300L).map(i => (i, i / 3)).toDF("doc_id", "cluster")
+    val assigned = docs.select(col("cluster"),
+      Corpus.splitName(Corpus.hashBucket(col("doc_id"))).as("doc_split"),
+      Corpus.splitName(Corpus.hashBucket(col("cluster"))).as("cluster_split"))
+    val perCluster = assigned.groupBy("cluster")
+      .agg(countDistinct(col("cluster_split")).as("n"))
+    assert(perCluster.where(col("n") > 1).count() === 0L)
+    val perDocStraddle = assigned.groupBy("cluster")
+      .agg(countDistinct(col("doc_split")).as("n"))
+      .where(col("n") > 1).count()
+    assert(perDocStraddle > 0L)
+  }
 }
