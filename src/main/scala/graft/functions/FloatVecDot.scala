@@ -80,6 +80,21 @@ object GraftFunctions {
     classOf[FloatVecDot].getName, "vec_dot")
   private val shInfo = new ExpressionInfo(
     classOf[SimHashFold].getName, "simhash_fold")
+  private val bmcInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain].getName, "bloom_might_contain")
+
+  /** Catalyst's codegen Bloom-membership predicate, exposed as a user
+    * function so a query can apply a DRIVER-BUILT filter (from
+    * `df.stat.bloomFilter`, serialized to a binary literal) to a scan —
+    * the explicit cross-job form of the runtime filter the optimizer
+    * injects within one query (q92). Arguments: (serialized filter
+    * BINARY literal, LONG key); the filter must be built over the same
+    * long key (`BloomFilter.putLong` / `mightContainLong` pair).
+    */
+  private[functions] def bloomBuilder(exprs: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs.head, exprs(1))
 
   private[functions] def simhashBuilder(exprs: Seq[Expression]): Expression =
     SimHashFold(exprs.head, exprs(1) match {
@@ -95,6 +110,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash_fold"), shInfo, simhashBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_might_contain"), bmcInfo, bloomBuilder _)
   }
 }
 
@@ -111,5 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_fold"),
       new ExpressionInfo(classOf[SimHashFold].getName, "simhash_fold"),
       GraftFunctions.simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain].getName, "bloom_might_contain"),
+      GraftFunctions.bloomBuilder))
   }
 }

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 surface growth: two scale techniques a 100 TB pipeline
+  * leans on that the judged surface did not yet exercise explicitly.
+  *
+  *  - `q106_bloom_semi` — the CROSS-JOB form of the runtime Bloom
+  *    filter: q92 proves the optimizer injects `might_contain` inside
+  *    one query; here the filter is built by one job
+  *    (`df.stat.bloomFilter` over the small side's join key), shipped
+  *    as a serialized binary literal, and applied at the big side's
+  *    scan by a later job — the pattern a real pipeline uses when the
+  *    dimension job and the fact scan are separate applications with a
+  *    durable artifact between them. Membership is approximate (false
+  *    positives), so an exact semi-join scrubs candidates afterwards —
+  *    the judged result is EXACT; the Bloom only prunes the scan.
+  *  - `e87_prefix_join` — exact Jaccard-threshold similarity self-join
+  *    via AllPairs/PPJoin-style prefix filtering (Bayardo et al.,
+  *    WWW'07; Chaudhuri et al., ICDE'06): order each document's token
+  *    set by ascending global frequency, emit only the first
+  *    n − ceil(τ·n) + 1 tokens, and equi-join on those prefix tokens.
+  *    The bound is LOSSLESS for Jaccard ≥ τ (the smallest common token
+  *    in the global order sits within both prefixes), so after exact
+  *    verification the result equals the all-pairs answer — while at
+  *    scale the join only fans out on RARE tokens, never the Zipf head
+  *    that makes a naive token join quadratic.
+  *
+  * Reference parity: the reference's pandas loop (etl.py:1-246) has no
+  * joins at all; both entries extend the engine along SURVEY §2.6's
+  * LLM-pipeline axis (decontamination semi-joins, near-dup joins).
+  */
+object Surface17Queries {
+  import Tables._
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXPLICIT cross-job Bloom semi-join: March-1996 orders (small
+    // side) → driver-built Bloom over o_orderkey → pre-filter the
+    // lineitem scan → exact semi-join scrub → per-flag aggregate.
+    // At 100 TB the bloom (~77 KB at 2^16 keys / 1% fpp) ships with the
+    // plan as a binary constant and prunes non-matching lineitem rows
+    // AT THE SCAN, before the exchange the semi-join would otherwise
+    // pay on the full fact table. (Past ~10^7 keys the constant should
+    // ride an explicit broadcast instead of the task binary — same
+    // predicate, different transport.) The in-query `require` proves
+    // the predicate reached the plan.
+    "q106_bloom_semi" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey")
+      // expectedNumItems is a capacity bound, not a count — sized to
+      // the known monthly order volume so no extra counting job runs
+      val bf = ord.stat.bloomFilter("o_orderkey", 1 << 16, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val bfLit = lit(bos.toByteArray)
+      val pruned = t(s, dir, "lineitem")
+        .where(call_function("bloom_might_contain", bfLit,
+          col("l_orderkey")))
+      val out = pruned
+        .join(ord, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity"), 2).as("sum_qty"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("might_contain"),
+        s"driver-built bloom filter must reach the lineitem scan:\n$plan")
+      out
+    }),
+
+    // PREFIX-FILTERED exact Jaccard self-join (τ = 1/2, integer-exact:
+    // J ≥ 1/2  ⇔  3·|a∩b| ≥ |a| + |b|). Stages, each a narrow
+    // declarative step: distinct word tokens → global document
+    // frequency (the tiny side, broadcast) → per-doc token list sorted
+    // by (df, tok) → explode only the first n div 2 + 1 tokens →
+    // equi-join candidates on the prefix token → exact verify on the
+    // full sets. Fixture texts draw from a ~31-word vocabulary, so
+    // locally the prefix prunes little (44 845 → 32 347 pairs); on a
+    // real Zipfian vocabulary the prefix is exactly the rare tail and
+    // the join never touches stop-word buckets. Bounded to doc_id<300
+    // so the DuckDB all-pairs oracle stays tractable.
+    "e87_prefix_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(filter(
+          split(lower(col("text")), "[^a-z0-9]+"),
+          x => length(x) > 0))).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val lists = toks.join(broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+          .as("sorted"))
+        .select(col("doc_id"),
+          transform(col("sorted"), x => x("tok")).as("toks"),
+          size(col("sorted")).as("n"))
+      val prefix = lists.select(col("doc_id"),
+        explode(slice(col("toks"), lit(1), expr("n div 2 + 1"))).as("tok"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.tok") === col("b.tok") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(lists.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+          col("n").as("n_a")), "id_a")
+        .join(lists.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+          col("n").as("n_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("ta"), col("tb"))).as("n_common"),
+          col("n_a"), col("n_b"))
+        .where(col("n_common") * 3 >= col("n_a") + col("n_b"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the bloom is a pruning artifact only — the judged answer is the
+    // plain exact semi-join aggregate, decimal-exact on quantity
+    "q106_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+                CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01')
+         GROUP BY l_returnflag""",
+    // oracle computes the UNFILTERED all-pairs answer — prefix
+    // filtering is lossless, so the engines must agree exactly
+    "e87_prefix_join" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+          tk AS (SELECT DISTINCT doc_id, tok FROM
+                   (SELECT doc_id,
+                      unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                        AS tok
+                    FROM d)
+                 WHERE tok <> ''),
+          sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS n_common
+                    FROM tk a JOIN tk b
+                      ON a.tok = b.tok AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
+          FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE 3 * n_common >= sa.n + sb.n"""
+  )
+}
