@@ -252,6 +252,77 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), col("n_match"),
           estJ.as("est_jaccard"), col("jaccard").as("true_jaccard"),
           abs(estJ - col("jaccard")).as("abs_err"))
+    }),
+
+    // STREAMING near-dup admission (§2.6 E1 × C6): the staged band
+    // keys replayed through the real micro-batch engine in three
+    // doc-id-ordered ingest chunks; [[graft.streaming.BandAdmission]]
+    // keeps ONE long of state per band (the min doc id that has
+    // carried it — bounded by the band domain, not the corpus) and
+    // flags each arriving doc whose band was first seen on a smaller
+    // id. Cross-batch state is the point: a band admitted in batch 1
+    // must flag a colliding doc in batch 3, through the checkpointed
+    // state store. With ordered arrival the admission decision equals
+    // the batch definition "shares a band with an earlier doc", which
+    // is exactly what the oracle computes from the same sig/band CTEs.
+    "c31_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val sig = stagedSignatures(s, dir)
+      val banded = sig.select(col("doc_id") +:
+        Dedup.bandKeys((0 until minhashK).map(j => col(s"sig_$j")),
+          bands): _*)
+      val long = banded.select(col("doc_id"), explode(array(
+        (0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+      val tmp = Stage.tempDir("graft-c31-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      // 3 doc-id-range chunks arriving in order; FileStreamSource
+      // orders files by modification time, so each chunk's mtime is
+      // pinned explicitly — arrival order is deterministic, not a
+      // race on write timestamps (1-row max: feed sizing scalar)
+      val mx = long.agg(max("doc_id")).head().getLong(0)
+      val feedDir = new java.io.File(feed)
+      val stamped = scala.collection.mutable.Set[String]()
+      var lo = Long.MinValue
+      Seq(mx / 3, 2 * mx / 3, Long.MaxValue).zipWithIndex.foreach {
+        case (hi, i) =>
+          long.where(col("doc_id") > lo && col("doc_id") <= hi)
+            .coalesce(1).write.mode("append").parquet(feed)
+          feedDir.listFiles().foreach { f =>
+            val n = f.getName
+            if (!n.startsWith("_") && !n.startsWith(".") &&
+                !stamped.contains(n)) {
+              f.setLastModified(1700000000000L + i * 600000L)
+              stamped += n
+            }
+          }
+          lo = hi
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.StringType)))
+      val prev = s.conf.get("spark.sql.shuffle.partitions", "32")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val in = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+          .as[graft.streaming.BandAdmission.BandRow]
+        graft.streaming.BandAdmission.flagStream(in)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.BandAdmission.BandFlag], _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
+          .start().awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(out).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bands"),
+          max(col("dup")).as("is_neardup"))
     }))
 
   /** The LSH candidate-pair frame and its connected-component labels,
@@ -621,6 +692,22 @@ object DedupQueries {
           SELECT t.doc_id FROM toks t
           WHERE t.doc_id NOT IN
             (SELECT id_b FROM verified WHERE jaccard >= 0.3)""",
+    // streaming admission must equal the batch definition: a doc is a
+    // near-dup iff some band of it was first seen on a smaller doc id
+    "c31_stream_neardup" ->
+      s"""WITH $shingleCte,
+          sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh
+                  GROUP BY doc_id),
+          band AS (SELECT doc_id, unnest([
+            md5(concat_ws('_', '0', sig_0, sig_1)),
+            md5(concat_ws('_', '1', sig_2, sig_3)),
+            md5(concat_ws('_', '2', sig_4, sig_5)),
+            md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig),
+          m AS (SELECT band, min(doc_id) AS mn FROM band GROUP BY band)
+          SELECT b.doc_id, count(*) AS n_bands,
+            bool_or(m.mn < b.doc_id) AS is_neardup
+          FROM band b JOIN m ON b.band = m.band
+          GROUP BY b.doc_id""",
     "e8_split" ->
       s"""SELECT doc_id, $splitBucketSql AS bucket, $splitNameSql AS split
           FROM documents""",

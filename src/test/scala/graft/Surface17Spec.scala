@@ -49,6 +49,22 @@ class Surface17Spec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("band admission fold: earlier ids flag later ones, state carries") {
+    import graft.streaming.BandAdmission.{fold, BandRow}
+    // batch 1: doc 5 admitted, doc 7 flagged (5 < 7 shares the band)
+    val (f1, mn1) = fold("X", Long.MaxValue,
+      Seq(BandRow(7, "X"), BandRow(5, "X")))
+    assert(f1.map(f => (f.doc_id, f.dup)) == Seq((5L, false), (7L, true)))
+    assert(mn1 == 5L)
+    // batch 2 against carried state: doc 9 flagged by batch-1's doc 5
+    val (f2, mn2) = fold("X", mn1, Seq(BandRow(9, "X")))
+    assert(f2.map(f => (f.doc_id, f.dup)) == Seq((9L, true)) && mn2 == 5L)
+    // equal ids never flag each other
+    val (f3, _) = fold("Y", Long.MaxValue,
+      Seq(BandRow(4, "Y"), BandRow(4, "Y")))
+    assert(f3.forall(!_.dup))
+  }
+
   test("prefix filtering is lossless vs brute-force all-pairs Jaccard") {
     import graft.queries.Tables.t
     // brute-force truth at sf0.001: distinct token sets, all-pairs
