@@ -113,6 +113,44 @@ object Surface17Queries {
           size(array_intersect(col("ta"), col("tb"))).as("n_common"),
           col("n_a"), col("n_b"))
         .where(col("n_common") * 3 >= col("n_a") + col("n_b"))
+    }),
+
+    // K-ANONYMITY re-identification risk curve (Sweeney, 2002) — the
+    // privacy-governance audit a dataset release runs next to
+    // redaction (e4_redact) and forget-cascades (c16): group the
+    // population by quasi-identifiers (nation, segment, $1000
+    // account-balance band), then for k ∈ {2, 5, 10} report how many
+    // equivalence classes are smaller than k and what fraction of
+    // people sit in them. Banding is exact-integer (cents, shifted
+    // positive so `div` floors identically in both engines); the
+    // whole curve rides ONE aggregate over one scan with conditional
+    // sums, unpivoted to k rows — no per-k re-scan, and at any corpus
+    // size the plan is a map-side-combine groupBy on the QI domain.
+    "e88_k_anon" -> ((s, dir) => {
+      val qi = t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          (dec(col("c_acctbal"), 2) * 100).cast("long").as("cents"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(cents + 100000000) div 100000").as("bal_band"))
+      val cls = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("n"))
+      val ks = Seq(2L, 5L, 10L)
+      val aggs = Seq(count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_cust")) ++
+        ks.flatMap { k => Seq(
+          sum(when(col("n") < k, lit(1L)).otherwise(lit(0L)))
+            .as(s"cb_$k"),
+          sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
+            .as(s"cr_$k")) }
+      cls.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(ks.map(k => struct(
+          lit(k).as("k"), col("n_classes"),
+          col(s"cb_$k").as("classes_below_k"),
+          col(s"cr_$k").as("customers_at_risk"),
+          expr(s"cr_$k * 1000000 div n_cust").as("risk_ppm"))): _*))
+          .as("r"))
+        .select(col("r.k"), col("r.n_classes"), col("r.classes_below_k"),
+          col("r.customers_at_risk"), col("r.risk_ppm"))
     })
   )
 
@@ -149,6 +187,35 @@ object Surface17Queries {
           FROM inter
           JOIN sz sa ON sa.doc_id = id_a
           JOIN sz sb ON sb.doc_id = id_b
-          WHERE 3 * n_common >= sa.n + sb.n"""
+          WHERE 3 * n_common >= sa.n + sb.n""",
+    // the k-curve: classes smaller than k and the population share
+    // inside them, integer-exact (cents banding, ppm floor division)
+    "e88_k_anon" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment,
+             (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + 100000000) // 100000 AS bal_band,
+             count(*) AS n
+           FROM customer GROUP BY 1, 2, 3),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(n) AS BIGINT) AS n_cust,
+             CAST(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT) AS cb2,
+             CAST(sum(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT) AS cr2,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS cb5,
+             CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS cr5,
+             CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb10,
+             CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+               AS cr10
+           FROM cls)
+         SELECT CAST(2 AS BIGINT) AS k, n_classes,
+           cb2 AS classes_below_k, cr2 AS customers_at_risk,
+           CAST((cr2 * 1000000) // n_cust AS BIGINT) AS risk_ppm FROM t
+         UNION ALL
+         SELECT 5, n_classes, cb5, cr5,
+           CAST((cr5 * 1000000) // n_cust AS BIGINT) FROM t
+         UNION ALL
+         SELECT 10, n_classes, cb10, cr10,
+           CAST((cr10 * 1000000) // n_cust AS BIGINT) FROM t"""
   )
 }
