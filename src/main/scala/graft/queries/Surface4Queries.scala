@@ -84,20 +84,41 @@ object Surface4Queries {
           count(lit(1)).as("n"))
     }),
 
-    // Per-group sorted top-k as a packed list — collect_list stays
-    // bounded because groups are nations (25); the sort key leads with
-    // the negated balance so sort_array ascending = balance descending
-    "q58_top3" -> ((s, dir) =>
-      t(s, dir, "customer")
+    // Per-group top-k, BOUNDED: the rank-window + `rk <= 3` filter is
+    // the shape Spark's WindowGroupLimit rewrite recognizes — each
+    // input partition keeps at most 3 rows per nation BEFORE the
+    // window exchange, so per-group state never grows with group size
+    // (the previous collect_list form buffered every group member
+    // map-side: group COUNT was bounded, group SIZE was not — the
+    // wrong bound at 100 TB). The packed-list aggregation then runs
+    // over ≤ 3 rows per group; the in-query `require` pins the
+    // group-limit rewrite into the plan. Counts come from a separate
+    // map-side-combine aggregate and join back on the 25-row result.
+    "q58_top3" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"), col("c_name"))
+      val top = cust
+        .select(col("c_nationkey"), col("c_acctbal"), col("c_custkey"),
+          col("c_name"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
         .groupBy("c_nationkey")
         .agg(array_join(
           transform(
-            slice(sort_array(collect_list(struct(
+            sort_array(collect_list(struct(
               (-col("c_acctbal")).as("negbal"),
               col("c_custkey").as("ck"),
-              col("c_name").as("nm")))), 1, 3),
-            x => x.getField("nm")), ",").as("top3"),
-          count(lit(1)).as("n"))),
+              col("c_name").as("nm")))),
+            x => x.getField("nm")), ",").as("top3"))
+      val counts = cust.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      val out = top.join(counts, "c_nationkey")
+        .select(col("c_nationkey"), col("top3"), col("n"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("WindowGroupLimit"),
+        s"per-group top-k must be group-limit pruned, not sorted in " +
+          s"full:\n$plan")
+      out
+    }),
 
     // Correlation/covariance from exact decimal sums: the five
     // sufficient statistics are summed as decimals (order-independent),
