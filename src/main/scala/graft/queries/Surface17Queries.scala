@@ -115,6 +115,32 @@ object Surface17Queries {
         .where(col("n_common") * 3 >= col("n_a") + col("n_b"))
     }),
 
+    // MATCH_RECOGNIZE-style STRICT-SEQUENCE detection (the CEP
+    // primitive Flink CEP / Trino MATCH_RECOGNIZE expose): per user,
+    // occurrences of view → click → purchase as three CONSECUTIVE
+    // events in (ts, event_id) order with the whole span under 24 h —
+    // contiguity is what distinguishes this from q76's eventual-order
+    // funnel. Reduction: a lead-chain over one per-user window pass
+    // (the pattern is fixed-length, so no NFA state is needed), fully
+    // partition-parallel, gap arithmetic in exact epoch micros.
+    "q107_match" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .withColumn("ts2", lead(col("ts"), 2).over(w))
+        .where(col("event_type") === "view" && col("t1") === "click" &&
+          col("t2") === "purchase" &&
+          unix_micros(col("ts2")) - unix_micros(col("ts")) <
+            lit(86400000000L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("ts")).as("first_match_ts"))
+    }),
+
     // K-ANONYMITY re-identification risk curve (Sweeney, 2002) — the
     // privacy-governance audit a dataset release runs next to
     // redaction (e4_redact) and forget-cascades (c16): group the
@@ -188,6 +214,23 @@ object Surface17Queries {
           JOIN sz sa ON sa.doc_id = id_a
           JOIN sz sb ON sb.doc_id = id_b
           WHERE 3 * n_common >= sa.n + sb.n""",
+    // strict contiguity: the same lead-chain in the oracle engine;
+    // both sides tie-break the per-user order on (ts, event_id)
+    "q107_match" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP)
+             AS ts, event_id FROM events),
+         l AS (SELECT user_id, event_type, ts,
+                 lead(event_type, 1) OVER w AS t1,
+                 lead(event_type, 2) OVER w AS t2,
+                 lead(ts, 2) OVER w AS ts2
+               FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, count(*) AS n_matches,
+           min(ts) AS first_match_ts
+         FROM l
+         WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+           AND epoch_us(ts2) - epoch_us(ts) < 86400000000
+         GROUP BY user_id""",
     // the k-curve: classes smaller than k and the population share
     // inside them, integer-exact (cents banding, ppm floor division)
     "e88_k_anon" ->
