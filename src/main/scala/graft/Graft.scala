@@ -39,6 +39,8 @@ object Graft {
   val sources: graft.sources.FixtureSource.type = graft.sources.FixtureSource
   val pipeline: graft.streaming.Pipeline.type = graft.streaming.Pipeline
   val ingest: graft.streaming.Ingest.type = graft.streaming.Ingest
+  val admission: graft.streaming.BandAdmission.type =
+    graft.streaming.BandAdmission
   val text: graft.operators.TextAnalysis.type = graft.operators.TextAnalysis
   val dedup: graft.operators.Dedup.type = graft.operators.Dedup
   val similarity: graft.operators.Similarity.type = graft.operators.Similarity
