@@ -56,6 +56,7 @@ object Graft {
   val zorder: graft.operators.ZOrder.type = graft.operators.ZOrder
   val heavyHitters: graft.operators.HeavyHitters.type =
     graft.operators.HeavyHitters
+  val privacy: graft.operators.Privacy.type = graft.operators.Privacy
 
   /** Register the engine's native SQL functions (`vec_dot`) on a live
     * session; alternatively set

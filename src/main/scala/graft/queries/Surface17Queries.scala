@@ -177,6 +177,61 @@ object Surface17Queries {
           .as("r"))
         .select(col("r.k"), col("r.n_classes"), col("r.classes_below_k"),
           col("r.customers_at_risk"), col("r.risk_ppm"))
+    }),
+
+    // DIFFERENTIAL-PRIVACY noisy histogram release via the geometric
+    // mechanism (discrete Laplace, α = 1/2 ⇒ ε = ln 2): per-(lang,
+    // source) document counts + seeded two-sided-geometric noise +
+    // a post-noise publication threshold (noisy n ≥ 10) — what a
+    // governance pipeline applies before publishing corpus
+    // composition stats. The draw (operators/Privacy.scala) is
+    // integer-exact bit-length arithmetic over a 48-bit md5 uniform —
+    // no transcendental touches the judged frame, so the strict
+    // cross-engine compare holds bit-for-bit. Scale shape: ONE
+    // map-side-combine groupBy over the corpus; the noise is a
+    // per-group scalar expression — no second pass, no state.
+    "e89_dp_release" -> ((s, dir) => {
+      import graft.operators.Privacy
+      val grp = t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val k = Privacy.geometricNoise(
+        Privacy.seededU48(concat_ws("_", col("lang"), col("source"))))
+      grp.select(col("lang"), col("source"), col("n"),
+          (col("n") + k).as("noisy_n"))
+        .withColumn("released", col("noisy_n") >= 10L)
+    }),
+
+    // L-DIVERSITY audit (Machanavalli et al., 2007) — k-anonymity's
+    // companion: an equivalence class can be large yet still leak if
+    // every member shares the same SENSITIVE value. Classes here are
+    // (source, 200-char length band) over documents; the sensitive
+    // attribute is lang; the curve reports, for l ∈ {2, 3}, how many
+    // classes carry fewer than l distinct languages and how many
+    // documents sit in them. Two aggregates total (distinct-per-class,
+    // then the curve over the tiny class frame), both map-side-
+    // combining; integer-exact throughout.
+    "e90_l_diversity" -> ((s, dir) => {
+      val cls = t(s, dir, "documents")
+        .select(col("source"), expr("n_chars div 200").as("len_band"),
+          col("lang"))
+        .groupBy("source", "len_band")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("lang")).as("n_langs"))
+      val ls = Seq(2L, 3L)
+      val aggs = Seq(count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_docs")) ++
+        ls.flatMap { l => Seq(
+          sum(when(col("n_langs") < l, lit(1L)).otherwise(lit(0L)))
+            .as(s"cb_$l"),
+          sum(when(col("n_langs") < l, col("n")).otherwise(lit(0L)))
+            .as(s"dr_$l")) }
+      cls.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(ls.map(l => struct(
+          lit(l).as("l"), col("n_classes"),
+          col(s"cb_$l").as("classes_below_l"),
+          col(s"dr_$l").as("docs_at_risk"))): _*)).as("r"))
+        .select(col("r.l"), col("r.n_classes"), col("r.classes_below_l"),
+          col("r.docs_at_risk"))
     })
   )
 
@@ -259,6 +314,46 @@ object Surface17Queries {
            CAST((cr5 * 1000000) // n_cust AS BIGINT) FROM t
          UNION ALL
          SELECT 10, n_classes, cb10, cr10,
-           CAST((cr10 * 1000000) // n_cust AS BIGINT) FROM t"""
+           CAST((cr10 * 1000000) // n_cust AS BIGINT) FROM t""",
+    // identical integer-only geometric-mechanism arithmetic: 48-bit
+    // md5 uniform, t = 3u, noise from length(bin(...)) bit lengths —
+    // no float ever enters the judged frame (2^49 = 562949953421312,
+    // 3·2^48 = 844424930131968)
+    "e89_dp_release" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n
+            FROM documents GROUP BY 1, 2),
+          u AS (SELECT lang, source, n,
+                  3 * CAST('0x' || substr(md5(lang || '_' || source), 1, 12)
+                    AS BIGINT) AS t
+                FROM g),
+          z AS (SELECT lang, source, n,
+                  CASE WHEN t < 562949953421312
+                    THEN CAST(length(bin(t + 1)) AS BIGINT) - 49
+                    ELSE 49 - CAST(length(bin(844424930131968 - t - 1))
+                      AS BIGINT) END AS k
+                FROM u)
+          SELECT lang, source, n, n + k AS noisy_n,
+            (n + k) >= 10 AS released
+          FROM z""",
+    "e90_l_diversity" ->
+      """WITH cls AS (
+           SELECT source, n_chars // 200 AS len_band,
+             count(*) AS n, count(DISTINCT lang) AS n_langs
+           FROM documents GROUP BY 1, 2),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+              CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN n_langs < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cb2,
+              CAST(sum(CASE WHEN n_langs < 2 THEN n ELSE 0 END) AS BIGINT)
+                AS dr2,
+              CAST(sum(CASE WHEN n_langs < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cb3,
+              CAST(sum(CASE WHEN n_langs < 3 THEN n ELSE 0 END) AS BIGINT)
+                AS dr3
+            FROM cls)
+          SELECT CAST(2 AS BIGINT) AS l, n_classes,
+            cb2 AS classes_below_l, dr2 AS docs_at_risk FROM t
+          UNION ALL
+          SELECT 3, n_classes, cb3, dr3 FROM t"""
   )
 }

@@ -89,4 +89,42 @@ class Surface17Spec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(got.nonEmpty && got == want)
   }
+
+  test("geometric mechanism: exact boundary draws and band widths") {
+    import graft.operators.Privacy
+    import spark.implicits._
+    // hand-checked inverse-CDF boundary cases: u = 0 is the extreme
+    // negative tail; the middle third maps to 0; u = 2^48 - 1 the
+    // extreme positive tail; adjacent dyadic bands step k by one
+    val cases = Seq(
+      0L -> -48L, // t+1 = 1, bitlen 1
+      (1L << 47) -> 0L, // t = 3·2^47 ∈ [2^48, 2^49)
+      (1L << 46) -> -1L, // t = 3·2^46 ∈ [2^47, 2^48)
+      (1L << 45) -> -2L,
+      ((1L << 48) - 1L) -> 47L, // s = 3·2^48 − t − 1 = 2, bitlen 2
+      ((1L << 48) - (1L << 45)) -> 2L) // s = 3·2^45 − 1 ∈ [2^46, 2^47),
+                                       // the symmetric mirror of u = 2^45
+    val got = cases.map(_._1).toDF("u48")
+      .select(col("u48"), Privacy.geometricNoise(col("u48")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) == want, s"u48=$u: got ${got(u)}, want $want") }
+  }
+
+  test("geometric mechanism: empirical law P(k) = (1/3)·2^-|k|") {
+    import graft.operators.Privacy
+    // seeded md5 uniforms over 60k keys: the draw must be symmetric
+    // with P(0) ≈ 1/3 and P(|k|≤1) ≈ 2/3 — the α = 1/2 law
+    val ks = spark.range(60000)
+      .select(Privacy.geometricNoise(
+        Privacy.seededU48(col("id").cast("string"))).as("k"))
+      .groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = ks.values.sum.toDouble
+    def frac(p: Long => Boolean) =
+      ks.collect { case (k, c) if p(k) => c }.sum / n
+    assert(math.abs(frac(_ == 0L) - 1.0 / 3) < 0.01)
+    assert(math.abs(frac(k => math.abs(k) <= 1) - 2.0 / 3) < 0.01)
+    assert(math.abs(frac(_ > 0L) - frac(_ < 0L)) < 0.01)
+  }
 }
