@@ -232,6 +232,39 @@ object Surface17Queries {
           col(s"dr_$l").as("docs_at_risk"))): _*)).as("r"))
         .select(col("r.l"), col("r.n_classes"), col("r.classes_below_l"),
           col("r.docs_at_risk"))
+    }),
+
+    // CORPUS SNAPSHOT DIFF — the delta audit a crawl refresh runs
+    // before reprocessing: full outer join of two corpus snapshots on
+    // doc id, each row classified added / removed / modified /
+    // unchanged, where "modified" compares constant-width md5
+    // FINGERPRINTS, never document text (at 100 TB the join and the
+    // compare both move 32-byte keys — text stays at rest). The two
+    // snapshots here derive deterministically from the fixture (v1
+    // drops doc_id ≡ 3 mod 11, v2 drops ≡ 5 mod 13 and rewrites
+    // ≡ 0 mod 7). One hash exchange per side on doc_id; with both
+    // snapshots bucketed by doc_id (q86's layout) the join is
+    // exchange-free. Judged frame = per-class counts + id-range
+    // evidence.
+    "e91_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.where(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id").as("id1"), md5(col("text")).as("fp1"))
+      val v2 = docs.where(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id").as("id2"),
+          md5(when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [refreshed]")))
+            .otherwise(col("text"))).as("fp2"))
+      v1.join(v2, col("id1") === col("id2"), "full_outer")
+        .select(
+          when(col("id1").isNull, lit("added"))
+            .when(col("id2").isNull, lit("removed"))
+            .when(col("fp1") =!= col("fp2"), lit("modified"))
+            .otherwise(lit("unchanged")).as("status"),
+          coalesce(col("id1"), col("id2")).as("doc_id"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     })
   )
 
@@ -354,6 +387,23 @@ object Surface17Queries {
           SELECT CAST(2 AS BIGINT) AS l, n_classes,
             cb2 AS classes_below_l, dr2 AS docs_at_risk FROM t
           UNION ALL
-          SELECT 3, n_classes, cb3, dr3 FROM t"""
+          SELECT 3, n_classes, cb3, dr3 FROM t""",
+    // same synthetic snapshots, same fingerprint classification
+    "e91_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id AS id1, md5(text) AS fp1
+            FROM documents WHERE doc_id % 11 <> 3),
+          v2 AS (SELECT doc_id AS id2,
+                   md5(CASE WHEN doc_id % 7 = 0
+                     THEN text || ' [refreshed]' ELSE text END) AS fp2
+            FROM documents WHERE doc_id % 13 <> 5),
+          d AS (SELECT CASE WHEN id1 IS NULL THEN 'added'
+                            WHEN id2 IS NULL THEN 'removed'
+                            WHEN fp1 <> fp2 THEN 'modified'
+                            ELSE 'unchanged' END AS status,
+                       COALESCE(id1, id2) AS doc_id
+                FROM v1 FULL OUTER JOIN v2 ON id1 = id2)
+          SELECT status, count(*) AS n_docs,
+                 min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM d GROUP BY status"""
   )
 }
