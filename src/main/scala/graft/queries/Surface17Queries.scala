@@ -265,6 +265,45 @@ object Surface17Queries {
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+    // EXACT DYADIC EWMA — time-series smoothing with α = 1/2 over a
+    // bounded 16-event lookback, the sensor/clickstream baseline a
+    // monitoring pipeline keeps per key. EWMA is a RECURSION (no
+    // declarative window recursion exists), but α = 1/2 over a
+    // bounded frame has a closed form in exact integers: value
+    // quantized to micro-units, frame collected oldest→newest, term
+    // j weighted 2^(j-1) — newest dominates, num ≤ 2^15·16·|v|_fp
+    // fits a long, den = 2^n − 1. One partition-parallel window pass
+    // per user in (ts, event_id) order; no float enters the judged
+    // num/den, and the ratio is a single IEEE division of two exact
+    // longs — identical in any engine. Null values are excluded
+    // BEFORE the frame (engines disagree on nulls in collected
+    // lists), matching how a monitor skips failed readings.
+    "e92_ewma" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-15, org.apache.spark.sql.expressions.Window.currentRow)
+      events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          // floor(v·1e6), never a decimal cast: the double multiply
+          // and floor are IEEE-identical in any engine, while decimal
+          // rounding MODES (half-up vs half-even) are not
+          floor(col("value") * lit(1000000.0)).cast("long").as("v_fp"))
+        .withColumn("lst", collect_list(col("v_fp")).over(w))
+        .select(col("event_id"), col("user_id"),
+          size(col("lst")).as("n_window"),
+          aggregate(col("lst"),
+            struct(lit(0L).as("s"), lit(1L).as("w")),
+            (acc, x) => struct((acc("s") + x * acc("w")).as("s"),
+              (acc("w") * lit(2L)).as("w")),
+            acc => acc("s")).as("ewma_num"),
+          (expr("shiftleft(CAST(1 AS BIGINT), size(lst))") - 1)
+            .as("ewma_den"))
+        .withColumn("ewma",
+          col("ewma_num").cast("double") /
+            col("ewma_den").cast("double") / lit(1000000.0))
     })
   )
 
@@ -404,6 +443,26 @@ object Surface17Queries {
                 FROM v1 FULL OUTER JOIN v2 ON id1 = id2)
           SELECT status, count(*) AS n_docs,
                  min(doc_id) AS min_id, max(doc_id) AS max_id
-          FROM d GROUP BY status"""
+          FROM d GROUP BY status""",
+    // same micro-unit quantization, same oldest→newest dyadic
+    // weighting via the indexed list lambda; num cast from HUGEINT
+    "e92_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      CAST(floor(value * 1000000.0) AS BIGINT) AS v_fp
+            FROM events WHERE value IS NOT NULL),
+          w AS (SELECT event_id, user_id,
+                  list(v_fp) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst
+                FROM e)
+          SELECT event_id, user_id,
+            CAST(len(lst) AS INTEGER) AS n_window,
+            CAST(list_sum(list_transform(lst,
+              (x, i) -> x * (1 << (i - 1)))) AS BIGINT) AS ewma_num,
+            CAST((1 << len(lst)) - 1 AS BIGINT) AS ewma_den,
+            CAST(list_sum(list_transform(lst,
+              (x, i) -> x * (1 << (i - 1)))) AS DOUBLE)
+              / CAST((1 << len(lst)) - 1 AS DOUBLE) / 1000000.0 AS ewma
+          FROM w"""
   )
 }
