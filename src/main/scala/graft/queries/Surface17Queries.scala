@@ -304,6 +304,36 @@ object Surface17Queries {
         .withColumn("ewma",
           col("ewma_num").cast("double") /
             col("ewma_den").cast("double") / lit(1000000.0))
+    }),
+
+    // BURST DETECTION — the rate-ratio anomaly rule a monitoring
+    // pipeline evaluates per key: an event is a burst point when its
+    // trailing 1 h event count, scaled to the 24 h horizon, is ≥ 3×
+    // its trailing 24 h count (and the hour has ≥ 5 events — no
+    // bursts from silence). Two RANGE frames over exact epoch micros
+    // on ONE window pass (same exchange, same sort — RANGE peers make
+    // tie-breaks irrelevant for counts); the ratio test is exact
+    // integer cross-multiplication, never a rate division. Judged
+    // per-user rollup: events, burst points, peak trailing-hour
+    // count.
+    "e93_burst" -> ((s, dir) => {
+      val base = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tu"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tu")
+        .rangeBetween(-3600000000L, 0L)
+      val w24 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tu")
+        .rangeBetween(-86400000000L, 0L)
+      base
+        .withColumn("n1h", count(lit(1)).over(w1))
+        .withColumn("n24h", count(lit(1)).over(w24))
+        .withColumn("is_burst",
+          col("n1h") * 24 >= col("n24h") * 3 && col("n1h") >= 5)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_burst"), 1L).otherwise(0L)).as("n_burst"),
+          max(col("n1h")).as("peak_1h"))
     })
   )
 
@@ -463,6 +493,24 @@ object Surface17Queries {
             CAST(list_sum(list_transform(lst,
               (x, i) -> x * (1 << (i - 1)))) AS DOUBLE)
               / CAST((1 << len(lst)) - 1 AS DOUBLE) / 1000000.0 AS ewma
-          FROM w"""
+          FROM w""",
+    // same two RANGE frames over epoch micros, same integer
+    // cross-multiplied ratio rule
+    "e93_burst" ->
+      """WITH e AS (SELECT user_id,
+              epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          f AS (SELECT user_id,
+              count(*) OVER (PARTITION BY user_id ORDER BY tu
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS n1h,
+              count(*) OVER (PARTITION BY user_id ORDER BY tu
+                RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+                AS n24h
+            FROM e)
+          SELECT user_id, count(*) AS n_events,
+            CAST(sum(CASE WHEN n1h * 24 >= n24h * 3 AND n1h >= 5
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_burst,
+            CAST(max(n1h) AS BIGINT) AS peak_1h
+          FROM f GROUP BY user_id"""
   )
 }
