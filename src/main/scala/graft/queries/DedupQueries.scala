@@ -292,7 +292,12 @@ object DedupQueries {
             val n = f.getName
             if (!n.startsWith("_") && !n.startsWith(".") &&
                 !stamped.contains(n)) {
-              f.setLastModified(1700000000000L + i * 600000L)
+              // fail fast if the pin is refused (some filesystems
+              // return false): falling back to natural write mtimes
+              // silently breaks the ordered-arrival contract the
+              // oracle assumes
+              require(f.setLastModified(1700000000000L + i * 600000L),
+                s"mtime pin failed for $f — arrival order would race")
               stamped += n
             }
           }

@@ -33,20 +33,26 @@ object MiscQueries {
         ok("o_orderpriority").as("approx_priorities_ok"))
     }),
 
-    // Multimodal: binary media column + metadata → per-partition stub
-    // decode → features (mean byte value is exactly reproducible in SQL)
+    // Multimodal: binary media column + metadata → per-partition REAL
+    // PNG decode (javax.imageio) → features. The fixture encodes each
+    // doc as a genuine (n_chars%64+1)×4 grayscale PNG whose pixels
+    // cycle the 16 md5(text) bytes; PNG is lossless, so the decoded
+    // raster — and thus every judged feature — is exactly reproducible
+    // in SQL from md5(text) without parsing a container.
     "e6_media_features" -> ((s, dir) => {
       val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
       val features = Multimodal.extractFeatures(
         Multimodal.toMediaDataset(fixture), resizeStride = 4)
       features.toDF().select(
-        col("doc_id"), col("n_bytes"), col("mean_byte"),
-        length(col("thumb")).as("thumb_bytes"))
+        col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("mean_byte"),
+        length(col("thumb")).cast("long").as("thumb_bytes"))
     }),
 
-    // Multimodal frame sampling: 16-byte payload → 4-byte frames, keep
-    // every 2nd (frames 0 and 2) — the video keyframe-sampling shape,
-    // hex-encoded so the frames themselves are value-judged
+    // Multimodal frame sampling over DECODED pixels: width×4 raster →
+    // 4-pixel frames (one per image column group), keep every 2nd —
+    // the video keyframe-sampling shape, hex-encoded so the kept
+    // frames themselves are value-judged
     "e6_frame_sample" -> ((s, dir) => {
       val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
       Multimodal.sampleFrameHex(Multimodal.toMediaDataset(fixture),
@@ -62,20 +68,30 @@ object MiscQueries {
          CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS exact_priorities,
          TRUE AS approx_priorities_ok
          FROM orders""",
-    // md5(text) = 16 payload bytes; mean byte value reproduced from the
-    // hex string; thumb = every 4th byte of 16 → 4 bytes
+    // decoded raster = 4·w pixels (w = n_chars%64+1) cycling the 16
+    // md5(text) bytes: byte j (1-based) appears N//16 + (j<=N%16)
+    // times; thumb = every 4th pixel of N=4w → w bytes
     "e6_media_features" ->
-      """SELECT doc_id, 16 AS n_bytes,
+      """SELECT doc_id,
+         CAST(4 * ((d.n_chars % 64) + 1) AS BIGINT) AS n_bytes,
          (SELECT CAST(SUM(CAST('0x' || substr(md5(d.text), 2*g.i - 1, 2)
-                              AS BIGINT)) AS DOUBLE) / 16
+                              AS BIGINT)
+                  * ((4 * ((d.n_chars % 64) + 1)) // 16
+                     + CASE WHEN g.i <= (4 * ((d.n_chars % 64) + 1)) % 16
+                            THEN 1 ELSE 0 END)) AS DOUBLE)
+                / (4 * ((d.n_chars % 64) + 1))
           FROM generate_series(1, 16) AS g(i)) AS mean_byte,
-         4 AS thumb_bytes
+         CAST((d.n_chars % 64) + 1 AS BIGINT) AS thumb_bytes
          FROM documents d""",
-    // payload = md5(text): 16 bytes = 4 frames of 4 bytes; everyK=2
-    // keeps frames 0 and 2 → hex chars 1-8 and 17-24 of the digest
+    // decoded pixels: N=4w → w frames of 4; everyK=2 keeps ceil(w/2);
+    // frame 0 = pixels 0-3 = digest bytes 0-3 (hex chars 1-8), second
+    // KEPT frame = frame 2 = pixels 8-11 = digest bytes 8-11 (hex
+    // chars 17-24), present iff w >= 3
     "e6_frame_sample" ->
-      """SELECT doc_id, CAST(2 AS BIGINT) AS n_frames,
+      """SELECT doc_id,
+         CAST((((n_chars % 64) + 1) + 1) // 2 AS BIGINT) AS n_frames,
          substr(md5(text), 1, 8) AS f0,
-         substr(md5(text), 17, 8) AS f1
+         CASE WHEN (n_chars % 64) + 1 >= 3 THEN substr(md5(text), 17, 8)
+              ELSE '' END AS f1
          FROM documents""")
 }

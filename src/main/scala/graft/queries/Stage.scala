@@ -47,9 +47,23 @@ object Stage {
     }
   }))
 
-  /** Temp dir removed on JVM exit (library embeddings don't leak /tmp). */
+  /** Temp dir removed on JVM exit (library embeddings don't leak /tmp).
+    *
+    * Root is overridable via `-Dgraft.tmp.root` / `SPARK_GRAFT_TMP_ROOT`:
+    * streaming feeds/checkpoints/state stores all land here, and at toy
+    * scale they are fsync-bound, so Bench points the root at tmpfs —
+    * the local-SSD-state-dir decision a real cluster makes per
+    * executor. Default stays the platform tmpdir.
+    */
   def tempDir(prefix: String): java.nio.file.Path = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
+    val d = sys.props.get("graft.tmp.root")
+      .orElse(sys.env.get("SPARK_GRAFT_TMP_ROOT")) match {
+      case Some(root) =>
+        val base = java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(root))
+        java.nio.file.Files.createTempDirectory(base, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
     cleanupDirs.add(d)
     d
   }

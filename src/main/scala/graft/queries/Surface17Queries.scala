@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-10 surface growth: two scale techniques a 100 TB pipeline
@@ -51,9 +51,15 @@ object Surface17Queries {
         .where(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
           col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
         .select("o_orderkey")
-      // expectedNumItems is a capacity bound, not a count — sized to
-      // the known monthly order volume so no extra counting job runs
-      val bf = ord.stat.bloomFilter("o_orderkey", 1 << 16, 0.01)
+      // expectedNumItems is a capacity bound, not a count — derived
+      // from the orders table's parquet FOOTER row count (driver-side
+      // metadata read, no job): one month is ≲ 1/84 of the 7-year
+      // order span, so total/42 is a ≥2× margin at any sf. The 2^16
+      // floor keeps the filter a fixed ~77 KB plan constant at small
+      // sf; past ~10^7 keys the capacity (and transport — explicit
+      // broadcast, not task binary) should step up with it.
+      val cap = math.max(1L << 16, parquetRowCount(s, dir, "orders") / 42)
+      val bf = ord.stat.bloomFilter("o_orderkey", cap, 0.01)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       val bfLit = lit(bos.toByteArray)
@@ -194,8 +200,19 @@ object Surface17Queries {
       import graft.operators.Privacy
       val grp = t(s, dir, "documents")
         .groupBy("lang", "source").agg(count(lit(1)).as("n"))
-      val k = Privacy.geometricNoise(
-        Privacy.seededU48(concat_ws("_", col("lang"), col("source"))))
+      // Seed key is LENGTH-PREFIXED + null-flagged so distinct groups
+      // can never collide onto one noise draw: a bare 'lang_source'
+      // concat makes ('a_b','c') and ('a','b_c') identical, and a
+      // NULL-skipping concat_ws diverges from an oracle whose ||
+      // propagates NULL. 'N:' vs '<digits>:' is unambiguous (length
+      // prefixes start with a digit), and the first field's extent is
+      // recoverable from its own prefix.
+      def enc(c: Column): Column =
+        when(c.isNull, lit("N:"))
+          .otherwise(concat(length(c).cast("string"), lit(":"), c))
+      val k = Privacy.geometricPseudoNoise(
+        Privacy.seededU48(concat(enc(col("lang")), lit("|"),
+          enc(col("source")))))
       grp.select(col("lang"), col("source"), col("n"),
           (col("n") + k).as("noisy_n"))
         .withColumn("released", col("noisy_n") >= 10L)
@@ -425,7 +442,11 @@ object Surface17Queries {
       """WITH g AS (SELECT lang, source, count(*) AS n
             FROM documents GROUP BY 1, 2),
           u AS (SELECT lang, source, n,
-                  3 * CAST('0x' || substr(md5(lang || '_' || source), 1, 12)
+                  3 * CAST('0x' || substr(md5(
+                    CASE WHEN lang IS NULL THEN 'N:'
+                      ELSE length(lang) || ':' || lang END || '|' ||
+                    CASE WHEN source IS NULL THEN 'N:'
+                      ELSE length(source) || ':' || source END), 1, 12)
                     AS BIGINT) AS t
                 FROM g),
           z AS (SELECT lang, source, n,

@@ -80,4 +80,29 @@ object Tables {
 
   /** Decimal-typed sum (for ratios computed in double afterwards). */
   def dsumDec(c: Column, scale: Int): Column = sum(dec(c, scale))
+
+  /** Exact row count of a parquet table from file FOOTER metadata only —
+    * a driver-side open of each footer (KBs each), no Spark job, no data
+    * pages read. This is how capacity bounds (bloom filter sizing, hash
+    * table pre-allocation) should be derived at 100 TB: the count is
+    * already materialized in the layout, so never pay a scan for it.
+    */
+  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq
+      else Seq(fs.getFileStatus(root))
+    files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

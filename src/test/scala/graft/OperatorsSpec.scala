@@ -223,7 +223,7 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Seq.empty)
   }
 
-  test("multimodal stub pipeline: binary plumbing + per-partition decode (§2.6)") {
+  test("multimodal real-PNG pipeline: per-partition imageio decode (§2.6)") {
     val docs = Seq((1L, "hello world", "en", "s", 11L),
       (2L, "spark engine", "en", "s", 12L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -232,13 +232,19 @@ class OperatorsSpec extends SparkSpec {
       Multimodal.toMediaDataset(fixture), resizeStride = 4)
       .collect().sortBy(_.doc_id)
     assert(feats.length === 2)
-    feats.foreach { f =>
-      assert(f.n_bytes === 16)       // md5 payload
-      assert(f.thumb.length === 4)   // every 4th of 16 bytes
-      assert(f.mean_byte >= 0 && f.mean_byte <= 255)
-    }
-    // frame sampling: 16 bytes / 4-byte frames, every 2nd → frames 0 and 2
-    val frames = Multimodal.StubCodec.frameSample(
+    // widths: (11%64)+1 = 12 and (12%64)+1 = 13; height 4
+    assert(feats.map(f => f.doc_id -> f.n_bytes).toSeq ===
+      Seq(1L -> 48, 2L -> 52))
+    assert(feats.map(f => f.doc_id -> f.thumb.length).toSeq ===
+      Seq(1L -> 12, 2L -> 13))
+    // mean over REAL decoded pixels == mean over the md5 cycle the
+    // fixture painted (PNG losslessness, checked end to end)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest("hello world".getBytes("UTF-8"))
+    val expMean = (0 until 48).map(i => dig(i % 16) & 0xff).sum / 48.0
+    assert(feats(0).mean_byte === expMean)
+    // frame sampling: 16 samples / 4-byte frames, every 2nd → 0 and 2
+    val frames = Multimodal.SignalOps.frameSample(
       Array.tabulate(16)(_.toByte), frameSize = 4, everyK = 2)
     assert(frames.length === 2)
     assert(frames(0).toSeq === Seq[Byte](0, 1, 2, 3))
@@ -251,6 +257,28 @@ class OperatorsSpec extends SparkSpec {
       Multimodal.toMediaDataset(fixture), resizeStride = 4)
       .collect().sortBy(_.doc_id)
     assert(again.map(_.mean_byte).toSeq === feats.map(_.mean_byte).toSeq)
+  }
+
+  test("ImageCodec: PNG encode→decode round-trips the gray raster exactly") {
+    import graft.operators.Multimodal.ImageCodec
+    val (w, h) = (5, 4)
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val png = ImageCodec.encodeGrayPng(px, w, h)
+    // a real container, not a byte passthrough: PNG magic + bigger
+    assert(png.take(4).toSeq === Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val (dw, dh, back) = ImageCodec.decodeGrayPng(png)
+    assert((dw, dh) === (w, h))
+    assert(back.toSeq === px.toSeq)
+  }
+
+  test("ImageCodec: Graphics2D nearest-neighbor 2x up-then-down is identity") {
+    import graft.operators.Multimodal.ImageCodec
+    val (w, h) = (6, 4)
+    val px = Array.tabulate(w * h)(i => ((i * 53 + 7) % 256).toByte)
+    val up = ImageCodec.resizeGrayNearest(px, w, h, 2 * w, 2 * h)
+    assert(up.length === 4 * w * h)
+    val down = ImageCodec.resizeGrayNearest(up, 2 * w, 2 * h, w, h)
+    assert(down.toSeq === px.toSeq)
   }
 
   test("cluster-granularity split assigns exactly one split per cluster") {

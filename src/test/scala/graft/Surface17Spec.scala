@@ -105,7 +105,7 @@ class Surface17Spec extends SparkSpec {
       ((1L << 48) - (1L << 45)) -> 2L) // s = 3·2^45 − 1 ∈ [2^46, 2^47),
                                        // the symmetric mirror of u = 2^45
     val got = cases.map(_._1).toDF("u48")
-      .select(col("u48"), Privacy.geometricNoise(col("u48")).as("k"))
+      .select(col("u48"), Privacy.geometricPseudoNoise(col("u48")).as("k"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     cases.foreach { case (u, want) =>
       assert(got(u) == want, s"u48=$u: got ${got(u)}, want $want") }
@@ -116,7 +116,7 @@ class Surface17Spec extends SparkSpec {
     // seeded md5 uniforms over 60k keys: the draw must be symmetric
     // with P(0) ≈ 1/3 and P(|k|≤1) ≈ 2/3 — the α = 1/2 law
     val ks = spark.range(60000)
-      .select(Privacy.geometricNoise(
+      .select(Privacy.geometricPseudoNoise(
         Privacy.seededU48(col("id").cast("string"))).as("k"))
       .groupBy("k").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
