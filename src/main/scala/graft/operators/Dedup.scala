@@ -206,25 +206,27 @@ object Dedup {
     */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, id: String,
                       shingles: String): DataFrame = {
-    // persist the exploded shingle frame: the result plan references it
-    // from the two intersection sides AND the per-doc size aggregate —
-    // unpersisted, the whole tokenize→shingle→explode lineage recomputes
-    // per reference (measured 5× slowdown on the full pipeline)
-    val sh = docs.select(col(id).as("doc"), explode(col(shingles)).as("s"))
-      .persist()
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.as("a"), col("id_a") === col("a.doc"))
-      .join(sh.as("b"), col("id_b") === col("b.doc") && col("a.s") === col("b.s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    // Two equi-joins carry each pair's (pre-distinct) shingle arrays
+    // onto the pair row; the intersection is then ONE codegen'd
+    // projection (`array_intersect`) that never leaves the task. The
+    // previous form (explode → shingle equi-join → re-aggregate →
+    // 3-way re-join, with a persist barrier to stop lineage recompute)
+    // paid 4 extra shuffle stages to compute the same counts; shuffle
+    // volume is pairs × shingle payload either way. Cost stays ∝
+    // candidate count, not corpus².
+    val a = docs.select(col(id).as("__ida"), col(shingles).as("__sha"))
+    val b = docs.select(col(id).as("__idb"), col(shingles).as("__shb"))
     pairs
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.as("na"), col("id_a") === col("na.doc"))
-      .join(sizes.as("nb"), col("id_b") === col("nb.doc"))
+      .join(a, col("id_a") === col("__ida"))
+      .join(b, col("id_b") === col("__idb"))
       .select(col("id_a"), col("id_b"),
-        (coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
-          (col("na.n") + col("nb.n") - coalesce(col("n_common"), lit(0L))))
-          .as("jaccard"))
+        size(array_intersect(col("__sha"), col("__shb")))
+          .cast("long").as("__nc"),
+        size(col("__sha")).cast("long").as("__na"),
+        size(col("__shb")).cast("long").as("__nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("__nc").cast(DoubleType) /
+          (col("__na") + col("__nb") - col("__nc"))).as("jaccard"))
   }
 
   /** End-to-end near-dup removal: MinHash+LSH candidates → Jaccard

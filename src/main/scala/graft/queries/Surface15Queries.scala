@@ -91,11 +91,12 @@ object Surface15Queries {
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
           concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
         .distinct()
-      // static per-iteration join side, staged ONCE to a temp parquet:
-      // every iteration (and the node count) is a narrow scan of the
-      // (src, dst, od) frame — nothing stays pinned in executor memory
-      // after the query, and on a cluster the stage is durable storage
-      val edgesD = Stage.frame(s, s"pr-edges:$dir", "graft-pr-") {
+      // static per-iteration join side, a durable checkpoint (once per
+      // sf × testdata fingerprint): every iteration (and the node
+      // count) is a narrow scan of the (src, dst, od) frame — nothing
+      // stays pinned in executor memory after the query, and on a
+      // cluster the stage is durable storage
+      val edgesD = Stage.durableFrame(s, "pr-edges", dir) {
         val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
           .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
         val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
