@@ -274,6 +274,27 @@ object DedupQueries {
           abs(estJ - col("jaccard")).as("abs_err"))
     }),
 
+    // DUP-RATE BY SOURCE PAIR: verified near-dup pairs (J ≥ 0.3)
+    // joined to document metadata and rolled up per unordered source
+    // pair — the curation report that tells a corpus team WHICH feeds
+    // duplicate each other (mirror sites, syndication, re-crawls) and
+    // so which acquisition to turn off. Reads the durable pair/shingle
+    // checkpoints; the only new work is verification (∝ pairs) plus
+    // two metadata joins and a tiny group-by.
+    "e95_dup_rate_by_source" -> ((s, dir) => {
+      val verified = Dedup.jaccardForPairs(candidatePairs(s, dir),
+          shingledDocs(s, dir), "doc_id", "sh")
+        .where(col("jaccard") >= 0.3)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      verified
+        .join(src.as("da"), col("id_a") === col("da.doc_id"))
+        .join(src.as("db"), col("id_b") === col("db.doc_id"))
+        .select(least(col("da.source"), col("db.source")).as("source_x"),
+          greatest(col("da.source"), col("db.source")).as("source_y"))
+        .groupBy("source_x", "source_y")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // STREAMING near-dup admission (§2.6 E1 × C6): the staged band
     // keys replayed through the real micro-batch engine in three
     // doc-id-ordered ingest chunks; [[graft.streaming.BandAdmission]]
@@ -727,6 +748,40 @@ object DedupQueries {
           SELECT t.doc_id FROM toks t
           WHERE t.doc_id NOT IN
             (SELECT id_b FROM verified WHERE jaccard >= 0.3)""",
+    // same sig/band/pairs/verified chain, rolled up per unordered
+    // source pair of the verified (J ≥ 0.3) near-dups
+    "e95_dup_rate_by_source" ->
+      s"""WITH $shingleCte,
+          sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh GROUP BY doc_id),
+          band AS (SELECT doc_id, unnest([
+            md5(concat_ws('_', '0', sig_0, sig_1)),
+            md5(concat_ws('_', '1', sig_2, sig_3)),
+            md5(concat_ws('_', '2', sig_4, sig_5)),
+            md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT p.id_a, p.id_b, count(*) AS n_common
+            FROM pairs p
+            JOIN sh a ON p.id_a = a.doc_id
+            JOIN sh b ON p.id_b = b.doc_id AND a.s = b.s
+            GROUP BY p.id_a, p.id_b),
+          verified AS (SELECT p.id_a, p.id_b,
+              CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                / (na.n + nb.n - COALESCE(i.n_common, 0)) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+            JOIN sizes na ON p.id_a = na.doc_id
+            JOIN sizes nb ON p.id_b = nb.doc_id)
+          SELECT least(da.source, db.source) AS source_x,
+            greatest(da.source, db.source) AS source_y,
+            count(*) AS n_pairs
+          FROM verified v
+          JOIN documents da ON v.id_a = da.doc_id
+          JOIN documents db ON v.id_b = db.doc_id
+          WHERE v.jaccard >= 0.3
+          GROUP BY 1, 2""",
     // streaming admission must equal the batch definition: a doc is a
     // near-dup iff some band of it was first seen on a smaller doc id
     "c31_stream_neardup" ->

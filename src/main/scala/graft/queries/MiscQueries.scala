@@ -49,6 +49,24 @@ object MiscQueries {
         length(col("thumb")).cast("long").as("thumb_bytes"))
     }),
 
+    // Integer-exact image statistics over REAL decoded pixels: min /
+    // max / sum / sum-of-squares and the exact variance numerator
+    // n·Σx² − (Σx)² — the per-image quality gate (blank / low-contrast
+    // detection) of a media-curation pass, with zero floats in the
+    // judged frame. PNG losslessness makes every column reproducible
+    // from the fixture's md5 pixel layout.
+    "e94_image_stats" -> ((s, dir) => {
+      val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
+      Multimodal.imageStats(Multimodal.toMediaDataset(fixture))
+        .select(col("doc_id"),
+          col("n_px").cast("long").as("n_px"),
+          col("px_min").cast("long").as("px_min"),
+          col("px_max").cast("long").as("px_max"),
+          col("px_sum"), col("px_sumsq"),
+          (col("n_px").cast("long") * col("px_sumsq") -
+            col("px_sum") * col("px_sum")).as("var_num"))
+    }),
+
     // Multimodal frame sampling over DECODED pixels: width×4 raster →
     // 4-pixel frames (one per image column group), keep every 2nd —
     // the video keyframe-sampling shape, hex-encoded so the kept
@@ -83,6 +101,29 @@ object MiscQueries {
           FROM generate_series(1, 16) AS g(i)) AS mean_byte,
          CAST((d.n_chars % 64) + 1 AS BIGINT) AS thumb_bytes
          FROM documents d""",
+    // decoded raster stats from the md5 pixel cycle: byte j (1-based)
+    // appears m_j = N//16 + (j<=N%16) times; min/max range over bytes
+    // with m_j>0, the moments weight by m_j — all BIGINT-exact
+    "e94_image_stats" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+              4 * ((n_chars % 64) + 1) AS N FROM documents),
+          px AS (SELECT d.doc_id, d.N,
+              CAST('0x' || substr(d.h, 2*g.i - 1, 2) AS BIGINT) AS b,
+              (d.N // 16)
+                + CASE WHEN g.i <= d.N % 16 THEN 1 ELSE 0 END AS m
+            FROM d, generate_series(1, 16) AS g(i)),
+          agg AS (SELECT doc_id, max(N) AS n_px,
+              min(CASE WHEN m > 0 THEN b END) AS px_min,
+              max(CASE WHEN m > 0 THEN b END) AS px_max,
+              SUM(m * b) AS px_sum, SUM(m * b * b) AS px_sumsq
+            FROM px GROUP BY doc_id)
+          SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,
+            CAST(px_min AS BIGINT) AS px_min,
+            CAST(px_max AS BIGINT) AS px_max,
+            CAST(px_sum AS BIGINT) AS px_sum,
+            CAST(px_sumsq AS BIGINT) AS px_sumsq,
+            CAST(n_px * px_sumsq - px_sum * px_sum AS BIGINT) AS var_num
+          FROM agg""",
     // decoded pixels: N=4w → w frames of 4; everyK=2 keeps ceil(w/2);
     // frame 0 = pixels 0-3 = digest bytes 0-3 (hex chars 1-8), second
     // KEPT frame = frame 2 = pixels 8-11 = digest bytes 8-11 (hex

@@ -124,6 +124,60 @@ object TransformQueries {
         Seq("v"))
     }),
 
+    // S1 LIVE leg, judged: an in-process localhost endpoint (zero
+    // egress, real HTTP) stands in for the reference's REST API
+    // (etl.py:102-113) and the DSv2 poll source drives four
+    // AvailableNow cycles — the 60 s-loop analog (etl.py:240) — with
+    // request #1 served a 500. The failed cycle is SKIPPED without
+    // advancing the offset (etl.py:110-113 semantics), so exactly
+    // three polls land, parse through the same from_json chain as the
+    // replay leg, and the output is value-judged against the payloads
+    // the server deterministically served.
+    "s1_live_poll" -> ((s, dir) => {
+      val reqs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/ticker",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val r = reqs.getAndIncrement()
+          if (r == 1) { ex.sendResponseHeaders(500, -1); ex.close() }
+          else {
+            val sym = ex.getRequestURI.getQuery.split("=")(1)
+            val body = s"""{"symbol": "$sym", "price": "${100 + r}.5"}"""
+              .getBytes("UTF-8")
+            ex.sendResponseHeaders(200, body.length.toLong)
+            ex.getResponseBody.write(body); ex.close()
+          }
+        })
+      server.start()
+      try {
+        val base = Stage.tempDir("graft-s1live-").toString
+        val url = "http://127.0.0.1:" + server.getAddress.getPort +
+          "/ticker"
+        val schema = StructType(Seq(StructField("symbol", StringType),
+          StructField("price", StringType)))
+        for (_ <- 1 to 4) {
+          val q = s.readStream.format("graft.sources.PollSourceProvider")
+            .option("url", url).option("params", "symbol=BTCUSDT")
+            .option("spool", s"$base/spool").load()
+            .select(col("poll"),
+              from_json(col("value"), schema).as("r"))
+            .select(col("poll"), col("r.symbol").as("symbol"),
+              col("r.price").cast(DoubleType).as("price"))
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                b.write.mode("append").parquet(s"$base/out"); ()
+            }
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(s"$base/out")
+      } finally server.stop(0)
+    }),
+
     // S1 replay → recent_trades transform: project/rename/cast + head-50
     // over an ordered replay (reference: etl.py:137-144,222)
     "s1_trades" -> ((s, dir) => {
@@ -186,6 +240,15 @@ object TransformQueries {
          CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE) AS v
          FROM events
          WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0""",
+    // the server's deterministic payload schedule: request r serves
+    // price (100+r).5, request 1 is the 500 → polls 0,1,2 carry
+    // requests 0,2,3
+    "s1_live_poll" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'BTCUSDT', 100.5),
+           (CAST(1 AS BIGINT), 'BTCUSDT', 102.5),
+           (CAST(2 AS BIGINT), 'BTCUSDT', 103.5))
+         AS t(poll, symbol, price)""",
     "s1_trades" ->
       """SELECT 'BTCUSDT' AS symbol, value AS price,
          CAST(json_extract_string(props, '$.k') AS DOUBLE) AS quantity,
