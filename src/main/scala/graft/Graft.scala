@@ -37,6 +37,7 @@ object Graft {
   val cdc: graft.cdc.Debezium.type = graft.cdc.Debezium
   val sinks: graft.sinks.Sinks.type = graft.sinks.Sinks
   val sources: graft.sources.FixtureSource.type = graft.sources.FixtureSource
+  val poll: graft.sources.PollSource.type = graft.sources.PollSource
   val pipeline: graft.streaming.Pipeline.type = graft.streaming.Pipeline
   val ingest: graft.streaming.Ingest.type = graft.streaming.Ingest
   val admission: graft.streaming.BandAdmission.type =
