@@ -7,10 +7,14 @@ Replication preserves the statistical shape of each table while keeping
 the replica cross-product OUT of similarity/dedup semantics:
  - fact/dim keys are shifted by replica*K (K = max key + 1), so join
    fan-outs and group cardinalities scale linearly, as real data would;
- - document text is passed through a per-replica letter rotation
-   (translate over 10 high-frequency letters), so replicas of one doc
-   share almost no shingles — near-dup pair counts scale ~linearly
-   instead of quadratically in the replica count;
+ - document text is passed through a per-replica seeded random
+   permutation of 20 letters (translate), so replicas of one doc share
+   almost no shingles — near-dup pair counts scale ~linearly instead of
+   quadratically in the replica count. (An earlier version rotated a
+   10-letter alphabet, which cycles with period 10: at 100 replicas
+   every doc had 9 IDENTICAL copies, and the dedup family measured the
+   resulting quadratic true-duplicate density instead of the engine —
+   distinct seeded permutations have no such period.);
  - embeddings get a per-replica signed permutation of dimensions: an
    isometry within a replica (all pairwise dot products preserved),
    while cross-replica cosines scatter to ~0 — ANN/near-dup structure
@@ -25,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ROT = "aeiousnrtl"
+ROT = "aeiousnrtlcdmhgpbyfw"
 KEYS = {
     "region": [],
     "nation": [],
@@ -41,7 +45,20 @@ KEYS = {
 
 
 def rotations(n):
-    return [ROT[i % len(ROT):] + ROT[:i % len(ROT)] for i in range(n)]
+    # Replica 0 is the identity (the original corpus stays intact);
+    # every other replica gets a distinct seeded permutation of ROT.
+    # Unlike a rotation of ROT (period len(ROT)), permutations drawn
+    # from a seeded RNG do not repeat in any realistic replica count,
+    # so no two replicas of one doc share its letter mapping.
+    rng = np.random.default_rng(11)
+    out = [ROT]
+    seen = {ROT}
+    while len(out) < n:
+        p = "".join(rng.permutation(list(ROT)))
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out
 
 
 def main():
