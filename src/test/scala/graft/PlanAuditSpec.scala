@@ -66,7 +66,11 @@ class PlanAuditSpec extends SparkSpec {
     "e25_exact_contam" ->
       "corpus x broadcast fixed probe set (~5 rows) by design",
     "e26_vocab_coverage" ->
-      "coverage ratio: broadcast 1-row total-occurrence scalar"
+      "coverage ratio: broadcast 1-row total-occurrence scalar",
+    "e96_bm25" ->
+      "crossJoin against the broadcast 1-row (n_docs, sum_dl) scalar",
+    "e99_hll_merge" ->
+      "crossJoin of two broadcast 1-row aggregates (exact vs sketch)"
   )
 
   test("no unbounded CartesianProduct/BroadcastNestedLoopJoin " +
