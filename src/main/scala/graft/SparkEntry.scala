@@ -28,7 +28,8 @@ object SparkEntry {
       Surface7Queries.all ++ Surface8Queries.all ++ Surface9Queries.all ++
       Surface10Queries.all ++ Surface11Queries.all ++ Surface12Queries.all ++
       Surface13Queries.all ++ Surface14Queries.all ++ Surface15Queries.all ++
-      Surface16Queries.all ++ Surface17Queries.all ++ Surface18Queries.all
+      Surface16Queries.all ++ Surface17Queries.all ++
+      Surface18Queries.all ++ Surface19Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +49,6 @@ object SparkEntry {
       Surface11Queries.oracles ++ Surface12Queries.oracles ++
       Surface13Queries.oracles ++ Surface14Queries.oracles ++
       Surface15Queries.oracles ++ Surface16Queries.oracles ++
-      Surface17Queries.oracles ++ Surface18Queries.oracles
+      Surface17Queries.oracles ++ Surface18Queries.oracles ++
+      Surface19Queries.oracles
 }
