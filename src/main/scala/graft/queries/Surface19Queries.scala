@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *    local and the report aggregate is a broadcast-sized frame.
   *    Purchases with no prior touch land in the '(none)' bucket, so the
   *    report is a partition of ALL purchases (auditable total).
+  *  - `c32_stream_attribution` — the STREAMING form of the same
+  *    report: per-user `GroupState` (one latest-touch record per user)
+  *    through the real micro-batch engine over a deterministic
+  *    ts-ordered file feed, judged against the identical oracle —
+  *    stream/batch parity for the attribution semantic.
   *  - `e100_gini` — per-language Gini coefficient of character-volume
   *    concentration across sources, the curation inequality metric next
   *    to e17's balance and e84's source caps ("how dominated is my
@@ -51,6 +56,78 @@ object Surface19Queries {
           dsum(col("value"), 2).as("attributed_value"))
     }),
 
+    // Streaming last-touch attribution through the REAL micro-batch
+    // engine: the events table arrives as 3 ts-range chunks (pinned
+    // mtimes — deterministic arrival, house discipline from c31), a
+    // per-user GroupState carries the latest non-purchase touch across
+    // batches, and each purchase emits its attributed row as it
+    // arrives. Judged output = the same rollup as the batch
+    // q109_attribution, against the SAME oracle — stream/batch parity
+    // for the attribution semantic. State is one record per user
+    // (scales with user cardinality, not event volume).
+    "c32_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        col("value"))
+      val tmp = Stage.tempDir("graft-c32-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
+      val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+      val step = (hi0 - lo0) / 3 + 1
+      val feedDir = new java.io.File(feed)
+      val stamped = scala.collection.mutable.Set[String]()
+      var lo = Long.MinValue
+      Seq(lo0 + step, lo0 + 2 * step, Long.MaxValue).zipWithIndex
+        .foreach { case (hi, i) =>
+          ev.where(col("ts_us") > lo && col("ts_us") <= hi)
+            .coalesce(1).write.mode("append").parquet(feed)
+          feedDir.listFiles().foreach { f =>
+            val n = f.getName
+            if (!n.startsWith("_") && !n.startsWith(".") &&
+                !stamped.contains(n)) {
+              require(f.setLastModified(1700000000000L + i * 600000L),
+                s"mtime pin failed for $f — arrival order would race")
+              stamped += n
+            }
+          }
+          lo = hi
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val prev = s.conf.get("spark.sql.shuffle.partitions", "32")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val in = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+          .as[graft.streaming.Attribution.Ev]
+        graft.streaming.Attribution.attribute(in)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.Attribution.Attributed], _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
+          .start().awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(out)
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("conversions"),
+          dsum(col("value"), 2).as("attributed_value"))
+    }),
+
     "e100_gini" -> ((s, dir) => {
       val vol = t(s, dir, "documents")
         .groupBy("lang", "source")
@@ -69,6 +146,23 @@ object Surface19Queries {
 
   val oracles: Map[String, String] = Map(
     "q109_attribution" ->
+      """WITH touched AS (
+           SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+           FROM events)
+         SELECT coalesce(last_touch, '(none)') AS touch_type,
+           count(*) AS conversions,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR)
+             AS DOUBLE) AS attributed_value
+         FROM touched WHERE event_type = 'purchase'
+         GROUP BY touch_type""",
+    // Identical semantics to q109 — the streaming path must reproduce
+    // the batch window exactly.
+    "c32_stream_attribution" ->
       """WITH touched AS (
            SELECT event_type, value,
              last_value(CASE WHEN event_type <> 'purchase'

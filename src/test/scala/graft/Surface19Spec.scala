@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-11 third wave (Surface19Queries). */
+class Surface19Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q109_attribution: buckets partition ALL purchases exactly") {
+    val rows = SparkEntry.queries("q109_attribution")(spark, dir).collect()
+    val purchases = graft.queries.Tables.events(spark, dir)
+      .where(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == purchases,
+      "attributed conversions must sum to the total purchase count")
+    val types = rows.map(_.getString(0)).toSet
+    assert(!types.contains("purchase"),
+      "a purchase can never be its own touch")
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("e100_gini: coefficient in [0, 1), one row per language") {
+    val rows = SparkEntry.queries("e100_gini")(spark, dir).collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0, s"lang=${r.getString(0)} gini=$g")
+    }
+    // Hand-check one language against the textbook formula on the
+    // driver (the domain is tiny — this is the defining identity, not
+    // a second engine).
+    val lang = rows.head.getString(0)
+    val xs = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("lang") === lang)
+      .groupBy("source").agg(sum("n_chars").as("x"))
+      .collect().map(_.getLong(1)).sorted
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val expected = (2.0 * six - (n + 1) * sx) / (n.toDouble * sx)
+    val got = rows.find(_.getString(0) == lang).get.getDouble(2)
+    assert(math.abs(got - expected) < 1e-12,
+      s"gini($lang): got $got expected $expected")
+  }
+}
