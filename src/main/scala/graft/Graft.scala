@@ -42,6 +42,8 @@ object Graft {
   val ingest: graft.streaming.Ingest.type = graft.streaming.Ingest
   val admission: graft.streaming.BandAdmission.type =
     graft.streaming.BandAdmission
+  val attribution: graft.streaming.Attribution.type =
+    graft.streaming.Attribution
   val text: graft.operators.TextAnalysis.type = graft.operators.TextAnalysis
   val dedup: graft.operators.Dedup.type = graft.operators.Dedup
   val similarity: graft.operators.Similarity.type = graft.operators.Similarity
