@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *    through the real micro-batch engine over a deterministic
   *    ts-ordered file feed, judged against the identical oracle —
   *    stream/batch parity for the attribution semantic.
+  *  - `e101_audio_stats` — the REAL audio-codec leg of the multimodal
+  *    surface: genuine PCM WAV containers decoded with JDK
+  *    `javax.sound.sampled`, integer-exact per-clip signal statistics
+  *    (see `Multimodal.AudioCodec`).
   *  - `e100_gini` — per-language Gini coefficient of character-volume
   *    concentration across sources, the curation inequality metric next
   *    to e17's balance and e84's source caps ("how dominated is my
@@ -128,6 +132,26 @@ object Surface19Queries {
           dsum(col("value"), 2).as("attributed_value"))
     }),
 
+    // REAL audio codec leg: documents → genuine 8 kHz PCM WAV payloads
+    // (javax.sound.sampled, the audio analog of e94's javax.imageio
+    // image leg) → per-partition batch decode → integer-exact signal
+    // statistics (duration, peak, Σs, Σs², zero crossings). PCM
+    // losslessness makes every judged column reproducible by the
+    // oracle from md5(text) without parsing a container.
+    "e101_audio_stats" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val fixture = Multimodal.audioFixtureFromDocuments(
+        t(s, dir, "documents"))
+      Multimodal.audioStats(Multimodal.toMediaDataset(fixture))
+        .select(col("doc_id"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("rate").cast("long").as("rate"),
+          col("duration_us"),
+          col("peak").cast("long").as("peak"),
+          col("s_sum"), col("s_sumsq"),
+          col("zero_cross").cast("long").as("zero_cross"))
+    }),
+
     "e100_gini" -> ((s, dir) => {
       val vol = t(s, dir, "documents")
         .groupBy("lang", "source")
@@ -177,6 +201,29 @@ object Surface19Queries {
              AS DOUBLE) AS attributed_value
          FROM touched WHERE event_type = 'purchase'
          GROUP BY touch_type""",
+    // decoded samples: n = (n_chars%96)+32 ∈ [32,127]; sample i =
+    // md5-byte(i mod 16)·257 − 32768; fixed series 0..126 filtered to
+    // i < n (DuckDB generate_series takes no correlated bound); peak /
+    // moments / crossings all BIGINT-exact
+    "e101_audio_stats" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+              (n_chars % 96) + 32 AS n FROM documents),
+          smp AS (SELECT d.doc_id, g.i,
+              CAST('0x' || substr(d.h, 2*(g.i % 16)+1, 2) AS BIGINT)*257
+                - 32768 AS s
+            FROM d, generate_series(0, 126) AS g(i) WHERE g.i < d.n),
+          lagged AS (SELECT doc_id, i, s,
+              lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM smp)
+          SELECT doc_id, count(*) AS n_samples,
+            CAST(8000 AS BIGINT) AS rate,
+            CAST(count(*) * 125 AS BIGINT) AS duration_us,
+            CAST(max(abs(s)) AS BIGINT) AS peak,
+            CAST(SUM(s) AS BIGINT) AS s_sum,
+            CAST(SUM(s*s) AS BIGINT) AS s_sumsq,
+            COUNT(*) FILTER (prev IS NOT NULL AND (prev < 0) <> (s < 0))
+              AS zero_cross
+          FROM lagged GROUP BY doc_id""",
     "e100_gini" ->
       """WITH vol AS (
            SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS x

@@ -18,6 +18,38 @@ class Surface19Spec extends SparkSpec {
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
   }
 
+  test("AudioCodec: WAV encode -> decode is an exact PCM round trip") {
+    import graft.operators.Multimodal.AudioCodec
+    val samples = Array.tabulate(160)(i =>
+      ((i * 4093 + 11) % 65536 - 32768).toShort)
+    val (rate, decoded) = AudioCodec.decodePcmWav(
+      AudioCodec.encodePcmWav(samples, 8000))
+    assert(rate == 8000)
+    assert(decoded.toSeq == samples.toSeq)
+  }
+
+  test("e101_audio_stats: columns agree with a direct driver-side " +
+    "recompute of the fixture signal") {
+    val rows = SparkEntry.queries("e101_audio_stats")(spark, dir)
+      .orderBy("doc_id").limit(5).collect()
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text", "n_chars").orderBy("doc_id").limit(5)
+      .collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.zip(rows).foreach { case (d, r) =>
+      val dig = md.digest(d.getString(1).getBytes("UTF-8"))
+      val n = (d.getLong(2) % 96 + 32).toInt
+      val s = Array.tabulate(n)(i => (dig(i % 16) & 0xff) * 257 - 32768)
+      assert(r.getLong(1) == n)
+      assert(r.getLong(3) == n * 125L)
+      assert(r.getLong(4) == s.map(math.abs).max)
+      assert(r.getLong(5) == s.map(_.toLong).sum)
+      assert(r.getLong(6) == s.map(v => v.toLong * v).sum)
+      assert(r.getLong(7) ==
+        s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    }
+  }
+
   test("e100_gini: coefficient in [0, 1), one row per language") {
     val rows = SparkEntry.queries("e100_gini")(spark, dir).collect()
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
