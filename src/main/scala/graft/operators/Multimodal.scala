@@ -287,6 +287,124 @@ object Multimodal {
     }
   }
 
+  /** Real multi-frame video container over JDK `javax.imageio`'s GIF
+    * plugin: animated GIF with one full-rect 8-bit gray frame per
+    * video frame. GIF's 256-entry palette holds the gray ramp exactly,
+    * so encode→decode is LOSSLESS on the pixel arrays (verified by the
+    * round-trip spec) — the one JDK-native container that makes the
+    * video kind a real codec path rather than a byte pass-through.
+    * Interlacing is explicitly disabled: the JDK writer's progressive
+    * default scrambles row order on sub-8-row frames.
+    *
+    * Assumes full-rect frames (what [[encodeGrayGif]] writes); delta-
+    * frame GIFs (partial rects composited over the previous frame)
+    * would need a compositing loop here.
+    */
+  object VideoCodec {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+    def encodeGrayGif(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(ImageWriteParam.MODE_DISABLED)
+        frames.foreach { px =>
+          require(px.length == w * h, s"frame ${px.length} != $w x $h")
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setDataElements(0, 0, w, h, px)
+          writer.writeToSequence(new IIOImage(img, null, null), param)
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
+      bos.toByteArray
+    }
+
+    /** @return per-frame (width, height, row-major 8-bit gray pixels) */
+    def decodeGrayGifFrames(gif: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(gif)))
+        (0 until reader.getNumImages(true)).map { i =>
+          val img = reader.read(i)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new Array[Byte](w * h)
+          img.getColorModel match {
+            case icm: java.awt.image.IndexColorModel =>
+              var k = 0
+              while (k < out.length) {
+                out(k) = icm.getRed(
+                  img.getRaster.getSample(k % w, k / w, 0)).toByte
+                k += 1
+              }
+            case _ => // non-indexed GIF frame: normalize through gray
+              val g2 = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+              val g = g2.createGraphics()
+              g.drawImage(img, 0, 0, null); g.dispose()
+              g2.getRaster.getDataElements(0, 0, w, h, out)
+          }
+          (w, h, out)
+        }
+      } finally reader.dispose()
+    }
+  }
+
+  /** Deterministic video fixture from `documents`: each doc becomes a
+    * REAL animated GIF of nf = (n_chars mod 6) + 2 frames, each
+    * w = (n_chars mod 16) + 4 wide × 4 high, frame f's pixel i =
+    * md5-byte((i + 3f) mod 16) — a per-frame shift of the digest
+    * cycle, so every frame's pixel multiset is oracle-reproducible
+    * from md5(text). Encode runs per-partition.
+    */
+  def videoFixtureFromDocuments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars").cast(LongType))
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text, nChars) =>
+          val dig = md.digest(Option(text).getOrElse("").getBytes("UTF-8"))
+          val w = (nChars % 16 + 4).toInt
+          val h = 4
+          val nf = (nChars % 6 + 2).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h)(i => dig((i + 3 * f) % 16))
+          }
+          (id, "video/gif", VideoCodec.encodeGrayGif(frames, w, h), w, h)
+        }
+      }.toDF("doc_id", "kind", "media", "width", "height")
+  }
+
+  /** Keyframe sampling + integer-exact per-frame statistics over the
+    * REALLY decoded video frames: keep every `everyK`-th frame and
+    * judge its pixel count, Σx and Σx² — the per-frame quality gate of
+    * a video-ingest pass, zero floats. Per-partition batch decode.
+    */
+  case class VideoFrameRow(doc_id: Long, frame_idx: Int, n_px: Int,
+                           f_sum: Long, f_sumsq: Long)
+
+  def videoFrameStats(media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        VideoCodec.decodeGrayGifFrames(r.media).zipWithIndex.collect {
+          case ((_, _, px), f) if f % everyK == 0 =>
+            var (sum, sumsq) = (0L, 0L)
+            px.foreach { b =>
+              val v = (b & 0xff).toLong
+              sum += v; sumsq += v * v
+            }
+            VideoFrameRow(r.doc_id, f, px.length, sum, sumsq)
+        }
+      }
+    }.toDF()
+  }
+
   /** Deterministic audio fixture from `documents`: each doc becomes a
     * REAL 8 kHz mono PCM WAV of n = (n_chars mod 96) + 32 samples,
     * sample i = md5-byte(i mod 16) · 257 − 32768 (a bijection from the

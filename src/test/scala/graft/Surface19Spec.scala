@@ -50,6 +50,21 @@ class Surface19Spec extends SparkSpec {
     }
   }
 
+  test("VideoCodec: animated-GIF encode -> decode is an exact " +
+    "multi-frame round trip") {
+    import graft.operators.Multimodal.VideoCodec
+    val (w, h) = (11, 4)
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(w * h)(i => ((i * 7 + f * 31) % 256).toByte))
+    val decoded = VideoCodec.decodeGrayGifFrames(
+      VideoCodec.encodeGrayGif(frames, w, h))
+    assert(decoded.length == frames.length)
+    decoded.zip(frames).foreach { case ((dw, dh, px), want) =>
+      assert((dw, dh) == (w, h))
+      assert(px.toSeq == want.toSeq)
+    }
+  }
+
   test("e100_gini: coefficient in [0, 1), one row per language") {
     val rows = SparkEntry.queries("e100_gini")(spark, dir).collect()
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
