@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *    GIFs (JDK imageio, lossless gray palette) decoded frame by
   *    frame, every-2nd keyframe sampling, integer-exact per-frame
   *    moments (see `Multimodal.VideoCodec`).
+  *  - `e103_ks_pairs` — exact two-sample Kolmogorov–Smirnov distances
+  *    between every event-type pair's value distributions: one
+  *    distinct-value cumulative pass, integer cross-multiplied ECDF
+  *    sup-gaps, a single final division per pair.
   *  - `e100_gini` — per-language Gini coefficient of character-volume
   *    concentration across sources, the curation inequality metric next
   *    to e17's balance and e84's source caps ("how dominated is my
@@ -174,6 +178,59 @@ object Surface19Queries {
           col("f_sum"), col("f_sumsq"))
     }),
 
+    // Exact two-sample Kolmogorov–Smirnov distance between the `value`
+    // distributions of every event-type pair — the distribution-shift
+    // test next to e78's chi-square drift. ONE pass builds per-type
+    // cumulative counts over the UNION of distinct values (hash
+    // aggregate + a single value-ordered window), then each of the 10
+    // pairs takes max |cum_a·n_b − cum_b·n_a| — INTEGER-exact sup of
+    // the ECDF gap (cross-multiplied, no per-row division); the only
+    // double is the final D = num/(n_a·n_b). At 100 TB the aggregate
+    // collapses rows to distinct values and the window runs over that
+    // much smaller domain — same shape as q108's weighted median.
+    "e103_ks_pairs" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pairs = for {
+        i <- types.indices; j <- types.indices if i < j
+      } yield (types(i), types(j))
+      val counts = events(s, dir)
+        .groupBy("value")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+      // Sample sizes from the pre-window aggregate (one tiny scan of
+      // the distinct-value frame, no second cumsum pass).
+      val totals = counts.agg(
+        sum(col(types.head)).as(s"n_${types.head}"),
+        types.tail.map(t => sum(col(t)).as(s"n_$t")): _*)
+      // The cumulative window runs over DISTINCT measurement values
+      // (bounded domain — cents-quantized here), which is why a single
+      // ordered pass is acceptable; an unbounded-domain deployment
+      // would range-partition the cumsum (Rank machinery) instead.
+      val wCum = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cums = counts.select(col("value") +: types.map(t =>
+        sum(col(t)).over(wCum).as(s"cum_$t")): _*)
+      val gapped = cums.crossJoin(broadcast(totals))
+      val maxima = gapped.agg(
+        max(abs(col(s"cum_${pairs.head._1}") * col(s"n_${pairs.head._2}") -
+          col(s"cum_${pairs.head._2}") * col(s"n_${pairs.head._1}")))
+          .as(s"d_${pairs.head._1}_${pairs.head._2}"),
+        pairs.tail.map { case (a, b) =>
+          max(abs(col(s"cum_$a") * col(s"n_$b") -
+            col(s"cum_$b") * col(s"n_$a"))).as(s"d_${a}_$b")
+        } :+ first(col(s"n_${types.head}")).as(s"n_${types.head}") :++
+          types.tail.map(t => first(col(s"n_$t")).as(s"n_$t")): _*)
+      val stacked = maxima.selectExpr(
+        s"stack(${pairs.length}, " + pairs.map { case (a, b) =>
+          s"'$a', '$b', n_$a, n_$b, d_${a}_$b"
+        }.mkString(", ") + ") as (type_a, type_b, n_a, n_b, d_num)")
+      stacked.select(col("type_a"), col("type_b"), col("n_a"),
+        col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("d"))
+    }),
+
     "e100_gini" -> ((s, dir) => {
       val vol = t(s, dir, "documents")
         .groupBy("lang", "source")
@@ -268,6 +325,36 @@ object Surface19Queries {
             CAST(SUM(m * b) AS BIGINT) AS f_sum,
             CAST(SUM(m * b * b) AS BIGINT) AS f_sumsq
           FROM px GROUP BY doc_id, frame_idx""",
+    // ECDF cumulative counts over distinct values, sup-gap per pair by
+    // integer cross-multiplication — mirrors the Spark frame exactly
+    "e103_ks_pairs" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pairs = for {
+        i <- types.indices; j <- types.indices if i < j
+      } yield (types(i), types(j))
+      val cnt = types.map(t =>
+        s"count(*) FILTER (event_type = '$t') AS $t").mkString(", ")
+      val tot = types.map(t =>
+        s"CAST(SUM($t) AS BIGINT) AS n_$t").mkString(", ")
+      val cum = types.map(t =>
+        s"CAST(SUM($t) OVER w AS BIGINT) AS cum_$t").mkString(", ")
+      val maxes = pairs.map { case (a, b) =>
+        s"max(abs(cum_$a*n_$b - cum_$b*n_$a)) AS d_${a}_$b"
+      }.mkString(", ")
+      val carry = types.map(t => s"max(n_$t) AS n_$t").mkString(", ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS type_a, '$b' AS type_b, n_$a AS n_a,
+            n_$b AS n_b, CAST(d_${a}_$b AS BIGINT) AS d_num,
+            CAST(d_${a}_$b AS DOUBLE) /
+              CAST(n_$a * n_$b AS DOUBLE) AS d FROM g"""
+      }.mkString(" UNION ALL ")
+      s"""WITH c AS (SELECT value, $cnt FROM events GROUP BY value),
+          t AS (SELECT $tot FROM c),
+          cum AS (SELECT $cum FROM c WINDOW w AS (ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          g AS (SELECT $maxes, $carry FROM cum CROSS JOIN t)
+          $rows"""
+    },
     "e100_gini" ->
       """WITH vol AS (
            SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS x

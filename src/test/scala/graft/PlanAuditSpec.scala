@@ -70,7 +70,9 @@ class PlanAuditSpec extends SparkSpec {
     "e96_bm25" ->
       "crossJoin against the broadcast 1-row (n_docs, sum_dl) scalar",
     "e99_hll_merge" ->
-      "crossJoin of two broadcast 1-row aggregates (exact vs sketch)"
+      "crossJoin of two broadcast 1-row aggregates (exact vs sketch)",
+    "e103_ks_pairs" ->
+      "crossJoin against the broadcast 1-row sample-size totals"
   )
 
   test("no unbounded CartesianProduct/BroadcastNestedLoopJoin " +

@@ -65,6 +65,32 @@ class Surface19Spec extends SparkSpec {
     }
   }
 
+  test("e103_ks_pairs: D in [0, 1], 10 unordered pairs, and the " +
+    "KS identity D = sup|F1 - F2| holds on a driver recompute") {
+    val rows = SparkEntry.queries("e103_ks_pairs")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val d = r.getDouble(5)
+      assert(d >= 0.0 && d <= 1.0)
+      assert(r.getString(0) < r.getString(1), "pairs are ordered a < b")
+    }
+    // Recompute one pair's statistic directly from the raw values.
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val (a, b) = ("click", "view")
+    val xs = ev.filter(_._1 == a).map(_._2).sorted
+    val ys = ev.filter(_._1 == b).map(_._2).sorted
+    val grid = (xs ++ ys).distinct.sorted
+    val dExp = grid.map { v =>
+      math.abs(xs.count(_ <= v).toLong * ys.length -
+        ys.count(_ <= v).toLong * xs.length)
+    }.max
+    val row = rows.find(r => r.getString(0) == a && r.getString(1) == b).get
+    assert(row.getLong(4) == dExp,
+      s"d_num($a,$b): got ${row.getLong(4)} expected $dExp")
+  }
+
   test("e100_gini: coefficient in [0, 1), one row per language") {
     val rows = SparkEntry.queries("e100_gini")(spark, dir).collect()
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
