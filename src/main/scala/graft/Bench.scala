@@ -144,7 +144,13 @@ object Bench {
           !failed.contains(name) && first > 3 * r && first - r > 0.5)
           .foreach { r =>
             val rerun = timed(name, selected(name))
-            val adjudicated = rerun >= r / 3
+            // adjudicated ONLY when the rerun lands back inside the
+            // envelope (<= 1.5x ref); a rerun that is merely "not a
+            // staged-fixture rebuild" (>= ref/3) but still contended
+            // must leave the outlier unadjudicated so suspect:true is
+            // published — otherwise a persistently noisy host records
+            // min(first, rerun) as a clean number
+            val adjudicated = rerun >= r / 3 && rerun <= 1.5 * r
             if (adjudicated) results(name) = math.min(first, rerun)
             outliers += ((name, first, rerun, r, adjudicated))
           }

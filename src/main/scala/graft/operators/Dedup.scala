@@ -200,22 +200,28 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** Jaccard similarity computed ONLY for given candidate pairs (the
-    * verification stage after LSH): explode each doc's distinct
-    * shingles, count shared shingles per pair via equi-joins on the
-    * pair ids — cost proportional to candidate count, not corpus².
+    * verification stage after LSH): two equi-joins carry each pair's
+    * shingle arrays onto the pair row, then one codegen'd
+    * `array_intersect`/`array_distinct` projection computes |A∩B| and
+    * |A|,|B| — cost proportional to candidate count, not corpus².
+    * Set semantics hold for ANY input: arrays are `array_distinct`'d
+    * in the projection, so callers may pass raw (non-distinct)
+    * shingle arrays.
     */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, id: String,
                       shingles: String): DataFrame = {
-    // Two equi-joins carry each pair's (pre-distinct) shingle arrays
-    // onto the pair row; the intersection is then ONE codegen'd
-    // projection (`array_intersect`) that never leaves the task. The
-    // previous form (explode → shingle equi-join → re-aggregate →
-    // 3-way re-join, with a persist barrier to stop lineage recompute)
-    // paid 4 extra shuffle stages to compute the same counts; shuffle
-    // volume is pairs × shingle payload either way. Cost stays ∝
-    // candidate count, not corpus².
-    val a = docs.select(col(id).as("__ida"), col(shingles).as("__sha"))
-    val b = docs.select(col(id).as("__idb"), col(shingles).as("__shb"))
+    // The intersection is ONE codegen'd projection that never leaves
+    // the task. The previous form (explode → shingle equi-join →
+    // re-aggregate → 3-way re-join, with a persist barrier to stop
+    // lineage recompute) paid 4 extra shuffle stages to compute the
+    // same counts; shuffle volume is pairs × shingle payload either
+    // way. `array_distinct` makes |A|/|B| set cardinalities even for
+    // non-distinct caller arrays (array_intersect already dedups the
+    // numerator, so without it the two would disagree).
+    val a = docs.select(col(id).as("__ida"),
+      array_distinct(col(shingles)).as("__sha"))
+    val b = docs.select(col(id).as("__idb"),
+      array_distinct(col(shingles)).as("__shb"))
     pairs
       .join(a, col("id_a") === col("__ida"))
       .join(b, col("id_b") === col("__idb"))

@@ -40,7 +40,7 @@ object MiscQueries {
     // raster — and thus every judged feature — is exactly reproducible
     // in SQL from md5(text) without parsing a container.
     "e6_media_features" -> ((s, dir) => {
-      val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
+      val fixture = MediaFixtures.png(s, dir)
       val features = Multimodal.extractFeatures(
         Multimodal.toMediaDataset(fixture), resizeStride = 4)
       features.toDF().select(
@@ -56,7 +56,7 @@ object MiscQueries {
     // judged frame. PNG losslessness makes every column reproducible
     // from the fixture's md5 pixel layout.
     "e94_image_stats" -> ((s, dir) => {
-      val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
+      val fixture = MediaFixtures.png(s, dir)
       Multimodal.imageStats(Multimodal.toMediaDataset(fixture))
         .select(col("doc_id"),
           col("n_px").cast("long").as("n_px"),
@@ -72,7 +72,7 @@ object MiscQueries {
     // the video keyframe-sampling shape, hex-encoded so the kept
     // frames themselves are value-judged
     "e6_frame_sample" -> ((s, dir) => {
-      val fixture = Multimodal.fixtureFromDocuments(t(s, dir, "documents"))
+      val fixture = MediaFixtures.png(s, dir)
       Multimodal.sampleFrameHex(Multimodal.toMediaDataset(fixture),
         frameSize = 4, everyK = 2)
         .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),

@@ -123,10 +123,42 @@ object Stage {
     */
   def durableFrame(s: SparkSession, name: String, dir: String)
                   (build: => DataFrame): DataFrame = {
-    val path = fixtureDir(name, dir)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "_SUCCESS")))
-      build.write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+    val path = java.nio.file.Paths.get(fixtureDir(name, dir))
+    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+      // Build into a writer-unique staging dir and atomically rename
+      // into place: two JVMs that both see a missing _SUCCESS (e.g.
+      // Verify and Bench started together) each write their own temp
+      // dir, and exactly one rename publishes — interleaved
+      // delete/commit into a SHARED dir could otherwise leave a
+      // _SUCCESS over mixed part files that every later run then
+      // durably serves. Loser (rename fails because the winner's dir
+      // exists) just discards its temp and reads the published copy.
+      val tmp = path.resolveSibling(
+        s"${path.getFileName}.tmp-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      // a stale un-_SUCCESS'd dir (killed writer of the pre-atomic
+      // era) blocks the rename without ever becoming valid — clear it
+      if (java.nio.file.Files.exists(path) &&
+          !java.nio.file.Files.exists(path.resolve("_SUCCESS")))
+        try deleteRecursively(path) catch { case _: Throwable => () }
+      try java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException
+          if java.nio.file.Files.exists(path.resolve("_SUCCESS")) =>
+          deleteRecursively(tmp)
+      }
+    }
+    s.read.parquet(path.toString)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 }

@@ -148,8 +148,7 @@ object Surface19Queries {
     // oracle from md5(text) without parsing a container.
     "e101_audio_stats" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val fixture = Multimodal.audioFixtureFromDocuments(
-        t(s, dir, "documents"))
+      val fixture = MediaFixtures.wav(s, dir)
       Multimodal.audioStats(Multimodal.toMediaDataset(fixture))
         .select(col("doc_id"),
           col("n_samples").cast("long").as("n_samples"),
@@ -168,8 +167,7 @@ object Surface19Queries {
     // JDK codecs — no pass-through stub remains on the judged path.
     "e102_video_frames" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val fixture = Multimodal.videoFixtureFromDocuments(
-        t(s, dir, "documents"))
+      val fixture = MediaFixtures.gif(s, dir)
       Multimodal.videoFrameStats(
         Multimodal.toMediaDataset(fixture), everyK = 2)
         .select(col("doc_id"),

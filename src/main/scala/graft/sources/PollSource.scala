@@ -87,7 +87,16 @@ object PollSource {
       case Some(body) =>
         val dir = java.nio.file.Paths.get(spool)
         java.nio.file.Files.createDirectories(dir)
-        val n = listPolls(spool).size
+        // next index = max existing + 1, NOT file count: if retention
+        // ever removes an old poll, a count-derived index collides
+        // with a live file and the ATOMIC_MOVE throws (or replaces an
+        // already-consumed poll), corrupting offset/replay consistency
+        val n = listPolls(spool)
+          .flatMap { p =>
+            val name = java.nio.file.Paths.get(p).getFileName.toString
+            "\\d+".r.findFirstIn(name).map(_.toLong)
+          }
+          .reduceOption(_ max _).map(_ + 1L).getOrElse(0L)
         val tmp = dir.resolve(f".poll_$n%09d.json.tmp")
         java.nio.file.Files.writeString(tmp, body)
         java.nio.file.Files.move(tmp, dir.resolve(f"poll_$n%09d.json"),
