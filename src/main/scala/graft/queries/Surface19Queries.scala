@@ -77,68 +77,16 @@ object Surface19Queries {
     // q109_attribution, against the SAME oracle — stream/batch parity
     // for the attribution semantic. State is one record per user
     // (scales with user cardinality, not event volume).
-    "c32_stream_attribution" -> ((s, dir) => {
-      import s.implicits._
-      val ev = events(s, dir).select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("ts_us"), col("event_type"),
-        col("value"))
-      val tmp = Stage.tempDir("graft-c32-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
-      val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
-      val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
-      val step = (hi0 - lo0) / 3 + 1
-      val feedDir = new java.io.File(feed)
-      val stamped = scala.collection.mutable.Set[String]()
-      var lo = Long.MinValue
-      Seq(lo0 + step, lo0 + 2 * step, Long.MaxValue).zipWithIndex
-        .foreach { case (hi, i) =>
-          ev.where(col("ts_us") > lo && col("ts_us") <= hi)
-            .coalesce(1).write.mode("append").parquet(feed)
-          feedDir.listFiles().foreach { f =>
-            val n = f.getName
-            if (!n.startsWith("_") && !n.startsWith(".") &&
-                !stamped.contains(n)) {
-              require(f.setLastModified(1700000000000L + i * 600000L),
-                s"mtime pin failed for $f — arrival order would race")
-              stamped += n
-            }
-          }
-          lo = hi
-        }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts_us",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType)))
-      val prev = s.conf.get("spark.sql.shuffle.partitions", "32")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val in = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(feed)
-          .as[graft.streaming.Attribution.Ev]
-        graft.streaming.Attribution.attribute(in)
-          .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-              graft.streaming.Attribution.Attributed], _: Long) =>
-            batch.write.mode("append").parquet(out); ()
-          }
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
-          .start().awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.read.parquet(out)
-        .groupBy(col("touch_type"))
-        .agg(count(lit(1)).as("conversions"),
-          dsum(col("value"), 2).as("attributed_value"))
-    }),
+    "c32_stream_attribution" -> ((s, dir) =>
+      // window = full span + 1s: every touch is in-window and no
+      // timeout can fire mid-stream (touch_ts + w > hi0 ≥ any
+      // watermark), so the rollup equals the unbounded batch oracle —
+      // while still running the SAME TTL'd operator as c33 (no
+      // NoTimeout code path exists)
+      EventFeed.windowedAttributionRollup(s, dir, "graft-c32-",
+        perCampaign = false,
+        windowOf = (lo, hi) => (hi - lo) + 1000000L,
+        sentinelGaps = Seq.empty)),
 
     // REAL audio codec leg: documents → genuine 8 kHz PCM WAV payloads
     // (javax.sound.sampled, the audio analog of e94's javax.imageio
