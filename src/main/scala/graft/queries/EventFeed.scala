@@ -31,8 +31,13 @@ object EventFeed {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
-  /** Build the feed, stream it through
-    * [[Attribution.attributeWindowed]], and roll up the emitted rows.
+  /** A built feed: chunk/sentinel files under `feed`, data ts bounds,
+    * and the stream's output/checkpoint dirs.
+    */
+  case class Built(feed: String, loUs: Long, hiUs: Long,
+    windowUs: Long, out: String, ckpt: String)
+
+  /** Write the chunked feed (+ sentinels) with pinned mtimes.
     *
     * @param perCampaign entity = (user, props.k) when true, else
     *                    (user) with k pinned to 0
@@ -40,11 +45,9 @@ object EventFeed {
     * @param sentinelGaps for each gap g, one sentinel file at
     *                    ts = hi + g·window (empty = no eviction audit)
     */
-  def windowedAttributionRollup(s: SparkSession, dir: String,
-      tmpPrefix: String, perCampaign: Boolean,
-      windowOf: (Long, Long) => Long,
-      sentinelGaps: Seq[Long]): DataFrame = {
-    import s.implicits._
+  def build(s: SparkSession, dir: String, tmpPrefix: String,
+      perCampaign: Boolean, windowOf: (Long, Long) => Long,
+      sentinelGaps: Seq[Long]): Built = {
     val kCol =
       if (perCampaign) get_json_object(col("props"), "$.k").cast("long")
       else lit(0L)
@@ -52,7 +55,7 @@ object EventFeed {
       kCol.as("k"), col("event_id"), col("ts"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
     val tmp = Stage.tempDir(tmpPrefix).toString
-    val feed = s"$tmp/feed"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val feed = s"$tmp/feed"
     val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
     val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
     val w = windowOf(lo0, hi0)
@@ -84,27 +87,66 @@ object EventFeed {
         .coalesce(1).write.mode("append").parquet(feed)
       pinNew(); fileIdx += 1
     }
+    Built(feed, lo0, hi0, w, s"$tmp/out", s"$tmp/ckpt")
+  }
+
+  /** Run `transform` over the feed as a real micro-batch stream
+    * (one file per trigger, AvailableNow) and return the appended
+    * output as a batch frame.
+    */
+  def runStream[T](s: SparkSession, b: Built,
+      transform: org.apache.spark.sql.Dataset[Attribution.EvW] =>
+        org.apache.spark.sql.Dataset[T]): DataFrame = {
+    import s.implicits._
     val prev = s.conf.get("spark.sql.shuffle.partitions", "32")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val in = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .option("maxFilesPerTrigger", "1").parquet(b.feed)
         .withWatermark("ts", "0 seconds")
         .as[Attribution.EvW]
-      Attribution.attributeWindowed(in, w, drainAfterMs = hi0 / 1000L)
+      transform(in)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            Attribution.Attributed], _: Long) =>
-          batch.write.mode("append").parquet(out); ()
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
+            batch.toDF().write.mode("append").parquet(b.out); ()
         }
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", b.ckpt)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
         .start().awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.read.parquet(out)
+    s.read.parquet(b.out)
+  }
+
+  /** Feed → [[Attribution.attributeWindowed]] → per-touch-type rollup. */
+  def windowedAttributionRollup(s: SparkSession, dir: String,
+      tmpPrefix: String, perCampaign: Boolean,
+      windowOf: (Long, Long) => Long,
+      sentinelGaps: Seq[Long]): DataFrame = {
+    val b = build(s, dir, tmpPrefix, perCampaign, windowOf, sentinelGaps)
+    runStream(s, b, (in: org.apache.spark.sql.Dataset[Attribution.EvW]) =>
+      Attribution.attributeWindowed(in, b.windowUs,
+        drainAfterMs = b.hiUs / 1000L))
       .groupBy(col("touch_type"))
       .agg(count(lit(1)).as("conversions"),
         Tables.dsum(col("value"), 2).as("attributed_value"))
+  }
+
+  /** Feed → [[Attribution.multiTouch]] → exact-integer µ-share rollup
+    * with the single double division at report time (shared with the
+    * batch `q110_multitouch` and its oracle).
+    */
+  def multiTouchRollup(s: SparkSession, dir: String,
+      tmpPrefix: String): DataFrame = {
+    val b = build(s, dir, tmpPrefix, perCampaign = false,
+      windowOf = (_, _) => 0L, sentinelGaps = Seq.empty)
+    runStream(s, b, (in: org.apache.spark.sql.Dataset[Attribution.EvW]) =>
+      Attribution.multiTouch(in))
+      .groupBy(col("touch_type"))
+      .agg((sum(col("w")).cast("double") / lit(1000000.0))
+          .as("conversions"),
+        (sum(col("mc")).cast("double") / lit(100000000.0))
+          .as("attributed_value"))
   }
 }

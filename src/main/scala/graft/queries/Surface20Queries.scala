@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-12 wave: attribution hardened for production (state TTL,
@@ -30,7 +31,76 @@ object Surface20Queries {
       EventFeed.windowedAttributionRollup(s, dir, "graft-c33-",
         perCampaign = true,
         windowOf = (lo, hi) => 2 * ((hi - lo) / 3 + 1) + 1,
-        sentinelGaps = Seq(10L, 20L))))
+        sentinelGaps = Seq(10L, 20L))),
+
+    // Position-based (U-shaped 40/40/20) multi-touch attribution,
+    // batch form: per purchase, ONE window pass over the user's prior
+    // events yields the touch count, first/last/second-last touch
+    // types, and per-channel counts (all over the SAME window spec —
+    // one exchange on user_id, one sort); the credit split is then a
+    // codegen'd projection in exact integer µ-shares (see
+    // Attribution.creditShares for the remainder-to-last-middle rule
+    // that keeps each purchase's shares summing to exactly 1e6 µ).
+    // The rollup sums integers and performs the ONLY double division
+    // at report time — engine-reproducible, order-independent. At
+    // 100 TB: the window sort is per-user-partition local after one
+    // hash exchange; the exploded credit frame is ≤ 5 rows per
+    // purchase; the report aggregate is a 5-row frame.
+    "q110_multitouch" -> ((s, dir) => {
+      val types = graft.streaming.Attribution.touchTypes
+      val w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val base = events(s, dir)
+        .withColumn("__touch", touch)
+        .withColumn("__pt", when(touch.isNotNull,
+          last(touch, ignoreNulls = true).over(w1)))
+      val cntCols = types.map(t =>
+        count(when(col("__touch") === t, 1)).over(w1).as(s"cnt_$t"))
+      val enriched = base.select(
+        (Seq(col("event_type"), col("value"),
+          count(col("__touch")).over(w1).as("n"),
+          first(col("__touch"), ignoreNulls = true).over(w1).as("ft"),
+          last(col("__touch"), ignoreNulls = true).over(w1).as("lt"),
+          last(col("__pt"), ignoreNulls = true).over(w1).as("slt"))
+          ++ cntCols): _*)
+      val p = enriched.where(col("event_type") === "purchase")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("b", when(col("n") >= 3,
+          floor(lit(200000L) / (col("n") - 2)).cast("long"))
+          .otherwise(lit(0L)))
+      def isT(c: String, t: String) =
+        when(col(c) === t, 1L).otherwise(0L)
+      def credit(t: String) =
+        when(col("n") === 0, lit(0L))
+          .when(col("n") === 1, isT("ft", t) * 1000000L)
+          .when(col("n") === 2,
+            isT("ft", t) * 500000L + isT("lt", t) * 500000L)
+          .otherwise(isT("ft", t) * 400000L + isT("lt", t) * 400000L +
+            (col(s"cnt_$t") - isT("ft", t) - isT("lt", t)) * col("b") +
+            isT("slt", t) * (lit(200000L) - col("b") * (col("n") - 2)))
+      val shares = types.map(t => struct(lit(t).as("t"),
+        credit(t).as("w"))) :+
+        struct(lit("(none)").as("t"),
+          when(col("n") === 0, 1000000L).otherwise(0L).as("w"))
+      p.select(col("cents"), explode(array(shares: _*)).as("c"))
+        .select(col("c.t").as("touch_type"), col("c.w").as("w"),
+          (col("c.w") * col("cents")).as("mc"))
+        .where(col("w") > 0)
+        .groupBy("touch_type")
+        .agg((sum(col("w")).cast("double") / lit(1000000.0))
+            .as("conversions"),
+          (sum(col("mc")).cast("double") / lit(100000000.0))
+            .as("attributed_value"))
+    }),
+
+    // The STREAMING twin of q110 against the SAME oracle: per-user
+    // bounded MTState (first/last/second-last + per-channel counts)
+    // through the real micro-batch engine; each purchase emits its
+    // exact-integer µ-shares as it arrives, and the rollup is
+    // identical to the batch report.
+    "c34_stream_multitouch" -> ((s, dir) =>
+      EventFeed.multiTouchRollup(s, dir, "graft-c34-")))
 
   val oracles: Map[String, String] = Map(
     // The streaming result is fully determined by event-time
@@ -72,5 +142,75 @@ object Surface20Queries {
            CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR)
              AS DOUBLE) AS attributed_value
          FROM (SELECT * FROM purch UNION ALL SELECT * FROM audit)
-         GROUP BY touch_type""")
+         GROUP BY touch_type""",
+
+    "q110_multitouch" -> multiTouchOracle,
+    "c34_stream_multitouch" -> multiTouchOracle)
+
+  /** U-shaped 40/40/20 multi-touch in exact integer µ-shares — the
+    * single oracle for the batch q110 window query AND the streaming
+    * c34 state walk (stream/batch parity). Integer division `//` with
+    * remainder-to-second-last mirrors Attribution.creditShares; the
+    * only doubles are the two report-time divisions.
+    */
+  private def multiTouchOracle: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+           value,
+           CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+         FROM events),
+       t1 AS (
+         SELECT *, CASE WHEN touch IS NOT NULL THEN
+             last_value(touch IGNORE NULLS) OVER wnd END AS pt
+         FROM ev
+         WINDOW wnd AS (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       t2 AS (
+         SELECT event_type, value,
+           count(touch) OVER wnd AS n,
+           first_value(touch IGNORE NULLS) OVER wnd AS ft,
+           last_value(touch IGNORE NULLS) OVER wnd AS lt,
+           last_value(pt IGNORE NULLS) OVER wnd AS slt,
+           count(CASE WHEN touch = 'click' THEN 1 END) OVER wnd AS cnt_click,
+           count(CASE WHEN touch = 'view' THEN 1 END) OVER wnd AS cnt_view,
+           count(CASE WHEN touch = 'signup' THEN 1 END) OVER wnd AS cnt_signup,
+           count(CASE WHEN touch = 'error' THEN 1 END) OVER wnd AS cnt_error
+         FROM t1
+         WINDOW wnd AS (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       p AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS cents, n, ft, lt,
+           slt, cnt_click, cnt_view, cnt_signup, cnt_error,
+           CASE WHEN n >= 3 THEN 200000 // (n - 2) ELSE 0 END AS b
+         FROM t2 WHERE event_type = 'purchase'),
+       cr AS (
+         SELECT ty.t AS touch_type, p.cents,
+           CASE
+             WHEN p.n = 0 THEN
+               CASE WHEN ty.t = '(none)' THEN 1000000 ELSE 0 END
+             WHEN ty.t = '(none)' THEN 0
+             WHEN p.n = 1 THEN
+               CASE WHEN p.ft = ty.t THEN 1000000 ELSE 0 END
+             WHEN p.n = 2 THEN
+               500000 * (CASE WHEN p.ft = ty.t THEN 1 ELSE 0 END) +
+               500000 * (CASE WHEN p.lt = ty.t THEN 1 ELSE 0 END)
+             ELSE
+               400000 * (CASE WHEN p.ft = ty.t THEN 1 ELSE 0 END) +
+               400000 * (CASE WHEN p.lt = ty.t THEN 1 ELSE 0 END) +
+               (CASE ty.t WHEN 'click' THEN p.cnt_click
+                 WHEN 'view' THEN p.cnt_view
+                 WHEN 'signup' THEN p.cnt_signup
+                 ELSE p.cnt_error END
+                - (CASE WHEN p.ft = ty.t THEN 1 ELSE 0 END)
+                - (CASE WHEN p.lt = ty.t THEN 1 ELSE 0 END)) * p.b +
+               (CASE WHEN p.slt = ty.t THEN 1 ELSE 0 END) *
+                 (200000 - p.b * (p.n - 2))
+           END AS w
+         FROM p, (VALUES ('click'), ('view'), ('signup'), ('error'),
+           ('(none)')) AS ty(t))
+       SELECT touch_type,
+         CAST(SUM(w) AS DOUBLE) / 1000000.0 AS conversions,
+         CAST(SUM(w * cents) AS DOUBLE) / 100000000.0 AS attributed_value
+       FROM cr WHERE w > 0
+       GROUP BY touch_type"""
 }

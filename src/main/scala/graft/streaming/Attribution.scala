@@ -62,6 +62,113 @@ object Attribution {
     * (they advance event time so timeouts fire deterministically) and
     * never create state.
     */
+  /** The campaign taxonomy — the fixed, config-level touch-channel
+    * domain a marketing pipeline attributes over (the events table's
+    * non-purchase types).
+    */
+  val touchTypes: Seq[String] = Seq("click", "view", "signup", "error")
+
+  /** Per-user multi-touch state: first/last/second-last touch types
+    * plus per-channel touch counts — a BOUNDED record (3 short strings
+    * + a 4-entry map) regardless of how many events the user has, so
+    * state size scales with user cardinality only.
+    */
+  case class MTState(ft: String, lt: String, slt: String,
+    cnts: Map[String, Long])
+
+  /** One position-based credit share: `w` is the share in MICRO-units
+    * (1e6 = one full conversion) and `mc = w · cents(value)` the
+    * attributed revenue in micro-cents — both exact integers, so the
+    * downstream rollup sums are order-independent and
+    * engine-reproducible, with ONE double division at report time.
+    */
+  case class MTCredit(touch_type: String, w: Long, mc: Long)
+
+  /** Position-based (U-shaped 40/40/20) credit split for one purchase,
+    * given the purchase's prior-touch summary — THE shared semantic of
+    * the batch `q110_multitouch` window query, the streaming `c34`
+    * state walk, and the DuckDB oracle:
+    *
+    *  - 0 touches → `(none)` gets the full 1 000 000 µ;
+    *  - 1 touch → it gets 1 000 000 µ;
+    *  - 2 touches → 500 000 µ each to first and last;
+    *  - n ≥ 3 → 400 000 µ to first and last, the middle 200 000 µ
+    *    split evenly over the n−2 middle touches by INTEGER division,
+    *    with the remainder credited to the LAST middle touch (position
+    *    n−1, i.e. the second-last touch) — the deterministic
+    *    remainder-to-last rule of invoice-line rounding, which keeps
+    *    every share an exact integer and the per-purchase total exactly
+    *    1 000 000 µ (auditable partition of conversions).
+    */
+  def creditShares(n: Long, ft: String, lt: String, slt: String,
+                   cnts: Map[String, Long], cents: Long): Seq[MTCredit] = {
+    val shares: Seq[(String, Long)] =
+      if (n == 0L) Seq("(none)" -> 1000000L)
+      else if (n == 1L) Seq(ft -> 1000000L)
+      else if (n == 2L) touchTypes.map { t =>
+        t -> (500000L * (if (ft == t) 1L else 0L) +
+          500000L * (if (lt == t) 1L else 0L))
+      }
+      else {
+        val base = 200000L / (n - 2)
+        val rem = 200000L - base * (n - 2)
+        touchTypes.map { t =>
+          val isFt = if (ft == t) 1L else 0L
+          val isLt = if (lt == t) 1L else 0L
+          val mid = cnts.getOrElse(t, 0L) - isFt - isLt
+          t -> (400000L * isFt + 400000L * isLt + base * mid +
+            rem * (if (slt == t) 1L else 0L))
+        }
+      }
+    shares.collect { case (t, w) if w > 0 =>
+      MTCredit(t, w, w * cents)
+    }
+  }
+
+  /** Streaming position-based multi-touch attribution over the FULL
+    * user history (unbounded lookback — the semantic of the batch
+    * `q110_multitouch` twin): per-user [[MTState]] carries
+    * first/last/second-last touch and per-channel counts across
+    * batches; each purchase emits its exact-integer credit shares as
+    * it arrives. State is deliberately NOT TTL'd: unbounded lookback
+    * means any future purchase may still consult the full history, so
+    * eviction would change results — and the record is a bounded
+    * constant-size summary per user, not a growing log. A
+    * window-bounded multi-touch model would compose this walk with the
+    * `EventTimeTimeout` discipline of [[attributeWindowed]].
+    */
+  def multiTouch(events: Dataset[EvW]): Dataset[MTCredit] = {
+    implicit val evEnc = Encoders.product[EvW]
+    implicit val stEnc = Encoders.product[MTState]
+    implicit val outEnc = Encoders.product[MTCredit]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvW], state: GroupState[MTState]) =>
+          if (uid < 0L) { it.foreach(_ => ()); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(
+              MTState(null, null, null, Map.empty))
+            val out = Seq.newBuilder[MTCredit]
+            it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              if (e.event_type == "purchase") {
+                val n = st.cnts.valuesIterator.sum
+                out ++= creditShares(n, st.ft, st.lt, st.slt, st.cnts,
+                  math.round(e.value * 100))
+              } else st = MTState(
+                ft = if (st.ft == null) e.event_type else st.ft,
+                lt = e.event_type,
+                slt = st.lt,
+                cnts = st.cnts.updated(e.event_type,
+                  st.cnts.getOrElse(e.event_type, 0L) + 1L))
+            }
+            if (st.ft != null) state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   def attributeWindowed(events: Dataset[EvW], windowUs: Long,
                         drainAfterMs: Long): Dataset[Attributed] = {
     implicit val evEnc = Encoders.product[EvW]
