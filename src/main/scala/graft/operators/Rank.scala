@@ -103,6 +103,48 @@ object Rank {
       idCols)
   }
 
+  /** Globally-ordered running sums of `sumCols` over the total order
+    * `orderCols` — the scale-safe replacement for
+    * `sum(c).over(Window.orderBy(...))`, which moves every row into
+    * ONE task. Same two-pass shape as [[withGlobalRowNumber]]:
+    * range-partition on the order key (pinned via persist), aggregate
+    * each column's PER-PARTITION sum (a partitions-sized frame),
+    * triangular-prefix-join those into per-partition starting offsets,
+    * broadcast them back, and run the cumulative window KEYED BY
+    * partition id — fully parallel, exact, deterministic at any
+    * parallelism (requires a total order so no key straddles a
+    * boundary; range partitioning keeps equal keys together).
+    * Output column `cum_<c>` for each input column c.
+    */
+  def withGlobalCumsums(df: DataFrame, orderCols: Seq[Column],
+                        sumCols: Seq[String],
+                        numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val psums = ranged.groupBy(col("__pid"))
+      .agg(sum(col(sumCols.head)).as(s"__s_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"__s_$c")): _*)
+    val offsets = psums.as("a")
+      .join(psums.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col(s"b.__s_${sumCols.head}")), lit(0L))
+          .as(s"__off_${sumCols.head}"),
+        sumCols.tail.map(c =>
+          coalesce(sum(col(s"b.__s_$c")), lit(0L)).as(s"__off_$c")): _*)
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCums = ranged
+      .join(broadcast(offsets), Seq("__pid"))
+    sumCols.foldLeft(withCums) { (acc, c) =>
+      acc.withColumn(s"cum_$c",
+        col(s"__off_$c") + sum(col(c)).over(wLocal))
+    }.drop("__pid" +: sumCols.map(c => s"__off_$c"): _*)
+  }
+
   /** SQL ntile(k) from a 1-based global rank and the total count: the
     * first (n mod k) tiles take ceil(n/k) rows, the rest floor(n/k).
     */

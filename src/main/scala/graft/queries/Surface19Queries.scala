@@ -149,14 +149,15 @@ object Surface19Queries {
       val totals = counts.agg(
         sum(col(types.head)).as(s"n_${types.head}"),
         types.tail.map(t => sum(col(t)).as(s"n_$t")): _*)
-      // The cumulative window runs over DISTINCT measurement values
-      // (bounded domain — cents-quantized here), which is why a single
-      // ordered pass is acceptable; an unbounded-domain deployment
-      // would range-partition the cumsum (Rank machinery) instead.
-      val wCum = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cums = counts.select(col("value") +: types.map(t =>
-        sum(col(t)).over(wCum).as(s"cum_$t")): _*)
+      // Range-partitioned cumulative pass (Rank.withGlobalCumsums):
+      // the per-type ECDF counts accumulate in parallel partitions
+      // with broadcast prefix offsets — no single-task
+      // Window.orderBy anywhere, so the plan survives an
+      // unbounded-domain value column unchanged (PlanAuditSpec
+      // asserts no unpartitioned window here).
+      val cums = graft.operators.Rank
+        .withGlobalCumsums(counts, Seq(col("value")), types)
+        .select(col("value") +: types.map(t => col(s"cum_$t")): _*)
       val gapped = cums.crossJoin(broadcast(totals))
       val maxima = gapped.agg(
         max(abs(col(s"cum_${pairs.head._1}") * col(s"n_${pairs.head._2}") -

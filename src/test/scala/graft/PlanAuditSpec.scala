@@ -75,11 +75,21 @@ class PlanAuditSpec extends SparkSpec {
       "crossJoin against the broadcast 1-row sample-size totals"
   )
 
+  /** Built once, shared by the nested-loop and window gates (plan
+    * construction — which for the c-queries runs the stream — is the
+    * expensive part of this spec).
+    */
+  private lazy val executedPlans
+      : Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.executedPlan
+    }
+
   test("no unbounded CartesianProduct/BroadcastNestedLoopJoin " +
     "in any judged plan") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+    val offenders = executedPlans.flatMap {
+      case (name, p) =>
+        val plan = p.toString
         val hasCartesian = plan.contains("CartesianProduct")
         val hasBnl = plan.contains("BroadcastNestedLoopJoin")
         if (hasCartesian || hasBnl) Some(name -> {
@@ -95,6 +105,31 @@ class PlanAuditSpec extends SparkSpec {
     val stale = whitelist.keySet -- offenders.keySet
     assert(stale.isEmpty,
       s"stale whitelist entries (plan no longer nested-loop): " +
+        stale.toSeq.sorted.mkString(", "))
+  }
+
+  /** name -> why a single-task (unpartitioned) window is bounded
+    * there. Everything else must be partition-parallel — the
+    * `WindowExec: No Partition Defined` warning is a scale defect
+    * unless the windowed frame is provably tiny.
+    */
+  private val serialWindowWhitelist: Map[String, String] = Map.empty
+
+  test("no unpartitioned (single-task) window in any judged plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = executedPlans.flatMap { case (name, p) =>
+      val bad = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }.toSet
+    val unjustified = offenders -- serialWindowWhitelist.keySet
+    assert(unjustified.isEmpty,
+      s"plans with unpartitioned windows: " +
+        unjustified.toSeq.sorted.mkString(", "))
+    val stale = serialWindowWhitelist.keySet -- offenders
+    assert(stale.isEmpty,
+      s"stale serial-window whitelist entries: " +
         stale.toSeq.sorted.mkString(", "))
   }
 
