@@ -113,6 +113,39 @@ object Surface20Queries {
     "c34_stream_multitouch" -> ((s, dir) =>
       EventFeed.multiTouchRollup(s, dir, "graft-c34-")),
 
+    // Grouped WEIGHTED quantiles at arbitrary p via the rank-span
+    // frame: weights (l_quantity, in exact integer centi-units) fold
+    // directly into the histogram's __n, so the SAME
+    // Quantiles.rankSpans/selectRanks machinery that serves
+    // count-quantiles serves weighted ones — the spans are staged
+    // durably once per (sf × fingerprint) and each p is a narrow
+    // scan + group agg. Quantile rule: smallest value whose
+    // cumulative weight reaches ceil(p·W) (integer cross-multiplied,
+    // no division), so wq50 coincides with q108's weighted median.
+    "q111_weighted_quantiles" -> ((s, dir) => {
+      val spans = Stage.durableFrame(s, "li-price-wspans", dir) {
+        val hist = t(s, dir, "lineitem")
+          .where(col("l_extendedprice").isNotNull)
+          .groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(sum(round(col("l_quantity") * 100).cast("long"))
+            .as("__n"))
+        graft.operators.Quantiles.rankSpans(
+          hist, Seq("l_returnflag"), "l_extendedprice")
+      }
+      def thr(num: Long, den: Long): org.apache.spark.sql.Column =>
+          org.apache.spark.sql.Column =
+        cnt => graft.operators.Quantiles.ldiv(
+          cnt * lit(num) + lit(den - 1), lit(den))
+      graft.operators.Quantiles.selectRanks(spans,
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq("wq25" -> thr(1, 4), "wq50" -> thr(1, 2),
+            "wq75" -> thr(3, 4)))
+        .select(col("l_returnflag"), col("wq25"), col("wq50"),
+          col("wq75"),
+          (col("n_total").cast("double") / lit(100.0))
+            .as("total_weight"))
+    }),
+
     // IVF with TRAINED centroids: 2 Lloyd's k-means iterations as
     // DataFrame algebra (assign = codegen'd projection vs broadcast
     // literals; update = ONE hash exchange on (cell, dim) with exact
@@ -191,7 +224,32 @@ object Surface20Queries {
 
     "q110_multitouch" -> multiTouchOracle,
     "c34_stream_multitouch" -> multiTouchOracle,
-    "e2_ivf_trained" -> ivfTrainedOracle)
+    "e2_ivf_trained" -> ivfTrainedOracle,
+
+    // Weighted quantile = smallest price whose cumulative integer
+    // weight crosses ceil(p·W): cross-multiplied thresholds, exact
+    // centi-unit weights, one double division for the report total.
+    "q111_weighted_quantiles" ->
+      """WITH byp AS (
+           SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS w
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+           GROUP BY l_returnflag, l_extendedprice),
+         cums AS (
+           SELECT l_returnflag, l_extendedprice,
+             SUM(w) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+           FROM byp)
+         SELECT l_returnflag,
+           min(CASE WHEN cum * 4 >= tot THEN l_extendedprice END) AS wq25,
+           min(CASE WHEN cum * 2 >= tot THEN l_extendedprice END) AS wq50,
+           min(CASE WHEN cum * 4 >= tot * 3 THEN l_extendedprice END)
+             AS wq75,
+           CAST(max(tot) AS DOUBLE) / 100.0 AS total_weight
+         FROM cums GROUP BY l_returnflag""")
 
   /** SQL transcription of the EXACT fixed-point Lloyd's recipe of
     * `Similarity.trainIvfCentroids` + the final IVF probe: every
