@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12 second wave: the nonparametric/statistics suite grows
+  * (rank tests, independence, rank correlation) and an n-gram LM
+  * table — each in the house exact-arithmetic discipline: every
+  * cross-row sum is an integer (or exact decimal), every judged
+  * double comes from ONE fixed-order formula over those sums, and
+  * divisions/sqrt are the only float steps (round(_, 8) guards the
+  * last-ULP FMA ambiguity, as in q19_stats).
+  *
+  *  - `e104_mannwhitney` — exact two-sample Mann–Whitney U (average
+  *    ranks for ties, tie-corrected normal approximation) for every
+  *    event-type pair, the rank-test complement of e103's KS: U is
+  *    assembled from the SAME distinct-value count frame, with the
+  *    rank sums in half-units (2·RS is an integer) so ties never
+  *    produce a float before the final z formula.
+  *  - `e105_chisq` — chi-square independence of event_type ×
+  *    campaign decile over a FIXED 5×10 cell grid: one hash
+  *    aggregate to 50 integer cells, margins and χ² evaluated in a
+  *    single fixed-order expression (sum order is part of the judged
+  *    semantics — float addition does not commute across engines).
+  *  - `e106_spearman` — per-group Spearman rank correlation as
+  *    Pearson over DOUBLED average ranks (2·avgrank = 2·rank+cnt−1
+  *    is an integer even at half-rank ties): two partitioned window
+  *    passes for the ranks, integer moment sums, one closed-form
+  *    double.
+  *  - `e107_bigram_lm` — bigram language-model table: conditional
+  *    next-token probabilities for the corpus' top first-tokens —
+  *    the count statistic behind LM-based quality filtering. Exact
+  *    integer counts; probability is the single per-row division.
+  */
+object Surface21Queries {
+  import Tables._
+
+  private val evTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val evPairs = for {
+    i <- evTypes.indices; j <- evTypes.indices if i < j
+  } yield (evTypes(i), evTypes(j))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e104_mannwhitney" -> ((s, dir) => {
+      // distinct-value count frame (one hash agg), then the
+      // range-partitioned cumulative pass — same machinery as e103
+      val counts = events(s, dir)
+        .groupBy("value")
+        .pivot("event_type", evTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, evTypes)
+      val totals = counts.agg(
+        sum(col(evTypes.head)).as(s"n_${evTypes.head}"),
+        evTypes.tail.map(t => sum(col(t)).as(s"n_$t")): _*)
+      val cums = graft.operators.Rank
+        .withGlobalCumsums(counts, Seq(col("value")), evTypes)
+      // per pair: 2·ranksum_a = Σ ca·(2·prev + m + 1) with
+      // prev = combined cumulative BEFORE this value, m = ca+cb the
+      // combined tie group; tie term Σ (m³ − m). All integers.
+      def rs2(a: String, b: String): Column = {
+        val ca = col(a); val cb = col(b)
+        val prev = (col(s"cum_$a") - ca) + (col(s"cum_$b") - cb)
+        val m = ca + cb
+        sum(ca * (lit(2) * prev + m + lit(1)))
+      }
+      def ties(a: String, b: String): Column = {
+        val m = col(a) + col(b)
+        sum(m * m * m - m)
+      }
+      val aggCols = evPairs.flatMap { case (a, b) =>
+        Seq(rs2(a, b).as(s"rs2_${a}_$b"), ties(a, b).as(s"t_${a}_$b"))
+      } ++ evTypes.map(t => first(col(s"n_$t")).as(s"n_$t"))
+      val agg = cums.crossJoin(broadcast(totals))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val stacked = agg.selectExpr(
+        s"stack(${evPairs.length}, " + evPairs.map { case (a, b) =>
+          s"'$a', '$b', n_$a, n_$b, rs2_${a}_$b - n_$a * (n_$a + 1), t_${a}_$b"
+        }.mkString(", ") + ") as (type_a, type_b, n_a, n_b, u2, ties)")
+      // z from exact integers, ONE formula (mirrored in the oracle):
+      // z = (2U − 2·na·nb/2·2)/... precisely:
+      // z = (u2 − na·nb) / (2·sqrt(na·nb/12 · ((N+1) − ties/(N(N−1)))))
+      val bigN = col("n_a") + col("n_b")
+      stacked.select(col("type_a"), col("type_b"), col("n_a"),
+        col("n_b"), col("u2"), col("ties"),
+        round((col("u2") - col("n_a") * col("n_b")).cast("double") /
+          (lit(2.0) * sqrt(
+            (col("n_a") * col("n_b")).cast("double") / lit(12.0) *
+              ((bigN + lit(1)).cast("double") -
+                col("ties").cast("double") /
+                  (bigN * (bigN - lit(1))).cast("double")))), 8)
+          .as("z"))
+    }),
+
+    "e105_chisq" -> ((s, dir) => {
+      // FIXED 5×10 grid: decile = props.k div 10. One hash aggregate
+      // to 50 integer cells; margins + chi-square in a single
+      // fixed-order expression so the float sum order is identical
+      // in both engines.
+      val ev = events(s, dir).select(col("event_type"),
+        graft.operators.Quantiles.ldiv(
+          get_json_object(col("props"), "$.k").cast("long"), 10L)
+          .as("d"))
+      val cells = for (t <- evTypes; j <- 0 until 10) yield (t, j)
+      val aggCols = cells.map { case (t, j) =>
+        sum(when(col("event_type") === t && col("d") === j.toLong, 1L)
+          .otherwise(0L)).as(s"o_${t}_$j")
+      }
+      val one = ev.agg(aggCols.head, aggCols.tail: _*)
+      def o(t: String, j: Int) = col(s"o_${t}_$j")
+      def row(t: String): Column =
+        (0 until 10).map(j => o(t, j)).reduce(_ + _)
+      def colTot(j: Int): Column = evTypes.map(t => o(t, j)).reduce(_ + _)
+      val n = evTypes.map(row).reduce(_ + _)
+      // term_ij = (O·N − r·c)² / (N·r·c), summed row-major — d·d in
+      // double (the square would overflow long past sf0.1)
+      val chi2 = cells.map { case (t, j) =>
+        val d = (o(t, j) * n - row(t) * colTot(j)).cast("double")
+        d * d / (n * row(t) * colTot(j)).cast("double")
+      }.reduce(_ + _)
+      one.select(round(chi2, 8).as("chi2"),
+        lit((evTypes.length - 1) * 9).cast("long").as("dof"),
+        n.as("n"))
+    }),
+
+    "e106_spearman" -> ((s, dir) => {
+      // doubled average ranks: 2·avgrank = 2·rank + cnt − 1 (integer
+      // even at half-rank ties); both windows are PARTITIONED by the
+      // group key — no single-task pass
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def rank2(v: String): Column =
+        lit(2) * rank().over(
+          Window.partitionBy("g").orderBy(col(v))) +
+          count(lit(1)).over(Window.partitionBy("g", v)) - lit(1)
+      val ranked = li
+        .withColumn("rx", rank2("x").cast("long"))
+        .withColumn("ry", rank2("y").cast("long"))
+      val agg = ranked.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      // final products exceed long range past sf0.1 (n·sxx ≈ 6e21);
+      // DECIMAL(38,0) keeps them exact (HUGEINT on the oracle side),
+      // with the one cast to double after the subtraction
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      agg.select(col("g").as("l_returnflag"), col("n"),
+        round((dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
+          .cast("double") /
+          (sqrt((dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
+            .cast("double")) *
+            sqrt((dec(col("n")) * col("syy") - dec(col("sy")) * col("sy"))
+              .cast("double"))), 8).as("rho"))
+    }),
+
+    "e107_bigram_lm" -> ((s, dir) => {
+      // bigram counts: one narrow map (adjacent-token zip) + two hash
+      // aggregates; the report is top-5 next-tokens for the top-10
+      // first-tokens (all orderings fully tie-broken). At 100 TB the
+      // pair counts are the only exchange; the report side is top-k.
+      val tk = graft.operators.TextAnalysis.tokens(col("text"))
+      val bg = tBalanced(s, dir, "documents")
+        .select(explode(arrays_zip(
+          slice(tk, lit(1), size(tk) - 1).as("t1"),
+          slice(tk, lit(2), size(tk) - 1).as("t2"))).as("b"))
+        .select(col("b.t1").as("t1"), col("b.t2").as("t2"))
+      val pairCnt = bg.groupBy("t1", "t2").agg(count(lit(1)).as("pair_n"))
+      val firstCnt = pairCnt.groupBy("t1")
+        .agg(sum(col("pair_n")).as("first_n"))
+      val topFirst = firstCnt
+        .orderBy(col("first_n").desc, col("t1")).limit(10)
+      val wNext = Window.partitionBy("t1")
+        .orderBy(col("pair_n").desc, col("t2"))
+      pairCnt.join(broadcast(topFirst), Seq("t1"))
+        .withColumn("rk", row_number().over(wNext))
+        .where(col("rk") <= 5)
+        .select(col("t1"), col("t2"), col("rk").cast("long").as("rk"),
+          col("pair_n"), col("first_n"),
+          (col("pair_n").cast("double") / col("first_n").cast("double"))
+            .as("p"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "e104_mannwhitney" -> {
+      s"""WITH ev AS (SELECT event_type, value FROM events),
+         cnt AS (
+           SELECT value,
+             ${evTypes.map(t =>
+               s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+               .mkString(", ")}
+           FROM ev GROUP BY value),
+         cum AS (
+           SELECT value,
+             ${evTypes.map(t =>
+               s"""c_$t, CAST(SUM(c_$t) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_$t""").mkString(", ")}
+           FROM cnt),
+         tot AS (
+           ${evTypes.map(t =>
+             s"SELECT '$t' AS t, CAST(SUM(c_$t) AS BIGINT) AS n FROM cnt").mkString(
+             "\n           UNION ALL ")}),
+         pairs AS (
+           ${evPairs.map { case (a, b) =>
+             s"""SELECT '$a' AS type_a, '$b' AS type_b,
+               (SELECT n FROM tot WHERE t = '$a') AS n_a,
+               (SELECT n FROM tot WHERE t = '$b') AS n_b,
+               CAST(SUM(c_$a * (2 * ((cum_$a - c_$a) + (cum_$b - c_$b))
+                 + (c_$a + c_$b) + 1)) AS BIGINT) AS rs2,
+               CAST(SUM((c_$a + c_$b) * (c_$a + c_$b) * (c_$a + c_$b)
+                 - (c_$a + c_$b)) AS BIGINT) AS ties
+             FROM cum"""
+           }.mkString("\n           UNION ALL ")})
+         SELECT type_a, type_b, n_a, n_b,
+           rs2 - n_a * (n_a + 1) AS u2, ties,
+           round(CAST(rs2 - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) /
+             (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 *
+               (CAST(n_a + n_b + 1 AS DOUBLE) -
+                 CAST(ties AS DOUBLE) /
+                 CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))), 8)
+             AS z
+         FROM pairs"""
+    },
+
+    "e105_chisq" -> {
+      val cells = for (t <- evTypes; j <- 0 until 10) yield (t, j)
+      val cellSums = cells.map { case (t, j) =>
+        s"""CAST(SUM(CASE WHEN event_type = '$t' AND d = $j
+            THEN 1 ELSE 0 END) AS BIGINT) AS o_${t}_$j"""
+      }.mkString(",\n             ")
+      def row(t: String) = (0 until 10).map(j => s"o_${t}_$j")
+        .mkString("(", " + ", ")")
+      def colT(j: Int) = evTypes.map(t => s"o_${t}_$j")
+        .mkString("(", " + ", ")")
+      val n = evTypes.map(row).mkString("(", " + ", ")")
+      val chi2 = cells.map { case (t, j) =>
+        s"""(CAST(o_${t}_$j * $n - ${row(t)} * ${colT(j)} AS DOUBLE)
+            * CAST(o_${t}_$j * $n - ${row(t)} * ${colT(j)} AS DOUBLE)
+            / CAST($n * ${row(t)} * ${colT(j)} AS DOUBLE))"""
+      }.mkString("\n           + ")
+      s"""WITH ev AS (
+           SELECT event_type,
+             CAST(json_extract(props, '$$.k') AS BIGINT) // 10 AS d
+           FROM events),
+         one AS (
+           SELECT
+             $cellSums
+           FROM ev)
+         SELECT round($chi2, 8) AS chi2,
+           CAST(${(evTypes.length - 1) * 9} AS BIGINT) AS dof,
+           $n AS n
+         FROM one"""
+    },
+
+    "e106_spearman" ->
+      """WITH li AS (
+           SELECT l_returnflag AS g, l_quantity AS x,
+             l_extendedprice AS y FROM lineitem),
+         ranked AS (
+           SELECT g,
+             2 * rank() OVER (PARTITION BY g ORDER BY x)
+               + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY g ORDER BY y)
+               + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+           FROM li),
+         agg AS (
+           SELECT g, count(*) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+           FROM ranked GROUP BY g)
+         SELECT g AS l_returnflag, n,
+           round(CAST(CAST(n AS HUGEINT) * sxy
+               - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+             (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+               - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+              sqrt(CAST(CAST(n AS HUGEINT) * syy
+               - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 8) AS rho
+         FROM agg""",
+
+    "e107_bigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         bg AS (
+           SELECT tk[g.i] AS t1, tk[g.i + 1] AS t2
+           FROM toks, generate_series(1, 127) AS g(i)
+           WHERE g.i < len(tk)),
+         pc AS (SELECT t1, t2, count(*) AS pair_n FROM bg GROUP BY 1, 2),
+         fc AS (SELECT t1, CAST(SUM(pair_n) AS BIGINT) AS first_n FROM pc GROUP BY 1),
+         topf AS (SELECT t1, first_n FROM fc
+           ORDER BY first_n DESC, t1 LIMIT 10),
+         ranked AS (
+           SELECT pc.t1, pc.t2, pc.pair_n, topf.first_n,
+             row_number() OVER (PARTITION BY pc.t1
+               ORDER BY pc.pair_n DESC, pc.t2) AS rk
+           FROM pc JOIN topf USING (t1))
+         SELECT t1, t2, CAST(rk AS BIGINT) AS rk, pair_n, first_n,
+           CAST(pair_n AS DOUBLE) / CAST(first_n AS DOUBLE) AS p
+         FROM ranked WHERE rk <= 5""")
+}

@@ -72,6 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "e99_hll_merge" ->
       "crossJoin of two broadcast 1-row aggregates (exact vs sketch)",
     "e103_ks_pairs" ->
+      "crossJoin against the broadcast 1-row sample-size totals",
+    "e104_mannwhitney" ->
       "crossJoin against the broadcast 1-row sample-size totals"
   )
 
