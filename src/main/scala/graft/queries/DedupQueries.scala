@@ -369,6 +369,91 @@ object DedupQueries {
       s.read.parquet(out).groupBy("doc_id")
         .agg(count(lit(1)).as("n_bands"),
           max(col("dup")).as("is_neardup"))
+    }),
+
+    // HORIZON-bounded streaming admission with state TTL — the
+    // production form of c31 for an unbounded ingest: a doc is
+    // flagged iff its band's previous occurrence is within `h` doc
+    // ids (chains split at larger gaps; the gap test runs in the
+    // handler so micro-batch timing can never change a flag), and
+    // idle band state is EVICTED via EventTimeTimeout with the
+    // eviction audited in-band (doc_id −1 = evicted mid-stream,
+    // −2 = live at the final drain — together they partition the
+    // band domain, so the state-store size is judged). Event time is
+    // doc_id seconds, making the µs→ms watermark floor exact; the
+    // horizon 2·(mx div 3)+3 exceeds any inter-chunk watermark gap,
+    // so evictions deterministically fire only at the sentinels.
+    "c35_stream_neardup_ttl" -> ((s, dir) => {
+      import s.implicits._
+      val sig = stagedSignatures(s, dir)
+      val banded = sig.select(col("doc_id") +:
+        Dedup.bandKeys((0 until minhashK).map(j => col(s"sig_$j")),
+          bands): _*)
+      val long = banded.select(col("doc_id"), explode(array(
+          (0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+        // +1 s shift: event time 0 (epoch) is dropped by the
+        // late-row filter at the initial zero watermark
+        .withColumn("ts",
+          timestamp_micros((col("doc_id") + 1) * 1000000L))
+      val tmp = Stage.tempDir("graft-c35-").toString
+      val feed = s"$tmp/feed"; val out = s"$tmp/out"
+      val ckpt = s"$tmp/ckpt"
+      val mx = long.agg(max("doc_id")).head().getLong(0)
+      val h = 2 * (mx / 3) + 3
+      val feedDir = new java.io.File(feed)
+      val stamped = scala.collection.mutable.Set[String]()
+      var fileIdx = 0
+      def pinNew(): Unit = feedDir.listFiles().foreach { f =>
+        val n = f.getName
+        if (!n.startsWith("_") && !n.startsWith(".") &&
+            !stamped.contains(n)) {
+          require(f.setLastModified(1700000000000L + fileIdx * 600000L),
+            s"mtime pin failed for $f — arrival order would race")
+          stamped += n
+        }
+      }
+      var lo = Long.MinValue
+      Seq(mx / 3, 2 * mx / 3, Long.MaxValue).foreach { hi =>
+        long.where(col("doc_id") > lo && col("doc_id") <= hi)
+          .coalesce(1).write.mode("append").parquet(feed)
+        pinNew(); fileIdx += 1; lo = hi
+      }
+      Seq(10L, 20L).foreach { g =>
+        s.range(1).select(lit(-1L).as("doc_id"),
+            lit(s"__wm$g").as("band"),
+            timestamp_micros(lit((mx + 1 + g * h) * 1000000L)).as("ts"))
+          .coalesce(1).write.mode("append").parquet(feed)
+        pinNew(); fileIdx += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val prev = s.conf.get("spark.sql.shuffle.partitions", "32")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val in = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+          .withWatermark("ts", "0 seconds")
+          .as[graft.streaming.BandAdmission.BandRowT]
+        graft.streaming.BandAdmission
+          .flagStreamTtl(in, h, drainAfterMs = (mx + 1) * 1000L)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.BandAdmission.BandFlag], _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
+          .start().awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(out).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bands"),
+          max(col("dup")).as("is_neardup"))
     }))
 
   /** The LSH candidate-pair frame and its connected-component labels,
@@ -798,6 +883,40 @@ object DedupQueries {
             bool_or(m.mn < b.doc_id) AS is_neardup
           FROM band b JOIN m ON b.band = m.band
           GROUP BY b.doc_id""",
+    // horizon semantics: flagged iff the band's previous occurrence
+    // is within h doc ids (chain not broken); audit rows −1/−2 count
+    // bands evicted mid-stream vs live at the drain (exact strict-<
+    // boundary, event time = doc_id seconds so ms floors are exact)
+    "c35_stream_neardup_ttl" ->
+      s"""WITH $shingleCte,
+          sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh
+                  GROUP BY doc_id),
+          band AS (SELECT doc_id, unnest([
+            md5(concat_ws('_', '0', sig_0, sig_1)),
+            md5(concat_ws('_', '1', sig_2, sig_3)),
+            md5(concat_ws('_', '2', sig_4, sig_5)),
+            md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig),
+          bx AS (SELECT max(doc_id) AS m,
+            2 * (max(doc_id) // 3) + 3 AS h FROM band),
+          fl AS (SELECT doc_id, band,
+            lag(doc_id) OVER (PARTITION BY band ORDER BY doc_id)
+              AS prev FROM band),
+          docs AS (SELECT doc_id, count(*) AS n_bands,
+            bool_or(prev IS NOT NULL AND
+              doc_id - prev <= (SELECT h FROM bx)) AS is_neardup
+            FROM fl GROUP BY doc_id),
+          lastocc AS (SELECT band, max(doc_id) AS last FROM band
+            GROUP BY band),
+          audit AS (
+            SELECT CAST(-1 AS BIGINT) AS doc_id,
+              count(*) AS n_bands, FALSE AS is_neardup
+            FROM lastocc, bx WHERE last + h < m
+            HAVING count(*) > 0
+            UNION ALL
+            SELECT CAST(-2 AS BIGINT), count(*), FALSE
+            FROM lastocc, bx WHERE last + h >= m
+            HAVING count(*) > 0)
+          SELECT * FROM docs UNION ALL SELECT * FROM audit""",
     "e8_split" ->
       s"""SELECT doc_id, $splitBucketSql AS bucket, $splitNameSql AS split
           FROM documents""",

@@ -62,4 +62,82 @@ object BandAdmission {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(flagBatch)
   }
+
+  /** Band row with an event-time column for the TTL'd variant:
+    * `ts` = (doc_id+1) seconds, so the µs→ms watermark floor is
+    * EXACT ((doc_id+1)·1000 ms), the eviction boundary has no
+    * rounding ambiguity, and doc 0 never sits at epoch 0 (a zero
+    * event time is dropped by the initial-watermark late filter).
+    */
+  case class BandRowT(doc_id: Long, band: String,
+    ts: java.sql.Timestamp)
+
+  /** Per-band admission state for the horizon form: the running
+    * chain minimum and the chain's latest doc id.
+    */
+  case class MinLast(mn: Long, last: Long)
+
+  /** HORIZON-bounded admission with state TTL — the production form
+    * of [[flagStream]] for an unbounded ingest: a doc is flagged iff
+    * its band's PREVIOUS occurrence is within `horizon` doc ids
+    * (occurrence chains split where the gap exceeds the horizon; a
+    * doc is a near-dup iff it is not first in its chain — the dedup
+    * window every rolling corpus ingest actually runs, since
+    * "collides with something admitted years ago and since expired"
+    * is not a duplicate). The gap test runs IN the handler, so the
+    * semantics never depend on micro-batch timing; the
+    * `EventTimeTimeout` eviction is pure state hygiene that can never
+    * change a flag — an evicted band's next arrival has, by the
+    * timeout condition, a gap exceeding the horizon and would reset
+    * its chain anyway. State is therefore bounded by the bands ACTIVE
+    * WITHIN THE HORIZON, not the all-time band domain — the
+    * unbounded-growth defect a NoTimeout admission has at 100 TB.
+    *
+    * Evictions are audited in-band like c33: a mid-stream timeout
+    * (watermark ≤ `drainAfterMs`) emits doc_id = −1, the final drain
+    * emits doc_id = −2 — so evicted + live-at-end counts partition
+    * the band domain and the state-store size is judged. Rows with
+    * doc_id < 0 are watermark-bearing sentinels and never create
+    * state.
+    */
+  def flagStreamTtl(rows: Dataset[BandRowT], horizon: Long,
+                    drainAfterMs: Long): Dataset[BandFlag] = {
+    implicit val flagEnc = Encoders.product[BandFlag]
+    implicit val stEnc = Encoders.product[MinLast]
+    implicit val strEnc = Encoders.STRING
+    rows.groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (band: String, it: Iterator[BandRowT],
+         state: GroupState[MinLast]) =>
+          if (state.hasTimedOut) {
+            val id =
+              if (state.getCurrentWatermarkMs() > drainAfterMs) -2L
+              else -1L
+            state.remove()
+            Iterator.single(BandFlag(id, band, dup = false))
+          } else {
+            // a band's batch slice is bounded (docs carrying this band
+            // in one micro-batch), so materializing it is safe
+            val rows = it.toSeq.filter(_.doc_id >= 0L)
+            if (rows.isEmpty) Iterator.empty // sentinel: watermark only
+            else {
+              var st = state.getOption
+                .getOrElse(MinLast(Long.MaxValue, Long.MinValue))
+              val out = Seq.newBuilder[BandFlag]
+              rows.sortBy(_.doc_id).foreach { r =>
+                val mn =
+                  if (st.last != Long.MinValue &&
+                      r.doc_id - st.last > horizon) Long.MaxValue
+                  else st.mn
+                out += BandFlag(r.doc_id, band, mn < r.doc_id)
+                st = MinLast(math.min(mn, r.doc_id), r.doc_id)
+              }
+              state.update(st)
+              state.setTimeoutTimestamp((st.last + 1 + horizon) * 1000L)
+              out.result().iterator
+            }
+          }
+      }
+  }
 }
