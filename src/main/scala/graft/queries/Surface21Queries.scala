@@ -156,6 +156,71 @@ object Surface21Queries {
               .cast("double"))), 8).as("rho"))
     }),
 
+    // APPROX-QUANTILE SKETCH AUDIT — the e3 (HLL) pattern for order
+    // statistics: percentile_approx's GK sketch is the only quantile
+    // that MERGES at 100 TB (per-partition sketches combine without a
+    // global sort), so the audit that certifies it against the exact
+    // rank-span machinery is a first-class production query. Judged
+    // frame = exact quantiles (engine-portable) + ok booleans that
+    // the sketch landed inside its guaranteed rank tolerance — the
+    // approx VALUES themselves are merge-order-dependent and stay out
+    // of the judged columns (same discipline as e3's HLL audit).
+    "q112_approx_quantile_audit" -> ((s, dir) => {
+      import graft.operators.Quantiles.ldiv
+      val acc = 10000L
+      val spans = StatsQueries.priceSpans(s, dir)
+      def ceilRank(num: Long, den: Long)(cnt: Column): Column =
+        greatest(ldiv(cnt * lit(num) + lit(den - 1), lit(den)), lit(1L))
+      // rank slack = guaranteed GK error (n/acc) ×2 safety, ±
+      def slack(cnt: Column): Column =
+        ldiv(cnt * lit(2L), lit(acc)) + lit(1L)
+      def loRk(num: Long, den: Long)(cnt: Column): Column =
+        greatest(ceilRank(num, den)(cnt) - slack(cnt), lit(1L))
+      def hiRk(num: Long, den: Long)(cnt: Column): Column =
+        least(ceilRank(num, den)(cnt) + slack(cnt), cnt)
+      val ranks = Seq(
+        "p25" -> ceilRank(1, 4) _, "p50" -> ceilRank(1, 2) _,
+        "p75" -> ceilRank(3, 4) _,
+        "lo25" -> loRk(1, 4) _, "hi25" -> hiRk(1, 4) _,
+        "lo50" -> loRk(1, 2) _, "hi50" -> hiRk(1, 2) _,
+        "lo75" -> loRk(3, 4) _, "hi75" -> hiRk(3, 4) _)
+      val exact = graft.operators.Quantiles.selectRanks(
+        spans, Seq("l_returnflag"), "l_extendedprice", ranks)
+      val approx = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(acc.toInt))
+          .as("ap"))
+      exact.join(approx, "l_returnflag")
+        .select(col("l_returnflag"),
+          col("p25"), col("p50"), col("p75"),
+          col("ap")(0).between(col("lo25"), col("hi25")).as("ok25"),
+          col("ap")(1).between(col("lo50"), col("hi50")).as("ok50"),
+          col("ap")(2).between(col("lo75"), col("hi75")).as("ok75"))
+    }),
+
+    // Per-doc RARE-BIGRAM RATE: the fraction of a doc's bigrams that
+    // occur nowhere else in the corpus — high rate flags gibberish /
+    // OCR noise (vocabulary the corpus never corroborates), low rate
+    // flags boilerplate. The n-gram-LM-adjacent quality signal a
+    // curation pass computes corpus-wide: ONE exchange on the bigram
+    // key (window count), one per-doc rollup, one final division.
+    "e108_rare_bigram_rate" -> ((s, dir) => {
+      val tk = graft.operators.TextAnalysis.tokens(col("text"))
+      val bg = tBalanced(s, dir, "documents")
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(tk, lit(1), size(tk) - 1).as("t1"),
+          slice(tk, lit(2), size(tk) - 1).as("t2"))).as("b"))
+        .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+      val wBg = Window.partitionBy("t1", "t2")
+      bg.withColumn("gc", count(lit(1)).over(wBg))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("gc") === 1, 1L).otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+          (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+            .as("rare_rate"))
+    }),
+
     "e107_bigram_lm" -> ((s, dir) => {
       // bigram counts: one narrow map (adjacent-token zip) + two hash
       // aggregates; the report is top-5 next-tokens for the top-10
@@ -254,6 +319,54 @@ object Surface21Queries {
            $n AS n
          FROM one"""
     },
+
+    // exact quantiles via the same smallest-value-at-ceil(p·n) rule;
+    // the sketch's ok booleans are TRUE by its rank guarantee
+    "q112_approx_quantile_audit" ->
+      """WITH cums AS (
+           SELECT l_returnflag, l_extendedprice,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY l_returnflag, l_extendedprice),
+         w AS (
+           SELECT l_returnflag, l_extendedprice,
+             CAST(SUM(c) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS tot
+           FROM cums)
+         SELECT l_returnflag,
+           min(CASE WHEN cum * 4 >= tot THEN l_extendedprice END) AS p25,
+           min(CASE WHEN cum * 2 >= tot THEN l_extendedprice END) AS p50,
+           min(CASE WHEN cum * 4 >= tot * 3 THEN l_extendedprice END)
+             AS p75,
+           TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+         FROM w GROUP BY l_returnflag""",
+
+    // rare bigram = corpus count exactly 1 (necessarily this doc);
+    // docs with fewer than 2 tokens have no bigrams and no row
+    "e108_rare_bigram_rate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id, tk[g.i] AS t1, tk[g.i + 1] AS t2
+           FROM toks, generate_series(1, 127) AS g(i)
+           WHERE g.i < len(tk)),
+         gc AS (
+           SELECT doc_id, count(*) OVER (PARTITION BY t1, t2) AS gc
+           FROM bg)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN gc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(SUM(CASE WHEN gc = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS rare_rate
+         FROM gc GROUP BY doc_id""",
 
     "e106_spearman" ->
       """WITH li AS (
