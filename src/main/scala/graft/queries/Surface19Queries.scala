@@ -144,11 +144,9 @@ object Surface19Queries {
         .pivot("event_type", types)
         .agg(count(lit(1)))
         .na.fill(0L, types)
-      // Sample sizes from the pre-window aggregate (one tiny scan of
-      // the distinct-value frame, no second cumsum pass).
-      val totals = counts.agg(
-        sum(col(types.head)).as(s"n_${types.head}"),
-        types.tail.map(t => sum(col(t)).as(s"n_$t")): _*)
+      // (totals derived AFTER the cumulative pass below — max cum =
+      // per-type n — so the corpus-scan pivot runs exactly once, into
+      // the cumsum machinery's persisted range frame)
       // Range-partitioned cumulative pass (Rank.withGlobalCumsums):
       // the per-type ECDF counts accumulate in parallel partitions
       // with broadcast prefix offsets — no single-task
@@ -158,6 +156,9 @@ object Surface19Queries {
       val cums = graft.operators.Rank
         .withGlobalCumsums(counts, Seq(col("value")), types)
         .select(col("value") +: types.map(t => col(s"cum_$t")): _*)
+      val totals = cums.agg(
+        max(col(s"cum_${types.head}")).as(s"n_${types.head}"),
+        types.tail.map(t => max(col(s"cum_$t")).as(s"n_$t")): _*)
       val gapped = cums.crossJoin(broadcast(totals))
       val maxima = gapped.agg(
         max(abs(col(s"cum_${pairs.head._1}") * col(s"n_${pairs.head._2}") -

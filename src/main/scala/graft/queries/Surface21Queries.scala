@@ -50,11 +50,14 @@ object Surface21Queries {
         .pivot("event_type", evTypes)
         .agg(count(lit(1)))
         .na.fill(0L, evTypes)
-      val totals = counts.agg(
-        sum(col(evTypes.head)).as(s"n_${evTypes.head}"),
-        evTypes.tail.map(t => sum(col(t)).as(s"n_$t")): _*)
       val cums = graft.operators.Rank
         .withGlobalCumsums(counts, Seq(col("value")), evTypes)
+      // totals from the CUMULATIVE frame (max cum = per-type n): the
+      // histogram-sized pass reuses the persisted ranged frame, where
+      // an agg over `counts` would re-scan the corpus a second time
+      val totals = cums.agg(
+        max(col(s"cum_${evTypes.head}")).as(s"n_${evTypes.head}"),
+        evTypes.tail.map(t => max(col(s"cum_$t")).as(s"n_$t")): _*)
       // per pair: 2·ranksum_a = Σ ca·(2·prev + m + 1) with
       // prev = combined cumulative BEFORE this value, m = ca+cb the
       // combined tie group; tie term Σ (m³ − m). All integers.
@@ -78,8 +81,9 @@ object Surface21Queries {
           s"'$a', '$b', n_$a, n_$b, rs2_${a}_$b - n_$a * (n_$a + 1), t_${a}_$b"
         }.mkString(", ") + ") as (type_a, type_b, n_a, n_b, u2, ties)")
       // z from exact integers, ONE formula (mirrored in the oracle):
-      // z = (2U − 2·na·nb/2·2)/... precisely:
       // z = (u2 − na·nb) / (2·sqrt(na·nb/12 · ((N+1) − ties/(N(N−1)))))
+      // (u2 = 2U, so numerator = 2(U − na·nb/2) and the 2 in the
+      // denominator cancels the doubling)
       val bigN = col("n_a") + col("n_b")
       stacked.select(col("type_a"), col("type_b"), col("n_a"),
         col("n_b"), col("u2"), col("ties"),
