@@ -141,12 +141,16 @@ object Surface21Queries {
       val ranked = li
         .withColumn("rx", rank2("x").cast("long"))
         .withColumn("ry", rank2("y").cast("long"))
+      // product sums in DECIMAL(38,0): at x10 data (~6M rows/group,
+      // doubled ranks ~1.2e7) Σrx·ry exceeds long range BEFORE the
+      // final formula does — the sum itself must be wide
+      def pdec(c: Column) = c.cast("decimal(38,0)")
       val agg = ranked.groupBy("g").agg(
         count(lit(1)).as("n"),
         sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-        sum(col("rx") * col("ry")).as("sxy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"))
+        sum(pdec(col("rx")) * col("ry")).as("sxy"),
+        sum(pdec(col("rx")) * col("rx")).as("sxx"),
+        sum(pdec(col("ry")) * col("ry")).as("syy"))
       // final products exceed long range past sf0.1 (n·sxx ≈ 6e21);
       // DECIMAL(38,0) keeps them exact (HUGEINT on the oracle side),
       // with the one cast to double after the subtraction
@@ -385,8 +389,10 @@ object Surface21Queries {
            FROM li),
          agg AS (
            SELECT g, count(*) AS n,
-             SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
-             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+             SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+             SUM(CAST(ry AS HUGEINT) * ry) AS syy
            FROM ranked GROUP BY g)
          SELECT g AS l_returnflag, n,
            round(CAST(CAST(n AS HUGEINT) * sxy
