@@ -200,6 +200,15 @@ object Similarity {
           .cast(LongType)),
       lit(0L), (acc, e) => acc + e)
 
+  /** Fixed-point self-dot Σ floor(x·x·1e7) — the vector-norm image in
+    * the same engine-portable integer arithmetic as [[dotFixedToLit]].
+    */
+  def selfDotFixedLong(vec: Column): Column =
+    aggregate(transform(vec, x =>
+        floor(x.cast(DoubleType) * x.cast(DoubleType) * lit(1e7))
+          .cast(LongType)),
+      lit(0L), (acc, e) => acc + e)
+
   /** Nearest-centroid assignment under fixed-point scoring: score_j =
     * dt_j / √nc_j with dt_j = [[dotFixedToLit]] and nc_j the centroid's
     * fixed-point self-dot — cosine to centroid j up to the common

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -178,7 +178,67 @@ object Surface20Queries {
             .as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
-    }))
+    }),
+
+    // Clustering-quality audit: per-cell mean simplified silhouette
+    // over the TRAINED cells (see [[silhouette]]) — the report that
+    // separates real cluster structure from noise before committing
+    // an IVF layout or semantic-dedup pass to a corpus snapshot.
+    "e109_silhouette" -> ((s, dir) => silhouette(s, dir)))
+
+  // ---- e109: clustering-quality audit over the trained cells ----
+
+  /** Simplified silhouette per trained cell — the clustering-quality
+    * report that tells a curation team whether the IVF/semantic-dedup
+    * cells are real structure or noise: per vector, a = cosine
+    * distance to its OWN centroid, b = distance to the nearest OTHER
+    * centroid, s = (b−a)/max(a,b) ∈ [−1,1]; the report is the
+    * per-cell mean. Every cosine comes from the same fixed-point
+    * integer sums as training (bit-identical cross-engine), per-row s
+    * is quantized to nano-units before the sum (order-independent),
+    * and the mean is two fixed-order divisions at report time.
+    */
+  private def silhouette(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val init = Similarity.syntheticCentroids(SimilarityQueries.ivfN, 64)
+      .zipWithIndex.map { case (c, j) => j -> c.map(_.toDouble) }
+    val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+    val trained = Similarity
+      .trainIvfCentroids(corpus, "embedding", init, iters = 2)
+    require(trained.size >= 2, "silhouette needs >= 2 surviving cells")
+    val nv = Similarity.selfDotFixedLong(col("embedding"))
+    def cosTo(c: Seq[Double]): Column = {
+      val nc = c.map(v => math.floor(v * v * 1e7).toLong).sum
+      (Similarity.dotFixedToLit(col("embedding"), c).cast("double") /
+        lit(1e7)) /
+        (sqrt(col("__nv").cast("double") / lit(1e7)) *
+          sqrt(lit(nc.toDouble) / lit(1e7)))
+    }
+    val withCell = corpus
+      .withColumn("__nv", nv)
+      .withColumn("__cell",
+        Similarity.ivfCellFixed(col("embedding"), trained))
+    val ownCos = coalesce(trained.map { case (cid, c) =>
+      when(col("__cell") === cid, cosTo(c))
+    }: _*)
+    val otherMax = greatest(trained.map { case (cid, c) =>
+      when(col("__cell") =!= cid, cosTo(c))
+    }: _*)
+    val a = lit(1.0) - col("__own")
+    val b = lit(1.0) - col("__omax")
+    val sCol = when(greatest(a, b) > 0,
+      (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    withCell
+      .withColumn("__own", ownCos)
+      .withColumn("__omax", otherMax)
+      .select(col("__cell").cast("long").as("cell"),
+        floor(sCol * lit(1e9)).cast("long").as("__q"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("__q")).as("__sq"))
+      .select(col("cell"), col("n"),
+        (col("__sq").cast("double") / lit(1e9) /
+          col("n").cast("double")).as("mean_sil"))
+  }
 
   val oracles: Map[String, String] = Map(
     // The streaming result is fully determined by event-time
@@ -225,6 +285,7 @@ object Surface20Queries {
     "q110_multitouch" -> multiTouchOracle,
     "c34_stream_multitouch" -> multiTouchOracle,
     "e2_ivf_trained" -> ivfTrainedOracle,
+    "e109_silhouette" -> silhouetteOracle,
 
     // Weighted quantile = smallest price whose cumulative integer
     // weight crosses ceil(p·W): cross-multiplied thresholds, exact
@@ -259,13 +320,17 @@ object Surface20Queries {
     * bit-identical trained centroids from the data instead of baking
     * data-dependent literals.
     */
-  private def ivfTrainedOracle: String = {
+  /** Shared WITH-body: synthetic seeds + two Lloyd iterations ending
+    * in `cent2` (used by both the e2_ivf_trained probe oracle and the
+    * e109 silhouette oracle).
+    */
+  private def ivfTrainingCtes: String = {
     val centVals = graft.operators.Similarity
       .syntheticCentroids(SimilarityQueries.ivfN, 64)
       .zipWithIndex.map { case (c, j) =>
         s"($j, [${c.map(_.toDouble.toString).mkString(", ")}])"
       }.mkString(",\n           ")
-    // one Lloyd iteration: assign `src` dims against cent$prev, then
+    // one Lloyd iteration: assign `dims` against cent$prev, then
     // fixed-point per-(cell,pos) mean into cent$i
     def iter(i: Int, prev: Int): String =
       s"""nc$i AS (SELECT cell, SUM(CAST(floor(v * v * 1e7) AS BIGINT)) AS nc
@@ -288,10 +353,7 @@ object Surface20Queries {
          cent$i AS (SELECT cell, pos,
              CAST(sq AS DOUBLE) / 1e7 / CAST(n AS DOUBLE) AS v
            FROM upd$i)"""
-    val fd = SimilarityQueries.foldDot("e.embedding", "q.qe")
-    val fna = SimilarityQueries.foldDot("e.embedding", "e.embedding")
-    val fnb = SimilarityQueries.foldDot("q.qe", "q.qe")
-    s"""WITH alldims AS (
+    s"""alldims AS (
            SELECT vec_id, g.i - 1 AS pos,
              CAST(embedding[g.i] AS DOUBLE) AS x
            FROM embeddings, generate_series(1, 64) AS g(i)),
@@ -301,7 +363,56 @@ object Surface20Queries {
            FROM (VALUES $centVals) AS t(cell, arr),
              generate_series(1, 64) AS g(i)),
          ${iter(1, 0)},
-         ${iter(2, 1)},
+         ${iter(2, 1)}"""
+  }
+
+  /** SQL mirror of [[silhouette]]: trained cells re-derived via
+    * [[ivfTrainingCtes]], per-(vec, cell) fixed-point cosines, own
+    * cell = the assignment rank-1 row, b = max cosine over the
+    * others; per-row s quantized to nano-units before the per-cell
+    * sum so the mean is order-independent.
+    */
+  private def silhouetteOracle: String =
+    s"""WITH $ivfTrainingCtes,
+         nc3 AS (SELECT cell, SUM(CAST(floor(v * v * 1e7) AS BIGINT)) AS nc
+           FROM cent2 GROUP BY cell),
+         nv AS (SELECT vec_id,
+             SUM(CAST(floor(x * x * 1e7) AS BIGINT)) AS nv
+           FROM dims GROUP BY vec_id),
+         dtc AS (SELECT d.vec_id, c.cell,
+             SUM(CAST(floor(d.x * c.v * 1e7) AS BIGINT)) AS dt
+           FROM dims d JOIN cent2 c USING (pos)
+           GROUP BY d.vec_id, c.cell),
+         sc AS (SELECT dtc.vec_id, dtc.cell,
+             (CAST(dtc.dt AS DOUBLE) / 1e7) /
+               (sqrt(CAST(nv.nv AS DOUBLE) / 1e7) *
+                sqrt(CAST(nc3.nc AS DOUBLE) / 1e7)) AS cosj,
+             row_number() OVER (PARTITION BY dtc.vec_id
+               ORDER BY CAST(dtc.dt AS DOUBLE) /
+                 sqrt(CAST(nc3.nc AS DOUBLE)) DESC,
+                 dtc.cell DESC) AS rn
+           FROM dtc JOIN nc3 USING (cell) JOIN nv USING (vec_id)),
+         pv AS (SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN cell END) AS cell,
+             1.0 - max(CASE WHEN rn = 1 THEN cosj END) AS a,
+             1.0 - max(CASE WHEN rn > 1 THEN cosj END) AS b
+           FROM sc GROUP BY vec_id),
+         sil AS (SELECT cell,
+             CAST(floor((CASE WHEN greatest(a, b) > 0
+               THEN (b - a) / greatest(a, b) ELSE 0.0 END) * 1e9)
+               AS BIGINT) AS q
+           FROM pv)
+       SELECT CAST(cell AS BIGINT) AS cell,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / 1e9 /
+           CAST(count(*) AS DOUBLE) AS mean_sil
+       FROM sil GROUP BY cell"""
+
+  private def ivfTrainedOracle: String = {
+    val fd = SimilarityQueries.foldDot("e.embedding", "q.qe")
+    val fna = SimilarityQueries.foldDot("e.embedding", "e.embedding")
+    val fnb = SimilarityQueries.foldDot("q.qe", "q.qe")
+    s"""WITH $ivfTrainingCtes,
          nc3 AS (SELECT cell, SUM(CAST(floor(v * v * 1e7) AS BIGINT)) AS nc
            FROM cent2 GROUP BY cell),
          dt3 AS (SELECT d.vec_id, c.cell,
