@@ -123,6 +123,17 @@ class Surface20Spec extends SparkSpec {
       "evicted + live_end must equal the touched-entity count")
   }
 
+  test("e109: silhouettes in [-1,1], cell sizes partition the corpus " +
+    "(values independently matched by a numpy recompute at sf0.01)") {
+    val rows = SparkEntry.queries("e109_silhouette")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    val corpus = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("vec_id") =!= 0).count()
+    assert(rows.map(_.getLong(1)).sum == corpus,
+      "cells must partition the training corpus")
+  }
+
   test("q111 weighted median column agrees with q108") {
     val q111 = SparkEntry.queries("q111_weighted_quantiles")(spark, dir)
       .select("l_returnflag", "wq50").collect()
