@@ -128,19 +128,28 @@ object Surface21Queries {
     }),
 
     "e106_spearman" -> ((s, dir) => {
-      // doubled average ranks: 2·avgrank = 2·rank + cnt − 1 (integer
-      // even at half-rank ties); both windows are PARTITIONED by the
-      // group key — no single-task pass
+      // doubled average ranks WITHOUT a per-group row sort: for a
+      // value with rank span [__lo, __hi], 2·avgrank = __lo + __hi —
+      // so the ranks come from the rank-span CDF (hash agg to the
+      // distinct-value histogram + the range-partitioned span pass)
+      // joined back to rows on (group, value). At ×100 data the
+      // previous windowed form was sort-bound (83 s, n log n over
+      // 20 M rows/group); the span form's heavy steps are hash
+      // exchanges on (group, value) — the q108/q111 shape.
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-      def rank2(v: String): Column =
-        lit(2) * rank().over(
-          Window.partitionBy("g").orderBy(col(v))) +
-          count(lit(1)).over(Window.partitionBy("g", v)) - lit(1)
+      def spansFor(v: String): DataFrame =
+        graft.operators.Quantiles.rankSpans(
+          li.groupBy(col("g"), col(v))
+            .agg(count(lit(1)).as("__n")), Seq("g"), v)
+          .select(col("g"), col(v),
+            (col("__lo") + col("__hi")).as(s"r$v"))
       val ranked = li
-        .withColumn("rx", rank2("x").cast("long"))
-        .withColumn("ry", rank2("y").cast("long"))
+        .join(spansFor("x"), Seq("g", "x"))
+        .join(spansFor("y"), Seq("g", "y"))
+        .withColumn("rx", col("rx").cast("long"))
+        .withColumn("ry", col("ry").cast("long"))
       // product sums in DECIMAL(38,0): at x10 data (~6M rows/group,
       // doubled ranks ~1.2e7) Σrx·ry exceeds long range BEFORE the
       // final formula does — the sum itself must be wide
