@@ -371,6 +371,37 @@ object DedupQueries {
           max(col("dup")).as("is_neardup"))
     }),
 
+    // NEAR-DUP cross-split contamination — the leakage exact-hash
+    // decontamination (e10) cannot see: an eval (val/test) document
+    // that is a VERIFIED near-duplicate (J ≥ 0.3) of a train
+    // document still leaks the answer even though no fingerprint
+    // matches. This is the decontamination pass training pipelines
+    // actually need (n-gram-overlap checks in published eval
+    // protocols are exactly this shape). Cost: the staged candidate
+    // pairs + jaccard verification (∝ pairs) + two split-label joins
+    // — the corpus is never re-scanned.
+    "e110_neardup_contam" -> ((s, dir) => {
+      val verified = Dedup.jaccardForPairs(candidatePairs(s, dir),
+          shingledDocs(s, dir), "doc_id", "sh")
+        .where(col("jaccard") >= 0.3)
+      val splits = t(s, dir, "documents").select(col("doc_id"),
+        Corpus.splitName(Corpus.hashBucket(col("doc_id"))).as("split"))
+      val lab = verified
+        .join(splits.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(splits.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("sa.split").as("split_a"), col("sb.split").as("split_b"))
+      val evalA = lab
+        .where(col("split_a") =!= "train" && col("split_b") === "train")
+        .select(col("id_a").as("eval_id"), col("split_a").as("split"),
+          col("id_b").as("train_id"), col("jaccard"))
+      val evalB = lab
+        .where(col("split_b") =!= "train" && col("split_a") === "train")
+        .select(col("id_b").as("eval_id"), col("split_b").as("split"),
+          col("id_a").as("train_id"), col("jaccard"))
+      evalA.unionAll(evalB)
+    }),
+
     // HORIZON-bounded streaming admission with state TTL — the
     // production form of c31 for an unbounded ingest: a doc is
     // flagged iff its band's previous occurrence is within `h` doc
@@ -883,6 +914,44 @@ object DedupQueries {
             bool_or(m.mn < b.doc_id) AS is_neardup
           FROM band b JOIN m ON b.band = m.band
           GROUP BY b.doc_id""",
+    // verified near-dup pairs × split labels, both orientations: the
+    // eval side of every (eval, train) pair
+    "e110_neardup_contam" ->
+      s"""WITH $shingleCte,
+          sig AS (SELECT doc_id, ${sigExprs(minhashK)} FROM sh
+                  GROUP BY doc_id),
+          band AS (SELECT doc_id, unnest([
+            md5(concat_ws('_', '0', sig_0, sig_1)),
+            md5(concat_ws('_', '1', sig_2, sig_3)),
+            md5(concat_ws('_', '2', sig_4, sig_5)),
+            md5(concat_ws('_', '3', sig_6, sig_7))]) AS band FROM sig),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT p.id_a, p.id_b, count(*) AS n_common
+            FROM pairs p
+            JOIN sh a ON p.id_a = a.doc_id
+            JOIN sh b ON p.id_b = b.doc_id AND a.s = b.s
+            GROUP BY p.id_a, p.id_b),
+          verified AS (SELECT p.id_a, p.id_b,
+              CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                / (na.n + nb.n - COALESCE(i.n_common, 0)) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+            JOIN sizes na ON p.id_a = na.doc_id
+            JOIN sizes nb ON p.id_b = nb.doc_id),
+          lab AS (SELECT v.id_a, v.id_b, v.jaccard,
+              ${splitCaseSql("v.id_a")} AS split_a,
+              ${splitCaseSql("v.id_b")} AS split_b
+            FROM verified v WHERE v.jaccard >= 0.3)
+          SELECT id_a AS eval_id, split_a AS split, id_b AS train_id,
+            jaccard
+          FROM lab WHERE split_a <> 'train' AND split_b = 'train'
+          UNION ALL
+          SELECT id_b, split_b, id_a, jaccard
+          FROM lab WHERE split_b <> 'train' AND split_a = 'train'""",
+
     // horizon semantics: flagged iff the band's previous occurrence
     // is within h doc ids (chain not broken); audit rows −1/−2 count
     // bands evicted mid-stream vs live at the drain (exact strict-<

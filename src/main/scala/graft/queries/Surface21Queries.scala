@@ -238,6 +238,35 @@ object Surface21Queries {
             .as("rare_rate"))
     }),
 
+    // VOCAB COVERAGE CURVE — the tokenizer-design statistic: what
+    // fraction of all token occurrences does a vocabulary of the
+    // top-k types cover? Token types ranked by (count desc, token)
+    // via the scale-safe global row number (range partition + prefix
+    // offsets — no single-task sort); the curve is then one aggregate
+    // over the distinct-type frame with a per-k conditional sum, and
+    // coverage is the single division per row. At 100 TB the corpus
+    // pass is the token-count hash aggregate; everything after runs
+    // on the type frame.
+    "e111_vocab_coverage" -> ((s, dir) => {
+      val ks = Seq(100L, 1000L, 10000L)
+      val counts = tBalanced(s, dir, "documents")
+        .select(explode(
+          graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ranked = graft.operators.Rank.withGlobalRowNumber(
+        counts, Seq(col("cnt").desc, col("tok")))
+      val aggCols = ks.map(k => sum(when(col("rn") <= k, col("cnt"))
+        .otherwise(0L)).as(s"cov_$k")) :+ sum(col("cnt")).as("tot")
+      val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+      agg.selectExpr(
+          s"stack(${ks.length}, " + ks.map(k =>
+            s"CAST($k AS BIGINT), cov_$k").mkString(", ") +
+            ") as (k, covered)", "tot")
+        .select(col("k"), col("covered"), col("tot").as("total"),
+          (col("covered").cast("double") / col("tot").cast("double"))
+            .as("coverage"))
+    }),
+
     "e107_bigram_lm" -> ((s, dir) => {
       // bigram counts: one narrow map (adjacent-token zip) + two hash
       // aggregates; the report is top-5 next-tokens for the top-10
@@ -411,6 +440,26 @@ object Surface21Queries {
               sqrt(CAST(CAST(n AS HUGEINT) * syy
                - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 8) AS rho
          FROM agg""",
+
+    "e111_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS tok
+           FROM documents),
+         cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY tok),
+         rk AS (SELECT tok, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+           FROM cnts)
+         SELECT CAST(v.k AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN rn <= v.k THEN cnt ELSE 0 END) AS BIGINT)
+             AS covered,
+           (SELECT CAST(SUM(cnt) AS BIGINT) FROM cnts) AS total,
+           CAST(SUM(CASE WHEN rn <= v.k THEN cnt ELSE 0 END) AS DOUBLE)
+             / CAST((SELECT SUM(cnt) FROM cnts) AS DOUBLE) AS coverage
+         FROM rk, (VALUES (100), (1000), (10000)) AS v(k)
+         GROUP BY v.k""",
 
     "e107_bigram_lm" ->
       """WITH toks AS (

@@ -74,7 +74,9 @@ class PlanAuditSpec extends SparkSpec {
     "e103_ks_pairs" ->
       "crossJoin against the broadcast 1-row sample-size totals",
     "e104_mannwhitney" ->
-      "crossJoin against the broadcast 1-row sample-size totals"
+      "crossJoin against the broadcast 1-row sample-size totals",
+    "e111_vocab_coverage" ->
+      "Rank.withGlobalRowNumber: broadcast 1-row total-count scalar"
   )
 
   /** Built once, shared by the nested-loop and window gates (plan
