@@ -238,6 +238,42 @@ object Surface21Queries {
             .as("rare_rate"))
     }),
 
+    // MEDIAN ABSOLUTE DEVIATION — the robust dispersion statistic
+    // (outlier-resistant where stddev is not), by applying the
+    // rank-selection machinery TWICE: the group median comes from the
+    // staged price rank spans (narrow scan), then |x − med| is
+    // re-histogrammed per group and its median selected by the same
+    // smallest-value-at-threshold rule. The deviation values are
+    // exact cent-scale doubles (2dp − 2dp), so the distinct-value
+    // frames stay bounded and both engines bit-agree. Two hash
+    // exchanges total; no sort anywhere.
+    "q113_mad" -> ((s, dir) => {
+      import graft.operators.Quantiles.{ldiv, medianRank, selectRanks}
+      val med = selectRanks(StatsQueries.priceSpans(s, dir),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("med" -> (medianRank _)))
+        .select(col("l_returnflag"), col("med"))
+      val devHist = t(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull)
+        .join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"),
+          abs(col("l_extendedprice") - col("med")).as("dev"),
+          col("med"))
+        .groupBy(col("l_returnflag"), col("med"), col("dev"))
+        .agg(count(lit(1)).as("c"))
+      val wTot = Window.partitionBy("l_returnflag")
+      val wCum = Window.partitionBy("l_returnflag").orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      devHist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("tot", sum(col("c")).over(wTot))
+        .where(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("med")).as("median_price"),
+          min(col("dev")).as("mad"),
+          max(col("tot")).as("n"))
+    }),
+
     // VOCAB COVERAGE CURVE — the tokenizer-design statistic: what
     // fraction of all token occurrences does a vocabulary of the
     // top-k types cover? Token types ranked by (count desc, token)
@@ -440,6 +476,41 @@ object Surface21Queries {
               sqrt(CAST(CAST(n AS HUGEINT) * syy
                - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 8) AS rho
          FROM agg""",
+
+    // lower-median convention both passes: smallest value whose
+    // doubled cumulative count reaches the group total
+    "q113_mad" ->
+      """WITH hist AS (
+           SELECT l_returnflag, l_extendedprice,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY l_returnflag, l_extendedprice),
+         mcum AS (
+           SELECT l_returnflag, l_extendedprice,
+             SUM(c) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+           FROM hist),
+         m AS (SELECT l_returnflag, min(l_extendedprice) AS med
+           FROM mcum WHERE cum * 2 >= tot GROUP BY l_returnflag),
+         dh AS (
+           SELECT l.l_returnflag, m.med,
+             abs(l.l_extendedprice - m.med) AS dev,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lineitem l JOIN m USING (l_returnflag)
+           WHERE l.l_extendedprice IS NOT NULL
+           GROUP BY l.l_returnflag, m.med, dev),
+         dcum AS (
+           SELECT l_returnflag, med, dev,
+             SUM(c) OVER (PARTITION BY l_returnflag
+               ORDER BY dev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+           FROM dh)
+         SELECT l_returnflag, min(med) AS median_price,
+           min(dev) AS mad, CAST(max(tot) AS BIGINT) AS n
+         FROM dcum WHERE cum * 2 >= tot GROUP BY l_returnflag""",
 
     "e111_vocab_coverage" ->
       """WITH toks AS (
