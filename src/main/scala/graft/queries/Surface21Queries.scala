@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   *    next-token probabilities for the corpus' top first-tokens —
   *    the count statistic behind LM-based quality filtering. Exact
   *    integer counts; probability is the single per-row division.
+  *  - `q112_approx_quantile_audit` — percentile_approx's mergeable GK
+  *    sketch certified against the exact rank-span machinery (the e3
+  *    HLL pattern for order statistics).
+  *  - `e108_rare_bigram_rate` — per-doc fraction of bigrams occurring
+  *    nowhere else in the corpus (gibberish high, boilerplate low).
+  *  - `q113_mad` — median absolute deviation by double rank
+  *    selection (median from staged spans, then the deviation
+  *    median) — robust dispersion without a sort.
+  *  - `e111_vocab_coverage` — occurrence coverage of the top-k token
+  *    types (k = 100/1k/10k), the tokenizer-vocab sizing curve, over
+  *    the scale-safe global row number.
   */
 object Surface21Queries {
   import Tables._
