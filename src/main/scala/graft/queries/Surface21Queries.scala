@@ -249,6 +249,49 @@ object Surface21Queries {
             .as("rare_rate"))
     }),
 
+    // EXACT MODE per group (deterministic ties → smallest value):
+    // histogram + single-pass argmax over the total order (c, −value)
+    // — two hash aggregates, no sort, no window.
+    "q114_mode" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(max_by(col("l_quantity"),
+          struct(col("c"), lit(0.0) - col("l_quantity"))).as("mode_qty"),
+          max(col("c")).as("mode_n"))),
+
+    // DISTINCT-n DIVERSITY per source — the text-generation diversity
+    // metric (distinct-1/distinct-2: unique n-grams over total
+    // n-grams) applied as a corpus-curation report: low distinct-2
+    // flags TEMPLATED/boilerplate feeds, high flags natural text.
+    // Two hash aggregates per n; the ratios are the only divisions.
+    "e112_distinct_ngrams" -> ((s, dir) => {
+      val tk = graft.operators.TextAnalysis.tokens(col("text"))
+      val base = tBalanced(s, dir, "documents")
+        .select(col("source"), tk.as("tk"))
+      val uni = base.select(col("source"), explode(col("tk")).as("g1"))
+        .groupBy("source")
+        .agg(countDistinct(col("g1")).as("d1"),
+          count(lit(1)).as("n1"))
+      val bi = base.select(col("source"), explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1).as("t1"),
+          slice(col("tk"), lit(2), size(col("tk")) - 1).as("t2")))
+          .as("b"))
+        .select(col("source"),
+          concat_ws(" ", col("b.t1"), col("b.t2")).as("g2"))
+        .groupBy("source")
+        .agg(countDistinct(col("g2")).as("d2"),
+          count(lit(1)).as("n2"))
+      uni.join(bi, "source")
+        .select(col("source"), col("d1"), col("n1"),
+          (col("d1").cast("double") / col("n1").cast("double"))
+            .as("distinct1"),
+          col("d2"), col("n2"),
+          (col("d2").cast("double") / col("n2").cast("double"))
+            .as("distinct2"))
+    }),
+
     // MEDIAN ABSOLUTE DEVIATION — the robust dispersion statistic
     // (outlier-resistant where stddev is not), by applying the
     // rank-selection machinery TWICE: the group median comes from the
@@ -487,6 +530,43 @@ object Surface21Queries {
               sqrt(CAST(CAST(n AS HUGEINT) * syy
                - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 8) AS rho
          FROM agg""",
+
+    "q114_mode" ->
+      """WITH h AS (
+           SELECT l_returnflag, l_quantity, count(*) AS c
+           FROM lineitem GROUP BY l_returnflag, l_quantity),
+         r AS (
+           SELECT l_returnflag, l_quantity, c,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY c DESC, l_quantity) AS rn
+           FROM h)
+         SELECT l_returnflag, l_quantity AS mode_qty,
+           CAST(c AS BIGINT) AS mode_n
+         FROM r WHERE rn = 1""",
+
+    "e112_distinct_ngrams" ->
+      """WITH toks AS (
+           SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         uni AS (
+           SELECT source, CAST(count(DISTINCT g1) AS BIGINT) AS d1,
+             CAST(count(*) AS BIGINT) AS n1
+           FROM (SELECT source, unnest(tk) AS g1 FROM toks)
+           GROUP BY source),
+         bi AS (
+           SELECT source, CAST(count(DISTINCT g2) AS BIGINT) AS d2,
+             CAST(count(*) AS BIGINT) AS n2
+           FROM (SELECT source, tk[g.i] || ' ' || tk[g.i + 1] AS g2
+             FROM toks, generate_series(1, 127) AS g(i)
+             WHERE g.i < len(tk))
+           GROUP BY source)
+         SELECT source, d1, n1,
+           CAST(d1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS distinct1,
+           d2, n2,
+           CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS distinct2
+         FROM uni JOIN bi USING (source)""",
 
     // lower-median convention both passes: smallest value whose
     // doubled cumulative count reaches the group total
