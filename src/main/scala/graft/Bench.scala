@@ -34,9 +34,12 @@ import org.apache.spark.sql.SparkSession
   *     a staged fixture the envelope charges for (q87/e15-style), so
   *     the rerun is not a valid re-measurement — the first timing is
   *     kept and the entry is marked unadjudicated.
-  *  3. `suspect:true` whenever the probes spread >3× or an
-  *     unadjudicated outlier remains — i.e. whenever the printed
-  *     total may still not reflect the engine.
+  *  3. `suspect:true` whenever the probes spread >3×, an
+  *     unadjudicated outlier remains, OR the envelope failed to load
+  *     (`ref_loaded:0`) — i.e. whenever the printed total may still
+  *     not reflect the engine. `ref_loaded` discloses how many
+  *     envelope lines the run actually compared against, so a skipped
+  *     pass is visible instead of indistinguishable from a clean one.
   */
 object Bench {
   private val probeEvery = 20
@@ -128,14 +131,37 @@ object Bench {
     probe()
     val probeSpread =
       if (probes.nonEmpty && probes.min > 0) probes.max / probes.min else 1.0
-    // reference-envelope outlier pass (committed clean per-query map;
-    // absent file = pass skipped, probes remain the only defense)
-    val ref: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_REF.json")), "UTF-8")
-      "\"([A-Za-z0-9_]+)\":([0-9][0-9.]*)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+    // reference-envelope outlier pass (committed clean per-query map).
+    // The file is ALWAYS expected — r12's judged run executed from a
+    // different working directory, the old relative-only lookup missed
+    // it, and the whole defense silently no-oped. Resolution order:
+    // explicit env var, cwd, the repo's canonical path, then walking up
+    // from the compiled-classes location (covers any sbt/jar launch
+    // dir). `ref_loaded` is published in the JSON and a zero-line load
+    // forces suspect:true, so a skipped pass can never look clean.
+    val refPath: Option[java.nio.file.Path] = {
+      import java.nio.file.{Files, Path, Paths}
+      val fromClasspath: Seq[Path] = try {
+        val loc = Paths.get(Bench.getClass.getProtectionDomain
+          .getCodeSource.getLocation.toURI)
+        Iterator.iterate(loc)(_.getParent).takeWhile(_ != null).take(8)
+          .map(_.resolve("BENCH_REF.json")).toSeq
+      } catch { case _: Throwable => Seq.empty }
+      (sys.env.get("SPARK_GRAFT_BENCH_REF").map(Paths.get(_)).toSeq ++
+        Seq(Paths.get("BENCH_REF.json"),
+          Paths.get("/root/repo/BENCH_REF.json")) ++ fromClasspath)
+        .find(Files.isReadable)
+    }
+    val ref: Map[String, Double] = refPath.map { p =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // whitespace-tolerant: the committed envelope is pretty-printed
+        // ("name": 1.23); the old exact-colon regex silently parsed it
+        // to ZERO lines — the second half of the r12 no-op
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
     // (name, first, rerun, ref, adjudicated?)
     val outliers = scala.collection.mutable.ListBuffer[(String, Double, Double, Double, Boolean)]()
     if (ref.nonEmpty) {
@@ -157,7 +183,9 @@ object Bench {
       }
     }
     val unadjudicated = outliers.count(!_._5)
-    val suspect = probeSpread > 3.0 || unadjudicated > 0
+    // ref.isEmpty => the envelope pass could not run; the number may be
+    // fine, but nothing adjudicated it — disclose, don't vouch.
+    val suspect = probeSpread > 3.0 || unadjudicated > 0 || ref.isEmpty
     def ms(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val probeJson = s""""probes":{"n":${probes.size},"min":${ms(if (probes.isEmpty) 0 else probes.min)},"max":${ms(if (probes.isEmpty) 0 else probes.max)},"spread":${ms(probeSpread)}}"""
@@ -173,7 +201,7 @@ object Bench {
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val top = ok.toSeq.sortBy(-_._2).take(25)
     val fs = failed.map(k => "\"" + k + "\"").mkString("[", ",", "]")
-    val defense = s"""$probeJson,"outliers":$outlierJson,"suspect":$suspect,"""
+    val defense = s"""$probeJson,"ref_loaded":${ref.size},"outliers":$outlierJson,"suspect":$suspect,"""
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${ok.size},$defense"queries":${dict(top)},"failed":$fs,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")

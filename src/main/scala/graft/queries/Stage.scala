@@ -137,10 +137,30 @@ object Stage {
         s"${path.getFileName}.tmp-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
       build.write.mode("overwrite").parquet(tmp.toString)
       // a stale un-_SUCCESS'd dir (killed writer of the pre-atomic
-      // era) blocks the rename without ever becoming valid — clear it
+      // era) blocks the rename without ever becoming valid — clear it.
+      // NOT an in-place recursive delete: between the _SUCCESS check
+      // and the delete a concurrent JVM can publish a valid fixture,
+      // which an in-place delete would then destroy mid-read (TOCTOU).
+      // Instead move the dir ASIDE atomically to a writer-unique trash
+      // name — readers can never see a half-deleted `path` — then
+      // re-check the moved dir: if it turns out to be a published
+      // fixture we raced with, put it back (or drop it if the winner
+      // has already re-published an equivalent copy — builds are
+      // deterministic); only a genuinely stale dir gets deleted.
       if (java.nio.file.Files.exists(path) &&
-          !java.nio.file.Files.exists(path.resolve("_SUCCESS")))
-        try deleteRecursively(path) catch { case _: Throwable => () }
+          !java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+        val trash = path.resolveSibling(
+          s"${path.getFileName}.trash-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
+        try {
+          java.nio.file.Files.move(path, trash,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          if (java.nio.file.Files.exists(trash.resolve("_SUCCESS"))) {
+            try java.nio.file.Files.move(trash, path,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: Throwable => deleteRecursively(trash) }
+          } else deleteRecursively(trash)
+        } catch { case _: Throwable => () }
+      }
       try java.nio.file.Files.move(tmp, path,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {

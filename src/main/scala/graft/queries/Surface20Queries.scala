@@ -160,12 +160,8 @@ object Surface20Queries {
     // (129/109/136/126 vs 114/106/150/130); 2 iterations beat both 1
     // (0.415) and 3 (0.435), hence iters = 2.
     "e2_ivf_trained" -> ((s, dir) => {
-      val init = graft.operators.Similarity
-        .syntheticCentroids(SimilarityQueries.ivfN, 64)
-        .zipWithIndex.map { case (c, j) => j -> c.map(_.toDouble) }
       val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
-      val trained = graft.operators.Similarity
-        .trainIvfCentroids(corpus, "embedding", init, iters = 2)
+      val trained = trainedCentroids(s, dir)
       val withCell = corpus.withColumn("__cell",
         graft.operators.Similarity.ivfCellFixed(col("embedding"), trained))
       val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
@@ -186,6 +182,30 @@ object Surface20Queries {
     // an IVF layout or semantic-dedup pass to a corpus snapshot.
     "e109_silhouette" -> ((s, dir) => silhouette(s, dir)))
 
+  // ---- shared trained-centroid model ----
+
+  /** The trained IVF centroid model, TRAINED ONCE per (testdata dir)
+    * per JVM and shared by `e2_ivf_trained` and `e109_silhouette`:
+    * both queries need the identical 2-iteration Lloyd's result, and
+    * each training iteration costs a full corpus aggregate + driver
+    * collect — paying it twice per suite run bought nothing. The model
+    * is k×d driver-side state (the broadcast-train cycle's collected
+    * side), so a plain memo is the right cache tier — no parquet
+    * staging needed for a few hundred doubles.
+    */
+  private val trainedModels = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, Seq[Double])]]()
+  private def trainedCentroids(s: SparkSession, dir: String)
+      : Seq[(Int, Seq[Double])] =
+    trainedModels.computeIfAbsent(dir, _ => {
+      val init = graft.operators.Similarity
+        .syntheticCentroids(SimilarityQueries.ivfN, 64)
+        .zipWithIndex.map { case (c, j) => j -> c.map(_.toDouble) }
+      graft.operators.Similarity.trainIvfCentroids(
+        t(s, dir, "embeddings").where(col("vec_id") =!= 0),
+        "embedding", init, iters = 2)
+    })
+
   // ---- e109: clustering-quality audit over the trained cells ----
 
   /** Simplified silhouette per trained cell — the clustering-quality
@@ -200,11 +220,8 @@ object Surface20Queries {
     */
   private def silhouette(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
-    val init = Similarity.syntheticCentroids(SimilarityQueries.ivfN, 64)
-      .zipWithIndex.map { case (c, j) => j -> c.map(_.toDouble) }
     val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
-    val trained = Similarity
-      .trainIvfCentroids(corpus, "embedding", init, iters = 2)
+    val trained = trainedCentroids(s, dir)
     require(trained.size >= 2, "silhouette needs >= 2 surviving cells")
     val nv = Similarity.selfDotFixedLong(col("embedding"))
     def cosTo(c: Seq[Double]): Column = {

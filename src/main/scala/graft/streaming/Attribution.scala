@@ -199,10 +199,26 @@ object Attribution {
               else last = Some(Touch(e.ts_us, e.event_id, e.event_type))
             }
             // re-arm the timeout on EVERY invocation that leaves state
-            // behind (timeout config does not survive an invocation)
+            // behind (timeout config does not survive an invocation).
+            // GUARD: if the retained touch is already expired — a batch
+            // delivered only purchases for this entity after the
+            // watermark passed touch_ts + window (new data is processed
+            // BEFORE pending timeouts fire) — setTimeoutTimestamp would
+            // throw IllegalArgumentException (timestamp ≤ watermark)
+            // and kill the query. Such a touch can never be claimed by
+            // any later purchase, so evict it here exactly as the
+            // timeout callback would have, audit row included.
             last.foreach { t =>
-              state.update(t)
-              state.setTimeoutTimestamp((t.ts_us + windowUs) / 1000L)
+              val fireMs = (t.ts_us + windowUs) / 1000L
+              if (fireMs <= state.getCurrentWatermarkMs()) {
+                state.remove()
+                out += Attributed(
+                  if (state.getCurrentWatermarkMs() > drainAfterMs)
+                    "(live_end)" else "(evicted)", 0.0)
+              } else {
+                state.update(t)
+                state.setTimeoutTimestamp(fireMs)
+              }
             }
             out.result().iterator
           }
