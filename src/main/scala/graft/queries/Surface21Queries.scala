@@ -230,8 +230,20 @@ object Surface21Queries {
     // occur nowhere else in the corpus — high rate flags gibberish /
     // OCR noise (vocabulary the corpus never corroborates), low rate
     // flags boilerplate. The n-gram-LM-adjacent quality signal a
-    // curation pass computes corpus-wide: ONE exchange on the bigram
-    // key (window count), one per-doc rollup, one final division.
+    // curation pass computes corpus-wide. Plan shape (r13, replacing a
+    // count().over(Window.partitionBy(bigram)) that dragged every
+    // occurrence row — doc_id included — through a SORTED exchange):
+    // ONE tokenize pass feeds GROUPING SETS {(t1,t2), (doc_id)}, so a
+    // single map-side-combinable hash exchange (Expand + partial agg —
+    // nothing sorted, no occurrence row survives the map side) yields
+    // both the bigram histogram and the per-doc totals. The join back
+    // to docs is gone entirely: a bigram with corpus count 1 has
+    // exactly ONE occurrence, so max(doc_id) inside the histogram cell
+    // IS the owning doc — both slices re-key to that doc and ONE
+    // doc-cardinality hash agg folds them into the report (a self-join
+    // of the grouping-set frame would defeat the point: Spark pushes
+    // the gid filters into per-side Expand branches, splitting the
+    // plan back into two full scans).
     "e108_rare_bigram_rate" -> ((s, dir) => {
       val tk = graft.operators.TextAnalysis.tokens(col("text"))
       val bg = tBalanced(s, dir, "documents")
@@ -239,11 +251,21 @@ object Surface21Queries {
           slice(tk, lit(1), size(tk) - 1).as("t1"),
           slice(tk, lit(2), size(tk) - 1).as("t2"))).as("b"))
         .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
-      val wBg = Window.partitionBy("t1", "t2")
-      bg.withColumn("gc", count(lit(1)).over(wBg))
+      // gid bits over (doc_id, t1, t2): 100b=4 → the (t1,t2) histogram
+      // slice (c = corpus count, d = owning doc when c = 1);
+      // 011b=3 → the per-doc totals slice (c = the doc's bigram count)
+      bg.groupingSets(
+          Seq(Seq(col("t1"), col("t2")), Seq(col("doc_id"))),
+          col("doc_id"), col("t1"), col("t2"))
+        .agg(count(lit(1)).as("c"), max(col("doc_id")).as("d"),
+          grouping_id().as("gid"))
+        .select(when(col("gid") === 3, col("doc_id"))
+            .otherwise(col("d")).as("doc_id"),
+          col("c"), col("gid"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("gc") === 1, 1L).otherwise(0L)).as("n_rare"))
+        .agg(sum(when(col("gid") === 3, col("c"))).as("n_bigrams"),
+          sum(when(col("gid") === 4 && col("c") === 1, 1L)
+            .otherwise(0L)).as("n_rare"))
         .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
           (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
             .as("rare_rate"))
