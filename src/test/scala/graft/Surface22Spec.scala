@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-13 wave (Surface22Queries): the BPE merge
+  * trainer and Kendall's tau-b.
+  */
+class Surface22Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("e113: merge 1 equals a driver-side brute-force recount") {
+    val rows = SparkEntry.queries("e113_bpe_train")(spark, dir)
+      .orderBy("merge_idx").collect()
+    assert(rows.length == graft.queries.Surface22Queries.bpeIters)
+    // brute-force: word histogram, adjacent char pairs weighted by
+    // corpus frequency, argmax with the (n desc, a, b) tie-break
+    val words = graft.queries.Tables.t(spark, dir, "documents")
+      .select(explode(
+        graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val pairs = scala.collection.mutable.Map[(String, String), Long]()
+    words.foreach { case (w, c) =>
+      w.sliding(2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        pairs(k) = pairs.getOrElse(k, 0L) + c
+      }
+    }
+    val best = pairs.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+    val m1 = rows.head
+    assert((m1.getString(1), m1.getString(2)) == best._1 &&
+      m1.getLong(4) == best._2,
+      s"merge 1 ${m1.mkString(",")} != driver-side $best")
+  }
+
+  test("e113: merged = left||right and pair counts never increase " +
+    "across rounds (a round-k+1 pair embeds a round-k pair)") {
+    val rows = SparkEntry.queries("e113_bpe_train")(spark, dir)
+      .orderBy("merge_idx").collect()
+    rows.foreach(r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    rows.sliding(2).foreach { w =>
+      assert(w(1).getLong(4) <= w(0).getLong(4),
+        s"pair count grew: ${w(0).getLong(4)} -> ${w(1).getLong(4)}")
+    }
+  }
+
+  test("e113: double-space replace implements greedy left-to-right " +
+    "BPE merge (overlap chains and adjacent repeats)") {
+    import spark.implicits._
+    // words as double-space char states; merge (a,b) applied once
+    def enc(w: String) = "  " + w.map(_.toString).mkString("  ") + "  "
+    val df = Seq(enc("aaa"), enc("abab"), enc("xab")).toDF("s")
+    def applyMerge(a: String, b: String) =
+      replace(col("s"), lit(s" $a  $b "), lit(s" $a$b "))
+    val aa = df.select(split(trim(applyMerge("a", "a")), "  ").as("tk"))
+      .collect().map(_.getSeq[String](0))
+    assert(aa(0) == Seq("aa", "a"), s"aaa -> ${aa(0)}") // greedy, not aa,aa
+    val ab = df.select(split(trim(applyMerge("a", "b")), "  ").as("tk"))
+      .collect().map(_.getSeq[String](0))
+    assert(ab(1) == Seq("ab", "ab"), s"abab -> ${ab(1)}") // both pairs merge
+    assert(ab(2) == Seq("x", "ab"), s"xab -> ${ab(2)}")
+    // no token-suffix false match: merging (b, a) must not touch "xab"
+    // encoded as one token per char — but must also not fire INSIDE a
+    // previously merged multi-char token
+    val merged = Seq("  xa  b  ").toDF("s")
+      .select(split(trim(replace(col("s"), lit(" a  b "), lit(" ab "))),
+        "  ").as("tk")).head().getSeq[String](0)
+    assert(merged == Seq("xa", "b"), s"xa,b -> $merged")
+  }
+
+  test("e114: tau_b in [-1,1]; C/D match a driver-side O(n^2) recount") {
+    val rows = SparkEntry.queries("e114_kendall")(spark, dir).collect()
+    assert(rows.length == 3)
+    val li = graft.queries.Tables.t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_discount").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val g = r.getString(0)
+      assert(math.abs(r.getDouble(3)) <= 1.0)
+      val xs = li.filter(_._1 == g)
+      var c = 0L; var d = 0L
+      for (i <- xs.indices; j <- xs.indices if i < j) {
+        val dx = xs(i)._2 compare xs(j)._2
+        val dy = xs(i)._3 compare xs(j)._3
+        if (dx != 0 && dy != 0) {
+          if (dx == dy) c += 1 else d += 1
+        }
+      }
+      assert(r.getLong(1) == c && r.getLong(2) == d,
+        s"$g: engine (${r.getLong(1)},${r.getLong(2)}) != driver ($c,$d)")
+    }
+  }
+}
