@@ -315,35 +315,20 @@ object DedupQueries {
       val long = banded.select(col("doc_id"), explode(array(
         (0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
       val tmp = Stage.tempDir("graft-c31-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
-      // 3 doc-id-range chunks arriving in order; FileStreamSource
-      // orders files by modification time, so each chunk's mtime is
-      // pinned explicitly — arrival order is deterministic, not a
-      // race on write timestamps (1-row max: feed sizing scalar)
-      val mx = long.agg(max("doc_id")).head().getLong(0)
-      val feedDir = new java.io.File(feed)
-      val stamped = scala.collection.mutable.Set[String]()
-      var lo = Long.MinValue
-      Seq(mx / 3, 2 * mx / 3, Long.MaxValue).zipWithIndex.foreach {
-        case (hi, i) =>
-          long.where(col("doc_id") > lo && col("doc_id") <= hi)
-            .coalesce(1).write.mode("append").parquet(feed)
-          feedDir.listFiles().foreach { f =>
-            val n = f.getName
-            if (!n.startsWith("_") && !n.startsWith(".") &&
-                !stamped.contains(n)) {
-              // fail fast if the pin is refused (some filesystems
-              // return false): falling back to natural write mtimes
-              // silently breaks the ordered-arrival contract the
-              // oracle assumes
-              require(f.setLastModified(1700000000000L + i * 600000L),
-                s"mtime pin failed for $f — arrival order would race")
-              stamped += n
-            }
-          }
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      // 3 doc-id-range chunks arriving in order (durableChunkFeed
+      // pins each chunk's mtime — arrival order is a property of the
+      // staged content, not a race on write timestamps; the 1-row max
+      // is the feed sizing scalar, paid only on the staging build)
+      val feed = Stage.durableChunkFeed("feed-c31", dir)({
+        val mx = long.agg(max("doc_id")).head().getLong(0)
+        var lo = Long.MinValue
+        Seq(mx / 3, 2 * mx / 3, Long.MaxValue).map { hi =>
+          val chunk = long.where(col("doc_id") > lo && col("doc_id") <= hi)
           lo = hi
-      }
+          chunk
+        }
+      })
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -427,35 +412,25 @@ object DedupQueries {
         .withColumn("ts",
           timestamp_micros((col("doc_id") + 1) * 1000000L))
       val tmp = Stage.tempDir("graft-c35-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      // the horizon h is re-derived OUTSIDE the staged build too (the
+      // handler needs it every run); its 1-row max is over the staged
+      // signature frame — a narrow scan, not a corpus pass
       val mx = long.agg(max("doc_id")).head().getLong(0)
       val h = 2 * (mx / 3) + 3
-      val feedDir = new java.io.File(feed)
-      val stamped = scala.collection.mutable.Set[String]()
-      var fileIdx = 0
-      def pinNew(): Unit = feedDir.listFiles().foreach { f =>
-        val n = f.getName
-        if (!n.startsWith("_") && !n.startsWith(".") &&
-            !stamped.contains(n)) {
-          require(f.setLastModified(1700000000000L + fileIdx * 600000L),
-            s"mtime pin failed for $f — arrival order would race")
-          stamped += n
+      val feed = Stage.durableChunkFeed("feed-c35", dir)({
+        var lo = Long.MinValue
+        val chunks = Seq(mx / 3, 2 * mx / 3, Long.MaxValue).map { hi =>
+          val chunk = long.where(col("doc_id") > lo && col("doc_id") <= hi)
+          lo = hi
+          chunk
         }
-      }
-      var lo = Long.MinValue
-      Seq(mx / 3, 2 * mx / 3, Long.MaxValue).foreach { hi =>
-        long.where(col("doc_id") > lo && col("doc_id") <= hi)
-          .coalesce(1).write.mode("append").parquet(feed)
-        pinNew(); fileIdx += 1; lo = hi
-      }
-      Seq(10L, 20L).foreach { g =>
-        s.range(1).select(lit(-1L).as("doc_id"),
+        chunks ++ Seq(10L, 20L).map { g =>
+          s.range(1).select(lit(-1L).as("doc_id"),
             lit(s"__wm$g").as("band"),
             timestamp_micros(lit((mx + 1 + g * h) * 1000000L)).as("ts"))
-          .coalesce(1).write.mode("append").parquet(feed)
-        pinNew(); fileIdx += 1
-      }
+        }
+      })
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),

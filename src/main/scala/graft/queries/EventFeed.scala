@@ -48,46 +48,65 @@ object EventFeed {
   def build(s: SparkSession, dir: String, tmpPrefix: String,
       perCampaign: Boolean, windowOf: (Long, Long) => Long,
       sentinelGaps: Seq[Long]): Built = {
-    val kCol =
-      if (perCampaign) get_json_object(col("props"), "$.k").cast("long")
-      else lit(0L)
-    val ev = Tables.events(s, dir).select(col("user_id"),
-      kCol.as("k"), col("event_id"), col("ts"),
-      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
-    val tmp = Stage.tempDir(tmpPrefix).toString
-    val feed = s"$tmp/feed"
-    val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
-    val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
-    val w = windowOf(lo0, hi0)
-    val step = (hi0 - lo0) / 3 + 1
-    val feedDir = new java.io.File(feed)
-    val stamped = scala.collection.mutable.Set[String]()
-    var fileIdx = 0
-    def pinNew(): Unit = feedDir.listFiles().foreach { f =>
-      val n = f.getName
-      if (!n.startsWith("_") && !n.startsWith(".") &&
-          !stamped.contains(n)) {
-        require(f.setLastModified(1700000000000L + fileIdx * 600000L),
-          s"mtime pin failed for $f — arrival order would race")
-        stamped += n
+    // The feed is DURABLY staged per (query prefix × sf × testdata
+    // fingerprint): building it costs a ts-bounds pass plus one
+    // filtered single-file write per chunk over the events table (the
+    // dominant cost of the whole query at scale — 46.5 s of c33's
+    // 68 s at ×100 was feed construction), while the feed itself is a
+    // pure function of the source table and the query's static
+    // parameters. Pinned mtimes are part of the staged content (the
+    // publish rename preserves them), so arrival order is identical
+    // on every reuse. Checkpoints/output stay per-run in [[Stage
+    // .tempDir]] — only the input files are shared.
+    val fix = Stage.durableDir(s"feed-${tmpPrefix.stripSuffix("-")}",
+        dir, "_FEED_OK") { stage =>
+      val kCol =
+        if (perCampaign) get_json_object(col("props"), "$.k").cast("long")
+        else lit(0L)
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        kCol.as("k"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        col("value"))
+      val feed = stage.resolve("feed").toString
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
+      val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+      val w = windowOf(lo0, hi0)
+      val step = (hi0 - lo0) / 3 + 1
+      val feedDir = new java.io.File(feed)
+      val stamped = scala.collection.mutable.Set[String]()
+      var fileIdx = 0
+      def pinNew(): Unit = feedDir.listFiles().foreach { f =>
+        val n = f.getName
+        if (!n.startsWith("_") && !n.startsWith(".") &&
+            !stamped.contains(n)) {
+          require(f.setLastModified(1700000000000L + fileIdx * 600000L),
+            s"mtime pin failed for $f — arrival order would race")
+          stamped += n
+        }
       }
+      var lo = Long.MinValue
+      Seq(lo0 + step, lo0 + 2 * step, Long.MaxValue).foreach { hi =>
+        ev.where(col("ts_us") > lo && col("ts_us") <= hi)
+          .coalesce(1).write.mode("append").parquet(feed)
+        pinNew(); fileIdx += 1; lo = hi
+      }
+      sentinelGaps.foreach { g =>
+        val ts = hi0 + g * w
+        s.range(1).select(lit(-1L).as("user_id"), lit(0L).as("k"),
+            lit(-1L).as("event_id"), timestamp_micros(lit(ts)).as("ts"),
+            lit(ts).as("ts_us"), lit("noop").as("event_type"),
+            lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(feed)
+        pinNew(); fileIdx += 1
+      }
+      java.nio.file.Files.write(stage.resolve("_FEED_OK"),
+        s"$lo0 $hi0".getBytes("UTF-8"))
     }
-    var lo = Long.MinValue
-    Seq(lo0 + step, lo0 + 2 * step, Long.MaxValue).foreach { hi =>
-      ev.where(col("ts_us") > lo && col("ts_us") <= hi)
-        .coalesce(1).write.mode("append").parquet(feed)
-      pinNew(); fileIdx += 1; lo = hi
-    }
-    sentinelGaps.foreach { g =>
-      val ts = hi0 + g * w
-      s.range(1).select(lit(-1L).as("user_id"), lit(0L).as("k"),
-          lit(-1L).as("event_id"), timestamp_micros(lit(ts)).as("ts"),
-          lit(ts).as("ts_us"), lit("noop").as("event_type"),
-          lit(0.0).as("value"))
-        .coalesce(1).write.mode("append").parquet(feed)
-      pinNew(); fileIdx += 1
-    }
-    Built(feed, lo0, hi0, w, s"$tmp/out", s"$tmp/ckpt")
+    val Array(lo0, hi0) = new String(java.nio.file.Files.readAllBytes(
+      fix.resolve("_FEED_OK")), "UTF-8").split(" ").map(_.toLong)
+    val tmp = Stage.tempDir(tmpPrefix).toString
+    Built(fix.resolve("feed").toString, lo0, hi0, windowOf(lo0, hi0),
+      s"$tmp/out", s"$tmp/ckpt")
   }
 
   /** Run `transform` over the feed as a real micro-batch stream

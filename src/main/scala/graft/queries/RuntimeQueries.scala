@@ -105,13 +105,11 @@ object RuntimeQueries {
     "c9_stream_window" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id")
       val tmp = Stage.tempDir("graft-c9-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       val cut = lit("2024-01-21").cast("timestamp")
-      ev.where(col("ts") < cut).coalesce(1)
-        .write.mode("append").parquet(feed)
-      ev.where(col("ts") >= cut).coalesce(1)
-        .write.mode("append").parquet(feed)
+      val feed = Stage.durableChunkFeed("feed-c9", dir)(Seq(
+        ev.where(col("ts") < cut),
+        ev.where(col("ts") >= cut)))
       val schema = StructType(Seq(
         StructField("ts", org.apache.spark.sql.types.TimestampType),
         StructField("event_id", org.apache.spark.sql.types.LongType)))
@@ -157,14 +155,9 @@ object RuntimeQueries {
     "c24_stream_late" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id")
       val tmp = Stage.tempDir("graft-c24-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       val cutA = lit("2024-01-14 00:30:00").cast("timestamp")
       val cutB = lit("2024-01-21 00:30:00").cast("timestamp")
-      ev.where(col("ts") < cutA).coalesce(1)
-        .write.mode("append").parquet(feed)
-      ev.where(col("ts") >= cutA && col("ts") < cutB).coalesce(1)
-        .write.mode("append").parquet(feed)
       val evictedLate = ev.where(
         col("ts") < lit("2024-01-13 00:00:00").cast("timestamp") &&
           col("event_id") % 5 === 0)
@@ -176,10 +169,12 @@ object RuntimeQueries {
         col("ts") >= lit("2024-01-20 23:00:00").cast("timestamp") &&
           col("ts") <= lit("2024-01-20 23:05:00").cast("timestamp") &&
           col("event_id") % 4 === 0)
-      ev.where(col("ts") >= cutB)
-        .unionAll(evictedLate).unionAll(openStateLate)
-        .unionAll(openWindowLate)
-        .coalesce(1).write.mode("append").parquet(feed)
+      val feed = Stage.durableChunkFeed("feed-c24", dir)(Seq(
+        ev.where(col("ts") < cutA),
+        ev.where(col("ts") >= cutA && col("ts") < cutB),
+        ev.where(col("ts") >= cutB)
+          .unionAll(evictedLate).unionAll(openStateLate)
+          .unionAll(openWindowLate)))
       val schema = StructType(Seq(
         StructField("ts", org.apache.spark.sql.types.TimestampType),
         StructField("event_id", org.apache.spark.sql.types.LongType)))
@@ -254,14 +249,13 @@ object RuntimeQueries {
     "c10_stream_dedup" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id", "user_id")
       val tmp = Stage.tempDir("graft-c10-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       val cut = lit("2024-01-21").cast("timestamp")
-      def leg(rows: DataFrame): Unit =
+      def leg(rows: DataFrame): DataFrame =
         rows.unionAll(rows.where(col("event_id") % 7 === 0))
-          .coalesce(1).write.mode("append").parquet(feed)
-      leg(ev.where(col("ts") < cut))
-      leg(ev.where(col("ts") >= cut))
+      val feed = Stage.durableChunkFeed("feed-c10", dir)(Seq(
+        leg(ev.where(col("ts") < cut)),
+        leg(ev.where(col("ts") >= cut))))
       val schema = StructType(Seq(
         StructField("ts", org.apache.spark.sql.types.TimestampType),
         StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -294,16 +288,20 @@ object RuntimeQueries {
     "c11_stream_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val tmp = Stage.tempDir("graft-c11-").toString
-      val vDir = s"$tmp/views"; val cDir = s"$tmp/clicks"
       val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-      ev.where(col("event_type") === "view")
-        .select(col("ts").as("v_ts"), col("event_id").as("v_event_id"),
-          col("user_id"))
-        .coalesce(1).write.mode("append").parquet(vDir)
-      ev.where(col("event_type") === "click")
-        .select(col("ts").as("c_ts"), col("event_id").as("c_event_id"),
-          col("user_id"))
-        .coalesce(1).write.mode("append").parquet(cDir)
+      val fix = Stage.durableDir("feed-c11", dir, "_FEED_OK") { stage =>
+        ev.where(col("event_type") === "view")
+          .select(col("ts").as("v_ts"), col("event_id").as("v_event_id"),
+            col("user_id"))
+          .coalesce(1).write.parquet(stage.resolve("views").toString)
+        ev.where(col("event_type") === "click")
+          .select(col("ts").as("c_ts"), col("event_id").as("c_event_id"),
+            col("user_id"))
+          .coalesce(1).write.parquet(stage.resolve("clicks").toString)
+        java.nio.file.Files.write(stage.resolve("_FEED_OK"),
+          Array.emptyByteArray)
+      }
+      val vDir = s"$fix/views"; val cDir = s"$fix/clicks"
       val tsT = org.apache.spark.sql.types.TimestampType
       val longT = org.apache.spark.sql.types.LongType
       val vSchema = StructType(Seq(StructField("v_ts", tsT),
@@ -336,10 +334,9 @@ object RuntimeQueries {
       val dim = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       val tmp = Stage.tempDir("graft-c14-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
-      ev.select("ts", "event_id", "user_id", "event_type")
-        .coalesce(1).write.mode("append").parquet(feed)
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val feed = Stage.durableChunkFeed("feed-c14", dir)(Seq(
+        ev.select("ts", "event_id", "user_id", "event_type")))
       val tsT = org.apache.spark.sql.types.TimestampType
       val longT = org.apache.spark.sql.types.LongType
       val schema = StructType(Seq(StructField("ts", tsT),
@@ -370,15 +367,14 @@ object RuntimeQueries {
       import s.implicits._
       val ev = Tables.events(s, dir)
       val tmp = Stage.tempDir("graft-c17-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
-      ev.select(
-        concat(col("event_type"), lit("-"),
-          (col("user_id") % 16).cast("string")).as("symbol"),
-        col("value").as("price"),
-        round(col("value") * 1000, 0).as("quantity"),
-        unix_millis(col("ts")).as("epochMs"))
-        .coalesce(1).write.mode("append").parquet(feed)
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val feed = Stage.durableChunkFeed("feed-c17", dir)(Seq(
+        ev.select(
+          concat(col("event_type"), lit("-"),
+            (col("user_id") % 16).cast("string")).as("symbol"),
+          col("value").as("price"),
+          round(col("value") * 1000, 0).as("quantity"),
+          unix_millis(col("ts")).as("epochMs"))))
       val longT = org.apache.spark.sql.types.LongType
       val dblT = org.apache.spark.sql.types.DoubleType
       val schema = StructType(Seq(StructField("symbol", StringType),
@@ -417,9 +413,8 @@ object RuntimeQueries {
     "c19_fanout" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "event_type")
       val tmp = Stage.tempDir("graft-c19-").toString
-      val feed = s"$tmp/feed"
       val rawSink = s"$tmp/raw"; val aggSink = s"$tmp/agg"
-      ev.coalesce(1).write.mode("append").parquet(feed)
+      val feed = Stage.durableChunkFeed("feed-c19", dir)(Seq(ev))
       val longT = org.apache.spark.sql.types.LongType
       val schema = StructType(Seq(StructField("event_id", longT),
         StructField("event_type", StringType)))
@@ -463,13 +458,11 @@ object RuntimeQueries {
     "c26_stream_update_mv" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id")
       val tmp = Stage.tempDir("graft-c26-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       val cut = lit("2024-01-21 00:30:00").cast("timestamp")
-      ev.where(col("ts") < cut).coalesce(1)
-        .write.mode("append").parquet(feed)
-      ev.where(col("ts") >= cut).coalesce(1)
-        .write.mode("append").parquet(feed)
+      val feed = Stage.durableChunkFeed("feed-c26", dir)(Seq(
+        ev.where(col("ts") < cut),
+        ev.where(col("ts") >= cut)))
       val schema = StructType(Seq(
         StructField("ts", org.apache.spark.sql.types.TimestampType),
         StructField("event_id", org.apache.spark.sql.types.LongType)))
@@ -504,16 +497,20 @@ object RuntimeQueries {
     "c22_stream_outer_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val tmp = Stage.tempDir("graft-c22-").toString
-      val vDir = s"$tmp/views"; val cDir = s"$tmp/clicks"
       val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-      ev.where(col("event_type") === "view")
-        .select(col("ts").as("v_ts"), col("event_id").as("v_event_id"),
-          col("user_id"))
-        .coalesce(1).write.mode("append").parquet(vDir)
-      ev.where(col("event_type") === "click")
-        .select(col("ts").as("c_ts"), col("event_id").as("c_event_id"),
-          col("user_id"))
-        .coalesce(1).write.mode("append").parquet(cDir)
+      val fix = Stage.durableDir("feed-c22", dir, "_FEED_OK") { stage =>
+        ev.where(col("event_type") === "view")
+          .select(col("ts").as("v_ts"), col("event_id").as("v_event_id"),
+            col("user_id"))
+          .coalesce(1).write.parquet(stage.resolve("views").toString)
+        ev.where(col("event_type") === "click")
+          .select(col("ts").as("c_ts"), col("event_id").as("c_event_id"),
+            col("user_id"))
+          .coalesce(1).write.parquet(stage.resolve("clicks").toString)
+        java.nio.file.Files.write(stage.resolve("_FEED_OK"),
+          Array.emptyByteArray)
+      }
+      val vDir = s"$fix/views"; val cDir = s"$fix/clicks"
       val tsT = org.apache.spark.sql.types.TimestampType
       val longT = org.apache.spark.sql.types.LongType
       val vSchema = StructType(Seq(StructField("v_ts", tsT),
@@ -547,14 +544,13 @@ object RuntimeQueries {
       import s.implicits._
       val ev = Tables.events(s, dir)
       val tmp = Stage.tempDir("graft-c23-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
-      ev.select(
-        concat(col("event_type"), lit("-"),
-          (col("user_id") % 64).cast("string")).as("key"),
-        col("event_id").as("seq"),
-        col("value"))
-        .coalesce(1).write.mode("append").parquet(feed)
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val feed = Stage.durableChunkFeed("feed-c23", dir)(Seq(
+        ev.select(
+          concat(col("event_type"), lit("-"),
+            (col("user_id") % 64).cast("string")).as("key"),
+          col("event_id").as("seq"),
+          col("value"))))
       val longT = org.apache.spark.sql.types.LongType
       val dblT = org.apache.spark.sql.types.DoubleType
       val schema = StructType(Seq(StructField("key", StringType),
@@ -595,13 +591,11 @@ object RuntimeQueries {
     "c21_stream_session" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "user_id")
       val tmp = Stage.tempDir("graft-c21-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       val cut = lit("2024-01-21").cast("timestamp")
-      ev.where(col("ts") < cut).coalesce(1)
-        .write.mode("append").parquet(feed)
-      ev.where(col("ts") >= cut).coalesce(1)
-        .write.mode("append").parquet(feed)
+      val feed = Stage.durableChunkFeed("feed-c21", dir)(Seq(
+        ev.where(col("ts") < cut),
+        ev.where(col("ts") >= cut)))
       val schema = StructType(Seq(
         StructField("ts", org.apache.spark.sql.types.TimestampType),
         StructField("user_id", org.apache.spark.sql.types.LongType)))

@@ -123,22 +123,41 @@ object Stage {
     */
   def durableFrame(s: SparkSession, name: String, dir: String)
                   (build: => DataFrame): DataFrame = {
+    val path = durableDir(name, dir, "_SUCCESS") { tmp =>
+      build.write.mode("overwrite").parquet(tmp.toString)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** Durable `_SUCCESS`-gated staged DIRECTORY under [[fixtureDir]] —
+    * the general form [[durableFrame]] rides on, for fixtures that are
+    * not a single parquet frame (chunked streaming feeds with pinned
+    * mtimes, media files): `build` populates a writer-unique staging
+    * dir — file mtimes set inside it survive the publish rename — and
+    * the atomic-rename protocol below makes exactly one writer win.
+    * `marker` is the file whose presence gates reuse; builders whose
+    * last step is NOT a Spark parquet write must create it themselves.
+    */
+  def durableDir(name: String, dir: String, marker: String)
+                (build: java.nio.file.Path => Unit): java.nio.file.Path = {
     val path = java.nio.file.Paths.get(fixtureDir(name, dir))
-    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+    if (!java.nio.file.Files.exists(path.resolve(marker))) {
       // Build into a writer-unique staging dir and atomically rename
-      // into place: two JVMs that both see a missing _SUCCESS (e.g.
+      // into place: two JVMs that both see a missing marker (e.g.
       // Verify and Bench started together) each write their own temp
       // dir, and exactly one rename publishes — interleaved
       // delete/commit into a SHARED dir could otherwise leave a
-      // _SUCCESS over mixed part files that every later run then
+      // marker over mixed part files that every later run then
       // durably serves. Loser (rename fails because the winner's dir
       // exists) just discards its temp and reads the published copy.
       val tmp = path.resolveSibling(
         s"${path.getFileName}.tmp-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
-      build.write.mode("overwrite").parquet(tmp.toString)
-      // a stale un-_SUCCESS'd dir (killed writer of the pre-atomic
+      build(tmp)
+      require(java.nio.file.Files.exists(tmp.resolve(marker)),
+        s"durableDir($name): build completed without creating $marker")
+      // a stale un-markered dir (killed writer of the pre-atomic
       // era) blocks the rename without ever becoming valid — clear it.
-      // NOT an in-place recursive delete: between the _SUCCESS check
+      // NOT an in-place recursive delete: between the marker check
       // and the delete a concurrent JVM can publish a valid fixture,
       // which an in-place delete would then destroy mid-read (TOCTOU).
       // Instead move the dir ASIDE atomically to a writer-unique trash
@@ -148,13 +167,13 @@ object Stage {
       // has already re-published an equivalent copy — builds are
       // deterministic); only a genuinely stale dir gets deleted.
       if (java.nio.file.Files.exists(path) &&
-          !java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+          !java.nio.file.Files.exists(path.resolve(marker))) {
         val trash = path.resolveSibling(
           s"${path.getFileName}.trash-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
         try {
           java.nio.file.Files.move(path, trash,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          if (java.nio.file.Files.exists(trash.resolve("_SUCCESS"))) {
+          if (java.nio.file.Files.exists(trash.resolve(marker))) {
             try java.nio.file.Files.move(trash, path,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             catch { case _: Throwable => deleteRecursively(trash) }
@@ -165,12 +184,50 @@ object Stage {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileSystemException
-          if java.nio.file.Files.exists(path.resolve("_SUCCESS")) =>
+          if java.nio.file.Files.exists(path.resolve(marker)) =>
           deleteRecursively(tmp)
       }
     }
-    s.read.parquet(path.toString)
+    path
   }
+
+  /** Durable pre-written STREAM-FEED fixture: the chunk DataFrames are
+    * written once per (name × sf × testdata fingerprint) as one
+    * coalesced file each with PINNED ascending mtimes (the file
+    * source's arrival order — previously implied by sequential write
+    * times, now an explicit property of the staged content that the
+    * publish rename preserves), and every later run re-reads the
+    * published feed. Feed construction was charged to EVERY streaming
+    * query run (a filtered pass + single-threaded write per chunk —
+    * at ×100 it dominated the query itself); it is a pure function of
+    * the source table and static parameters, so it belongs in the
+    * durable tier with the media and rank-span fixtures. `chunks` is
+    * by-name: on reuse the DataFrames are never built. Checkpoints
+    * and outputs stay per-run in [[tempDir]].
+    */
+  def durableChunkFeed(name: String, dir: String)
+                      (chunks: => Seq[DataFrame]): String =
+    durableDir(name, dir, "_FEED_OK") { stage =>
+      val feed = stage.resolve("feed")
+      val fdir = feed.toFile
+      val stamped = scala.collection.mutable.Set[String]()
+      var idx = 0
+      chunks.foreach { c =>
+        c.coalesce(1).write.mode("append").parquet(feed.toString)
+        fdir.listFiles().foreach { f =>
+          val n = f.getName
+          if (!n.startsWith("_") && !n.startsWith(".") &&
+              !stamped.contains(n)) {
+            require(f.setLastModified(1700000000000L + idx * 600000L),
+              s"mtime pin failed for $f — arrival order would race")
+            stamped += n
+          }
+        }
+        idx += 1
+      }
+      java.nio.file.Files.write(stage.resolve("_FEED_OK"),
+        Array.emptyByteArray)
+    }.resolve("feed").toString
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

@@ -178,12 +178,9 @@ object Surface13Queries {
         col("event_type"), floor(col("value") * 1000).cast("long")
           .as("value_m"))
       val tmp = Stage.tempDir("graft-c27-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
-      (0 until 4).foreach { k =>
-        ev.where(col("event_id") % 4 === k).coalesce(1)
-          .write.mode("append").parquet(feed)
-      }
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val feed = Stage.durableChunkFeed("feed-c27", dir)(
+        (0 until 4).map(k => ev.where(col("event_id") % 4 === k)))
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType),

@@ -176,12 +176,10 @@ object Surface14Queries {
     "c29_stream_complete" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "event_type")
       val tmp = Stage.tempDir("graft-c29-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
-      ev.where(col("event_id") % 2 === 0).coalesce(1)
-        .write.mode("append").parquet(feed)
-      ev.where(col("event_id") % 2 =!= 0).coalesce(1)
-        .write.mode("append").parquet(feed)
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val feed = Stage.durableChunkFeed("feed-c29", dir)(Seq(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 =!= 0)))
       val schema = StructType(Seq(
         StructField("event_id", LongType),
         StructField("event_type", StringType)))
@@ -219,14 +217,13 @@ object Surface14Queries {
     "c30_stream_chained" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("ts", "event_id")
       val tmp = Stage.tempDir("graft-c30-").toString
-      val feed = s"$tmp/feed"; val out = s"$tmp/out"
-      val ckpt = s"$tmp/ckpt"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       val cut = lit("2024-01-21").cast("timestamp")
-      def leg(rows: DataFrame): Unit =
+      def leg(rows: DataFrame): DataFrame =
         rows.unionAll(rows.where(col("event_id") % 7 === 0))
-          .coalesce(1).write.mode("append").parquet(feed)
-      leg(ev.where(col("ts") < cut))
-      leg(ev.where(col("ts") >= cut))
+      val feed = Stage.durableChunkFeed("feed-c30", dir)(Seq(
+        leg(ev.where(col("ts") < cut)),
+        leg(ev.where(col("ts") >= cut))))
       val schema = StructType(Seq(
         StructField("ts", org.apache.spark.sql.types.TimestampType),
         StructField("event_id", LongType)))
