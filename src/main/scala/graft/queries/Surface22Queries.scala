@@ -41,11 +41,125 @@ object Surface22Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e113_bpe_train" -> ((s, dir) => {
-      val rows = bpeMerges(s, dir, bpeIters).map {
+      val rows = mergesFor(s, dir).map {
         case (i, a, b, n) => (i, a, b, a + b, n)
       }
       import s.implicits._
       rows.toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_n")
+    }),
+
+    // BPE APPLY at corpus scale — the trainer's sibling: segment every
+    // word TYPE with the trained merge table (the same single-replace-
+    // per-merge projection chain, N narrow map steps, no shuffle) and
+    // report the segmentation statistics a tokenizer-sizing pass
+    // publishes: types, corpus word/subword totals (weighted by the
+    // histogram counts — one tiny hash agg), fully-merged words, and
+    // the fertility ratio (avg subwords per corpus word), the number
+    // that prices a vocab size in sequence length. At 100 TB: apply
+    // is vocabulary-bounded (runs on the staged TYPE frame); the
+    // per-document corpus pass would be the same replace chain fused
+    // into the scan.
+    "e115_bpe_apply" -> ((s, dir) => {
+      val ms = mergesFor(s, dir)
+      val seg = ms.foldLeft(initialSymbolState(s, dir)) { (st, m) =>
+        st.withColumn("s",
+          replace(col("s"), lit(s" ${m._2}  ${m._3} "),
+            lit(s" ${m._2}${m._3} ")))
+      }
+      seg.select(col("cnt"),
+          size(split(trim(col("s")), "  ")).cast("long").as("nsub"))
+        .agg(count(lit(1)).as("word_types"),
+          sum(col("cnt")).as("words_total"),
+          sum(col("cnt") * col("nsub")).as("subwords_total"),
+          sum(when(col("nsub") === 1, col("cnt")).otherwise(0L))
+            .as("single_token_words"))
+        .select(col("word_types"), col("words_total"),
+          col("subwords_total"), col("single_token_words"),
+          (col("subwords_total").cast("double") /
+            col("words_total").cast("double")).as("fertility"))
+    }),
+
+    // GINI coefficient per group from the staged rank spans — the
+    // inequality/concentration statistic a curation pass runs on value
+    // mass (revenue, token counts, quality mass): with ascending ranks
+    // G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), and a value's rank span
+    // contributes v·cnt·(lo+hi) to 2·Σ i·xᵢ exactly — so the whole
+    // statistic is ONE narrow scan + group agg over the span frame
+    // (shared with q111/q113/q20), integer cent sums in DECIMAL(38,0)
+    // (v·cnt·2n overflows long at ×10), one final double division.
+    "q115_gini" -> ((s, dir) => {
+      StatsQueries.priceSpans(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)")
+            .as("v"),
+          col("__n"), col("__lo"), col("__hi"), col("__cnt"))
+        .groupBy("l_returnflag")
+        .agg(max(col("__cnt")).as("n"),
+          sum(col("v") * col("__n") * (col("__lo") + col("__hi")))
+            .as("s2"),
+          sum(col("v") * col("__n")).as("s1"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("s2") - (col("n") + 1) * col("s1")).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("s1")).cast("double"))
+            .as("gini"))
+    }),
+
+    // Lag-k AUTOCORRELATION of the daily event-count series — the
+    // time-series seasonality probe an ingest-monitoring pass runs
+    // (lag-1 ≈ day-over-day persistence; a weekly cycle shows at
+    // lag-7 on longer feeds). One corpus pass to the daily counts (a
+    // days-sized frame), then each lag is a self-join on d + k over
+    // that tiny frame with exact integer moment sums and Pearson's
+    // ONE closed-form double — partition-invariant at any scale
+    // because the series length is calendar-bounded, not row-bounded.
+    "q116_acf" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      val pairs = Seq(1, 2, 3).map { k =>
+        daily.as("a").join(daily.as("b"),
+            col("b.d") === date_add(col("a.d"), k))
+          .select(lit(k.toLong).as("lag"), col("a.x").as("x"),
+            col("b.x").as("y"))
+      }.reduce(_ unionAll _)
+      pairs.groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .select(col("lag"), col("n_pairs"),
+          ((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("acf"))
+    }),
+
+    // BENFORD first-digit audit — the fraud/synthetic-data smell test
+    // a data-quality pass runs on value columns: observed first-digit
+    // frequencies against Benford's log-law expectation. The digit is
+    // extracted POSITIONALLY (first char of the integer part) — no
+    // log10 on the data path, per the oracle float discipline; the 9
+    // expected probabilities are compile-time literals shared verbatim
+    // with the oracle text, so no cross-engine log evaluation exists
+    // at all. One hash agg to 9 cells + a broadcast total.
+    "e116_benford" -> ((s, dir) => {
+      val digit = substring(
+        floor(col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+        .cast("int")
+      val cnts = t(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull)
+        .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      val tot = cnts.agg(sum(col("n")).as("t"))
+      val expected = coalesce((1 to 9).map(d =>
+        when(col("digit") === d, lit(benfordP(d)))): _*)
+      cnts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("t").cast("double"))
+            .as("observed_p"),
+          expected.as("expected_p"))
     }),
 
     "e114_kendall" -> ((s, dir) => {
@@ -118,8 +232,31 @@ object Surface22Queries {
     * durably staged per (sf × fingerprint): at 100 TB the corpus is
     * tokenized once; training touches only word TYPES.
     */
-  private def bpeMerges(s: SparkSession, dir: String, iters: Int)
-      : Seq[(Long, String, String, Long)] = {
+  /** Benford's expected first-digit probability log10(1 + 1/d),
+    * evaluated ONCE at query-build time on the driver; the identical
+    * literal is embedded in the oracle text, so neither engine ever
+    * evaluates a logarithm (cross-engine log rounding is the reason
+    * the float discipline bans ln/log on data paths).
+    */
+  private def benfordP(d: Int): Double = math.log10(1.0 + 1.0 / d)
+
+  /** The trained merge table, TRAINED ONCE per testdata dir per JVM
+    * and shared by `e113_bpe_train` and `e115_bpe_apply` (each
+    * training round is a type-frame aggregate + collect — the shared-
+    * model discipline of `Surface20Queries.trainedCentroids`).
+    */
+  private val trainedMerges = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, Long)]]()
+  private def mergesFor(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, Long)] =
+    trainedMerges.computeIfAbsent(dir, _ => bpeMerges(s, dir, bpeIters))
+
+  /** The character-level symbol state over the durably-staged word
+    * histogram — round 0 of training, and the base the apply pass
+    * re-segments from.
+    */
+  private def initialSymbolState(s: SparkSession, dir: String)
+      : DataFrame = {
     val hist = Stage.durableFrame(s, "word-hist", dir) {
       tBalanced(s, dir, "documents")
         .select(explode(
@@ -127,11 +264,16 @@ object Surface22Queries {
         .where(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("cnt"))
     }
-    var state = hist.select(
+    hist.select(
       concat(lit("  "), array_join(
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))), "  "), lit("  ")).as("s"),
       col("cnt"))
+  }
+
+  private def bpeMerges(s: SparkSession, dir: String, iters: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var state = initialSymbolState(s, dir)
     val out = Seq.newBuilder[(Long, String, String, Long)]
     for (k <- 1 to iters) {
       val top = state
@@ -195,8 +337,105 @@ object Surface22Queries {
        $rows"""
   }
 
+  /** SQL mirror of [[all]]'s e115: the shared training-CTE chain ends
+    * in st{bpeIters}; the report aggregates its re-split symbol lists.
+    */
+  private def bpeApplyOracle: String = {
+    val iters = (1 to bpeIters).map(bpeIterCte).mkString(",\n       ")
+    s"""WITH w AS (
+         SELECT tk AS word, count(*) AS cnt
+         FROM (SELECT unnest($tokensSql) AS tk FROM documents)
+         WHERE len(tk) >= 2 GROUP BY tk),
+       st0 AS (
+         SELECT '  ' || array_to_string(list_transform(
+             range(1, len(word) + 1),
+             i -> substr(word, CAST(i AS INT), 1)), '  ') || '  ' AS s,
+           cnt
+         FROM w),
+       $iters,
+       seg AS (SELECT str_split(trim(s, ' '), '  ') AS tk, cnt
+               FROM st$bpeIters)
+       SELECT CAST(count(*) AS BIGINT) AS word_types,
+         CAST(SUM(cnt) AS BIGINT) AS words_total,
+         CAST(SUM(cnt * len(tk)) AS BIGINT) AS subwords_total,
+         CAST(SUM(CASE WHEN len(tk) = 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS single_token_words,
+         CAST(SUM(cnt * len(tk)) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+           AS fertility
+       FROM seg"""
+  }
+
+  private def benfordOracle: String = {
+    // the e0 exponent makes DuckDB parse the literal as DOUBLE via
+    // strtod (correctly rounded, bit-identical to the JVM's parse); a
+    // bare decimal literal would go through DECIMAL(18,17) first and
+    // can land one ulp off after the decimal→double cast
+    val cases = (1 to 9).map(d =>
+      s"WHEN $d THEN ${benfordP(d)}e0").mkString(" ")
+    s"""WITH d AS (
+         SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+             AS VARCHAR), 1, 1) AS INT) AS digit
+         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+       t AS (SELECT SUM(n) AS t FROM c)
+       SELECT digit, CAST(n AS BIGINT) AS n,
+         CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS observed_p,
+         CASE digit $cases END AS expected_p
+       FROM c, t"""
+  }
+
   val oracles: Map[String, String] = Map(
     "e113_bpe_train" -> bpeOracle,
+    "e115_bpe_apply" -> bpeApplyOracle,
+    "e116_benford" -> benfordOracle,
+
+    // Gini from the cumulative-count span form: lo + hi = 2·cum −
+    // cnt + 1, all cent sums in HUGEINT, one final double division
+    // with the identical cast order as the Spark side.
+    "q115_gini" ->
+      """WITH h AS (
+           SELECT l_returnflag, l_extendedprice,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS v,
+             count(*) AS cnt
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY 1, 2),
+         sp AS (
+           SELECT l_returnflag, v, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS nn
+           FROM h)
+         SELECT l_returnflag, CAST(max(nn) AS BIGINT) AS n,
+           CAST(SUM(v * cnt * (2 * hi - cnt + 1))
+               - (max(nn) + 1) * SUM(v * cnt) AS DOUBLE) /
+             CAST(max(nn) * SUM(v * cnt) AS DOUBLE) AS gini
+         FROM sp GROUP BY l_returnflag""",
+
+    // Pearson over the lag-aligned daily count pairs: integer moment
+    // sums, one closed-form double — same expression text as Spark.
+    "q116_acf" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d, count(*) AS x
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT k.lag, a.x AS x, b.x AS y
+           FROM (VALUES (1), (2), (3)) AS k(lag)
+           JOIN daily a ON TRUE
+           JOIN daily b ON b.d = a.d + k.lag),
+         m AS (
+           SELECT lag, count(*) AS n_pairs,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+           FROM p GROUP BY lag)
+         SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+         FROM m""",
 
     // tau-b from the joint histogram: HUGEINT pair sums (DuckDB
     // SUM(BIGINT) is HUGEINT anyway — judged integers re-narrowed to

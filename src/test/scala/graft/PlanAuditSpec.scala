@@ -36,6 +36,8 @@ class PlanAuditSpec extends SparkSpec {
         "non-equi label predicate"),
     "e16_tfidf" ->
       "crossJoin against the broadcast 1-row doc-count scalar (IDF)",
+    "e116_benford" ->
+      "crossJoin against the broadcast 1-row digit-total scalar",
     "q50_gapfill" ->
       "crossJoin against the broadcast 12-row month spine",
     "e47_dup_triangles" ->

@@ -70,6 +70,94 @@ class Surface22Spec extends SparkSpec {
     assert(merged == Seq("xa", "b"), s"xa,b -> $merged")
   }
 
+  test("e115: segmentation stats match a driver-side greedy apply " +
+    "of the trained merges") {
+    val r = SparkEntry.queries("e115_bpe_apply")(spark, dir).head()
+    val merges = SparkEntry.queries("e113_bpe_train")(spark, dir)
+      .orderBy("merge_idx").collect()
+      .map(m => (m.getString(1), m.getString(2)))
+    val words = graft.queries.Tables.t(spark, dir, "documents")
+      .select(explode(
+        graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1))
+    def applyMerge(syms: List[String], a: String, b: String)
+        : List[String] = syms match {
+      case x :: y :: rest if x == a && y == b =>
+        (a + b) :: applyMerge(rest, a, b)
+      case x :: rest => x :: applyMerge(rest, a, b)
+      case Nil => Nil
+    }
+    var types = 0L; var wtot = 0L; var stot = 0L; var single = 0L
+    words.foreach { case (w, c) =>
+      var syms = w.map(_.toString).toList
+      merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+      types += 1; wtot += c; stot += c * syms.length
+      if (syms.length == 1) single += c
+    }
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((types, wtot, stot, single)),
+      s"engine ${r.mkString(",")} != driver ($types,$wtot,$stot,$single)")
+  }
+
+  test("q115: gini in [0,1) and matches a driver-side sorted recompute") {
+    val rows = SparkEntry.queries("q115_gini")(spark, dir).collect()
+    val li = graft.queries.Tables.t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+    rows.foreach { r =>
+      val g = r.getString(0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+      val xs = li.filter(_._1 == g).map(_._2).sorted
+      val n = xs.length.toLong
+      val s1 = xs.map(BigInt(_)).sum
+      val s2 = xs.zipWithIndex.map { case (v, i) =>
+        BigInt(v) * 2 * (i + 1) }.sum
+      val gini = (s2 - (n + 1) * s1).toDouble / (BigInt(n) * s1).toDouble
+      assert(r.getLong(1) == n &&
+        math.abs(r.getDouble(2) - gini) < 1e-9,
+        s"$g: engine ${r.getDouble(2)} != driver $gini")
+    }
+  }
+
+  test("q116: |acf| <= 1, pair counts shrink by one per lag, and " +
+    "lag-1 matches a driver-side Pearson") {
+    val rows = SparkEntry.queries("q116_acf")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    rows.sliding(2).foreach(w =>
+      assert(w(1).getLong(1) == w(0).getLong(1) - 1))
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+    val daily = graft.queries.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d")).count()
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+      .sortBy(_._1.toEpochDay).toMap
+    val ds = daily.keys.toSeq.sortBy(_.toEpochDay)
+    val pairs = ds.flatMap(d => daily.get(d.plusDays(1))
+      .map(y => (daily(d).toDouble, y.toDouble)))
+    val n = pairs.length
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val r1 = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(rows.head.getLong(1) == n &&
+      math.abs(rows.head.getDouble(2) - r1) < 1e-9)
+  }
+
+  test("e116: digit counts cover the table, probabilities sum to 1, " +
+    "expected matches the Benford law") {
+    val rows = SparkEntry.queries("e116_benford")(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).forall(d => d >= 1 && d <= 9))
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.queries.Tables.t(spark, dir, "lineitem").count())
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    rows.foreach(r => assert(
+      r.getDouble(3) == math.log10(1.0 + 1.0 / r.getInt(0))))
+  }
+
   test("e114: tau_b in [-1,1]; C/D match a driver-side O(n^2) recount") {
     val rows = SparkEntry.queries("e114_kendall")(spark, dir).collect()
     assert(rows.length == 3)
