@@ -137,6 +137,44 @@ object Surface22Queries {
                 .cast("double")))).as("acf"))
     }),
 
+    // TRIMMED and WINSORIZED means (10% each side) per group — the
+    // robust central-tendency pair (trim drops the tails, winsorize
+    // clamps them to the cut values), computed EXACTLY from the same
+    // staged rank spans as q111/q113/q115: a value's contribution to
+    // the trimmed sum is v · |span ∩ [k+1, n−k]| (pure integer
+    // overlap arithmetic, ties free), and the two clamp values are
+    // rank selections over the same frame. One narrow scan + two
+    // group aggs + a groups-sized join; cent sums in DECIMAL(38,0);
+    // two final double divisions.
+    "q117_trimmed_mean" -> ((s, dir) => {
+      import graft.operators.Quantiles.ldiv
+      val spans = StatsQueries.priceSpans(s, dir)
+      val k1 = ldiv(col("__cnt"), 10L)
+      val overlap = greatest(lit(0L),
+        least(col("__hi"), col("__cnt") - k1) -
+          greatest(col("__lo"), k1 + 1) + lit(1L))
+      val cents = round(col("l_extendedprice") * 100)
+        .cast("decimal(38,0)")
+      val tm = spans.groupBy("l_returnflag")
+        .agg(max(col("__cnt")).as("n"),
+          sum(cents * overlap).as("tsum"))
+      val bv = graft.operators.Quantiles.selectRanks(spans,
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("lo_val" -> (c => ldiv(c, 10L) + 1),
+          "hi_val" -> (c => c - ldiv(c, 10L))))
+      def c100(name: String) =
+        round(col(name) * 100).cast("decimal(38,0)")
+      tm.join(bv, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          (col("tsum").cast("double") / lit(100.0) /
+            (col("n") - lit(2L) * ldiv(col("n"), 10L)).cast("double"))
+            .as("trimmed_mean"),
+          ((col("tsum") + ldiv(col("n"), 10L) *
+            (c100("lo_val") + c100("hi_val"))).cast("double") /
+            lit(100.0) / col("n").cast("double"))
+            .as("winsorized_mean"))
+    }),
+
     // BENFORD first-digit audit — the fraud/synthetic-data smell test
     // a data-quality pass runs on value columns: observed first-digit
     // frequencies against Benford's log-law expectation. The digit is
@@ -411,6 +449,45 @@ object Surface22Queries {
                - (max(nn) + 1) * SUM(v * cnt) AS DOUBLE) /
              CAST(max(nn) * SUM(v * cnt) AS DOUBLE) AS gini
          FROM sp GROUP BY l_returnflag""",
+
+    // Trimmed/winsorized means from the cumulative-count span form
+    // (lo = hi − cnt + 1): integer overlap sums in HUGEINT, clamp
+    // values by the contains-rank rule, the identical two division
+    // chains as the Spark side.
+    "q117_trimmed_mean" ->
+      """WITH h AS (
+           SELECT l_returnflag, l_extendedprice,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS v,
+             count(*) AS cnt
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY 1, 2),
+         sp AS (
+           SELECT l_returnflag, l_extendedprice, v, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS nn
+           FROM h),
+         tm AS (
+           SELECT l_returnflag, max(nn) AS n,
+             SUM(v * GREATEST(0, LEAST(hi, nn - nn // 10)
+               - GREATEST(hi - cnt + 1, nn // 10 + 1) + 1)) AS tsum
+           FROM sp GROUP BY 1),
+         bv AS (
+           SELECT l_returnflag,
+             min(CASE WHEN hi >= nn // 10 + 1
+               THEN l_extendedprice END) AS lo_val,
+             min(CASE WHEN hi >= nn - nn // 10
+               THEN l_extendedprice END) AS hi_val
+           FROM sp GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(tsum AS DOUBLE) / 100.0 /
+             CAST(n - 2 * (n // 10) AS DOUBLE) AS trimmed_mean,
+           CAST(tsum + (n // 10) *
+               (CAST(round(lo_val * 100) AS HUGEINT) +
+                CAST(round(hi_val * 100) AS HUGEINT)) AS DOUBLE) /
+             100.0 / CAST(n AS DOUBLE) AS winsorized_mean
+         FROM tm JOIN bv USING (l_returnflag)""",
 
     // Pearson over the lag-aligned daily count pairs: integer moment
     // sums, one closed-form double — same expression text as Spark.

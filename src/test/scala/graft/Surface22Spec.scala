@@ -147,6 +147,31 @@ class Surface22Spec extends SparkSpec {
       math.abs(rows.head.getDouble(2) - r1) < 1e-9)
   }
 
+  test("q117: trimmed/winsorized means match a driver-side sorted " +
+    "recompute and bracket sensibly") {
+    val rows = SparkEntry.queries("q117_trimmed_mean")(spark, dir)
+      .collect()
+    val li = graft.queries.Tables.t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+    rows.foreach { r =>
+      val g = r.getString(0)
+      val xs = li.filter(_._1 == g).map(_._2).sorted
+      val n = xs.length
+      val k = n / 10
+      val kept = xs.slice(k, n - k)
+      val tmean = kept.map(BigInt(_)).sum.toDouble / 100.0 / kept.length
+      val wsum = kept.map(BigInt(_)).sum +
+        BigInt(k) * (xs(k) + xs(n - k - 1))
+      val wmean = wsum.toDouble / 100.0 / n
+      assert(r.getLong(1) == n.toLong)
+      assert(math.abs(r.getDouble(2) - tmean) < 1e-9,
+        s"$g trimmed: engine ${r.getDouble(2)} != driver $tmean")
+      assert(math.abs(r.getDouble(3) - wmean) < 1e-9,
+        s"$g winsorized: engine ${r.getDouble(3)} != driver $wmean")
+    }
+  }
+
   test("e116: digit counts cover the table, probabilities sum to 1, " +
     "expected matches the Benford law") {
     val rows = SparkEntry.queries("e116_benford")(spark, dir).collect()
