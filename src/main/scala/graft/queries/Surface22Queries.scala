@@ -137,6 +137,40 @@ object Surface22Queries {
                 .cast("double")))).as("acf"))
     }),
 
+    // c33's windowed TTL'd attribution on the SUCCESSOR streaming
+    // state API: transformWithState with EVENT-TIME TIMERS (the
+    // engine path flatMapGroupsWithState's EventTimeTimeout never
+    // touches — registered per-key timers in the RocksDB store, with
+    // explicit delete/re-register on every touch). Judged as c33's
+    // twin on ONE oracle and ONE staged feed (the "graft-c33-"
+    // prefix): the audit label derives from the timer's own fire
+    // time, so the output is invariant to which batch the engine
+    // fires in, and the c33 oracle transfers verbatim.
+    "c36_stream_attribution_tws" -> ((s, dir) => {
+      val b = EventFeed.build(s, dir, "graft-c33-", perCampaign = true,
+        windowOf = (lo, hi) => 2 * ((hi - lo) / 3 + 1) + 1,
+        sentinelGaps = Seq(10L, 20L))
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val res = try {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        EventFeed.runStream(s, b,
+          (in: org.apache.spark.sql.Dataset[
+              graft.streaming.Attribution.EvW]) =>
+            graft.streaming.Attribution.attributeWindowedTws(
+              in, b.windowUs, b.hiUs / 1000L))
+      } finally prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      res.groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("conversions"),
+          Tables.dsum(col("value"), 2).as("attributed_value"))
+    }),
+
     // TRIMMED and WINSORIZED means (10% each side) per group — the
     // robust central-tendency pair (trim drops the tails, winsorize
     // clamps them to the cut values), computed EXACTLY from the same
@@ -426,6 +460,10 @@ object Surface22Queries {
     "e113_bpe_train" -> bpeOracle,
     "e115_bpe_apply" -> bpeApplyOracle,
     "e116_benford" -> benfordOracle,
+    // judged twin of c33 — identical window, feed, and semantics; the
+    // timer-fire-time label rule makes the same oracle exact
+    "c36_stream_attribution_tws" ->
+      Surface20Queries.oracles("c33_stream_attribution_ttl"),
 
     // Gini from the cumulative-count span form: lo + hi = 2·cum −
     // cnt + 1, all cent sums in HUGEINT, one final double division

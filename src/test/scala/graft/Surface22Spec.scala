@@ -183,6 +183,20 @@ class Surface22Spec extends SparkSpec {
       r.getDouble(3) == math.log10(1.0 + 1.0 / r.getInt(0))))
   }
 
+  test("c36 (transformWithState timers) and c33 (EventTimeTimeout) " +
+    "produce the identical attribution rollup") {
+    val c33 = SparkEntry.queries("c33_stream_attribution_ttl")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val c36 = SparkEntry.queries("c36_stream_attribution_tws")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(c33.toSeq == c36.toSeq,
+      s"twin mismatch:\n c33=${c33.mkString(",")}\n c36=${c36.mkString(",")}")
+    assert(c33.exists(_._1 == "(evicted)") &&
+      c33.exists(_._1 == "(live_end)"))
+  }
+
   test("e114: tau_b in [-1,1]; C/D match a driver-side O(n^2) recount") {
     val rows = SparkEntry.queries("e114_kendall")(spark, dir).collect()
     assert(rows.length == 3)
