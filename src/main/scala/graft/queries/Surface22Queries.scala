@@ -150,25 +150,40 @@ object Surface22Queries {
       val b = EventFeed.build(s, dir, "graft-c33-", perCampaign = true,
         windowOf = (lo, hi) => 2 * ((hi - lo) / 3 + 1) + 1,
         sentinelGaps = Seq(10L, 20L))
-      val prev =
-        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      val res = try {
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val res = withRocksDb(s) {
         EventFeed.runStream(s, b,
           (in: org.apache.spark.sql.Dataset[
               graft.streaming.Attribution.EvW]) =>
             graft.streaming.Attribution.attributeWindowedTws(
               in, b.windowUs, b.hiUs / 1000L))
-      } finally prev match {
-        case Some(p) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       res.groupBy(col("touch_type"))
         .agg(count(lit(1)).as("conversions"),
           Tables.dsum(col("value"), 2).as("attributed_value"))
+    }),
+
+    // Last-3 recency-weighted attribution on transformWithState's
+    // LIST STATE — the successor API's composite-state path (c23 =
+    // ValueState, c36 = timers, this = the bounded per-key log every
+    // "recent history" feature store keeps): state is the user's last
+    // ≤3 touches, constant-size per key at any event volume; each
+    // purchase splits exactly 1e6 µ over them (50/30/20, 60/40, or
+    // all) — order-independent integer rollup, one oracle. Shares the
+    // staged c34 feed.
+    "c37_stream_last3" -> ((s, dir) => {
+      val b = EventFeed.build(s, dir, "graft-c34-", perCampaign = false,
+        windowOf = (_, _) => 0L, sentinelGaps = Seq.empty)
+      val res = withRocksDb(s) {
+        EventFeed.runStream(s, b,
+          (in: org.apache.spark.sql.Dataset[
+              graft.streaming.Attribution.EvW]) =>
+            graft.streaming.Attribution.last3Stream(in))
+      }
+      res.groupBy(col("touch_type"))
+        .agg((sum(col("w")).cast("double") / lit(1000000.0))
+            .as("conversions"),
+          (sum(col("mc")).cast("double") / lit(100000000.0))
+            .as("attributed_value"))
     }),
 
     // TRIMMED and WINSORIZED means (10% each side) per group — the
@@ -232,6 +247,42 @@ object Surface22Queries {
           (col("n").cast("double") / col("t").cast("double"))
             .as("observed_p"),
           expected.as("expected_p"))
+    }),
+
+    // COLLOCATION extraction — the keyphrase/multi-word-expression
+    // miner a curation pass runs before tokenizer training: bigrams
+    // whose corpus frequency far exceeds the independence expectation,
+    // ranked by LIFT n_ab·N / (n_a·n_b). Lift orders identically to
+    // PMI (log is monotone) with NO logarithm anywhere — the rank key
+    // is the exact integer floor((n_ab·N·1e6) / (n_a·n_b)) in
+    // DECIMAL/HUGEINT (n_ab·N·1e6 overflows long at ×100), so the
+    // top-k frontier is bit-deterministic cross-engine. Plan: the
+    // unigram and bigram histograms (both map-side combinable), two
+    // vocab-sized hash joins, TakeOrdered(25) — the corpus is scanned
+    // twice and nothing row-sized is ever joined.
+    "e117_collocations" -> ((s, dir) => {
+      val tk = graft.operators.TextAnalysis.tokens(col("text"))
+      val docs = tBalanced(s, dir, "documents")
+      val uni = docs.select(explode(tk).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+      val tot = uni.agg(sum(col("n")).as("nn"))
+      val bg = docs
+        .select(explode(arrays_zip(
+          slice(tk, lit(1), size(tk) - 1).as("t1"),
+          slice(tk, lit(2), size(tk) - 1).as("t2"))).as("b"))
+        .select(col("b.t1").as("t1"), col("b.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 20)
+      bg.join(uni.select(col("t").as("t1"), col("n").as("n_a")), "t1")
+        .join(uni.select(col("t").as("t2"), col("n").as("n_b")), "t2")
+        .crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"), col("n_ab"),
+          graft.operators.Quantiles.ldiv(
+            col("n_ab").cast("decimal(38,0)") * col("nn") * lit(1000000L),
+            col("n_a").cast("decimal(38,0)") * col("n_b"))
+            .cast("long").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("t1"), col("t2"))
+        .limit(25)
     }),
 
     "e114_kendall" -> ((s, dir) => {
@@ -304,6 +355,20 @@ object Surface22Queries {
     * durably staged per (sf × fingerprint): at 100 TB the corpus is
     * tokenized once; training touches only word TYPES.
     */
+  /** `transformWithState` requires the RocksDB state-store provider;
+    * scope the conf flip to the streaming run (c23's discipline).
+    */
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Benford's expected first-digit probability log10(1 + 1/d),
     * evaluated ONCE at query-build time on the driver; the identical
     * literal is embedded in the oracle text, so neither engine ever
@@ -464,6 +529,88 @@ object Surface22Queries {
     // timer-fire-time label rule makes the same oracle exact
     "c36_stream_attribution_tws" ->
       Surface20Queries.oracles("c33_stream_attribution_ttl"),
+
+    // last-3 recency weights replayed relationally: the 2nd/3rd most
+    // recent prior touches come from the chained per-touch-row
+    // previous-touch columns (pt = touch before a touch, ppt = touch
+    // two before), each lifted to the purchase row by one more
+    // last_value IGNORE NULLS — the same derivation c34's oracle uses
+    // for its second-last touch, applied twice.
+    "c37_stream_last3" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             value,
+             CASE WHEN event_type <> 'purchase' THEN event_type END
+               AS touch
+           FROM events),
+         t1 AS (
+           SELECT *, CASE WHEN touch IS NOT NULL THEN
+               last_value(touch IGNORE NULLS) OVER wnd END AS pt
+           FROM ev
+           WINDOW wnd AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         t2 AS (
+           SELECT *, CASE WHEN touch IS NOT NULL THEN
+               last_value(pt IGNORE NULLS) OVER wnd END AS ppt
+           FROM t1
+           WINDOW wnd AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         t3 AS (
+           SELECT event_type, value,
+             count(touch) OVER wnd AS n,
+             last_value(touch IGNORE NULLS) OVER wnd AS r1,
+             last_value(pt IGNORE NULLS) OVER wnd AS r2,
+             last_value(ppt IGNORE NULLS) OVER wnd AS r3
+           FROM t2
+           WINDOW wnd AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         p AS (
+           SELECT CAST(round(value * 100) AS BIGINT) AS cents, n,
+             r1, r2, r3
+           FROM t3 WHERE event_type = 'purchase'),
+         cr AS (
+           SELECT ty.t AS touch_type, p.cents,
+             CASE
+               WHEN p.n = 0 THEN
+                 CASE WHEN ty.t = '(none)' THEN 1000000 ELSE 0 END
+               WHEN ty.t = '(none)' THEN 0
+               WHEN p.n = 1 THEN
+                 CASE WHEN p.r1 = ty.t THEN 1000000 ELSE 0 END
+               WHEN p.n = 2 THEN
+                 (CASE WHEN p.r1 = ty.t THEN 600000 ELSE 0 END) +
+                 (CASE WHEN p.r2 = ty.t THEN 400000 ELSE 0 END)
+               ELSE
+                 (CASE WHEN p.r1 = ty.t THEN 500000 ELSE 0 END) +
+                 (CASE WHEN p.r2 = ty.t THEN 300000 ELSE 0 END) +
+                 (CASE WHEN p.r3 = ty.t THEN 200000 ELSE 0 END)
+             END AS w
+           FROM p, (VALUES ('click'), ('view'), ('signup'), ('error'),
+             ('(none)')) AS ty(t))
+         SELECT touch_type,
+           CAST(SUM(w) AS DOUBLE) / 1000000.0 AS conversions,
+           CAST(SUM(w * cents) AS DOUBLE) / 100000000.0
+             AS attributed_value
+         FROM cr WHERE w > 0 GROUP BY touch_type""",
+
+    // lift ranked by the exact integer micro-lift — HUGEINT product,
+    // integer floor division, BIGINT re-narrow for the judged column
+    "e117_collocations" ->
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
+         uni AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+         tot AS (SELECT SUM(n) AS nn FROM uni),
+         bgx AS (
+           SELECT tk[CAST(j AS INT)] AS t1, tk[CAST(j AS INT) + 1] AS t2
+           FROM (SELECT tk, unnest(range(1, len(tk))) AS j
+                 FROM (SELECT $tokensSql AS tk FROM documents))),
+         bg AS (SELECT t1, t2, count(*) AS n_ab FROM bgx
+                GROUP BY t1, t2 HAVING count(*) >= 20)
+         SELECT t1, t2, n_ab,
+           CAST((CAST(n_ab AS HUGEINT) * nn * 1000000) //
+             (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS lift_micro
+         FROM bg
+         JOIN uni a ON a.t = bg.t1
+         JOIN uni b ON b.t = bg.t2, tot
+         ORDER BY lift_micro DESC, t1, t2 LIMIT 25""",
 
     // Gini from the cumulative-count span form: lo + hi = 2·cum −
     // cnt + 1, all cent sums in HUGEINT, one final double division

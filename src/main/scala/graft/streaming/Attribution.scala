@@ -226,6 +226,69 @@ object Attribution {
     }
   }
 
+  /** Recency-weighted last-3 credit shares in exact integer µ-units
+    * (most recent first): 3+ touches → 50/30/20, 2 → 60/40, 1 → all,
+    * 0 → `(none)`. Every split sums to exactly 1e6 µ per purchase —
+    * the same auditable-partition discipline as [[creditShares]].
+    */
+  def last3Shares(recent: Seq[String], cents: Long): Seq[MTCredit] = {
+    val ws: Seq[(String, Long)] = recent.take(3) match {
+      case Seq() => Seq("(none)" -> 1000000L)
+      case Seq(a) => Seq(a -> 1000000L)
+      case Seq(a, b) => Seq(a -> 600000L, b -> 400000L)
+      case Seq(a, b, c) => Seq(a -> 500000L, b -> 300000L, c -> 200000L)
+    }
+    ws.groupBy(_._1).toSeq.map { case (t, xs) =>
+      MTCredit(t, xs.map(_._2).sum, xs.map(_._2).sum * cents)
+    }
+  }
+
+  /** Last-3 recency-weighted attribution on `transformWithState`'s
+    * LIST STATE — the successor API's composite-state path (c23
+    * exercises ValueState, c36 timers; this is the bounded per-key
+    * LOG, the shape every "recent history" feature store keeps). The
+    * state is the entity's last ≤3 touches, most recent first —
+    * constant-size per key no matter the event volume, rewritten with
+    * `put` once per batch. Unbounded lookback (no TTL), mirroring the
+    * q110/c34 discipline; each purchase emits exact integer µ-shares
+    * over its last-3 prior touches.
+    */
+  class Last3Processor
+      extends StatefulProcessor[Long, EvW, MTCredit] {
+    @transient private var touches: org.apache.spark.sql.streaming.ListState[Touch] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touches = getHandle.getListState("last3",
+        Encoders.product[Touch], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, it: Iterator[EvW],
+        tv: TimerValues): Iterator[MTCredit] =
+      if (uid < 0L) { it.foreach(_ => ()); Iterator.empty }
+      else {
+        var cur: List[Touch] =
+          if (touches.exists()) touches.get().toList else Nil
+        val out = Seq.newBuilder[MTCredit]
+        it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          if (e.event_type == "purchase")
+            out ++= last3Shares(cur.map(_.touch),
+              math.round(e.value * 100))
+          else cur =
+            (Touch(e.ts_us, e.event_id, e.event_type) :: cur).take(3)
+        }
+        if (cur.nonEmpty) touches.put(cur.toArray)
+        out.result().iterator
+      }
+  }
+
+  def last3Stream(events: Dataset[EvW]): Dataset[MTCredit] = {
+    implicit val evEnc = Encoders.product[EvW]
+    implicit val outEnc = Encoders.product[MTCredit]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new Last3Processor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def attributeWindowedTws(events: Dataset[EvW], windowUs: Long,
       drainAfterMs: Long): Dataset[Attributed] = {
     implicit val evEnc = Encoders.product[EvW]

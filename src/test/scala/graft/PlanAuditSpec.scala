@@ -38,6 +38,8 @@ class PlanAuditSpec extends SparkSpec {
       "crossJoin against the broadcast 1-row doc-count scalar (IDF)",
     "e116_benford" ->
       "crossJoin against the broadcast 1-row digit-total scalar",
+    "e117_collocations" ->
+      "crossJoin against the broadcast 1-row token-total scalar",
     "q50_gapfill" ->
       "crossJoin against the broadcast 12-row month spine",
     "e47_dup_triangles" ->

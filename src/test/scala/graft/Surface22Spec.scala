@@ -183,6 +183,32 @@ class Surface22Spec extends SparkSpec {
       r.getDouble(3) == math.log10(1.0 + 1.0 / r.getInt(0))))
   }
 
+  test("e117: top-25 collocations match a driver-side lift recount") {
+    val byName = SparkEntry.queries("e117_collocations")(spark, dir)
+      .select("t1", "t2", "n_ab", "lift_micro").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val toks = graft.queries.Tables.t(spark, dir, "documents")
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("tk"))
+      .collect().map(_.getSeq[String](0))
+    val uni = scala.collection.mutable.Map[String, Long]()
+    val bg = scala.collection.mutable.Map[(String, String), Long]()
+    toks.foreach { tk =>
+      tk.foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1)
+      tk.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1)); bg(k) = bg.getOrElse(k, 0L) + 1
+      }
+    }
+    val nn = BigInt(uni.values.sum)
+    val expect = bg.toSeq.filter(_._2 >= 20).map { case ((a, b), nab) =>
+      (a, b, nab,
+        ((BigInt(nab) * nn * 1000000) / (BigInt(uni(a)) * uni(b)))
+          .toLong)
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(25)
+    assert(byName.toSeq == expect,
+      s"top-25 mismatch:\n engine=${byName.take(3).mkString(",")}\n driver=${expect.take(3).mkString(",")}")
+  }
+
   test("c36 (transformWithState timers) and c33 (EventTimeTimeout) " +
     "produce the identical attribution rollup") {
     val c33 = SparkEntry.queries("c33_stream_attribution_ttl")(spark, dir)
@@ -195,6 +221,25 @@ class Surface22Spec extends SparkSpec {
       s"twin mismatch:\n c33=${c33.mkString(",")}\n c36=${c36.mkString(",")}")
     assert(c33.exists(_._1 == "(evicted)") &&
       c33.exists(_._1 == "(live_end)"))
+  }
+
+  test("c37: last-3 shares partition each purchase exactly (1e6 u) " +
+    "and the stream's conversions sum to the purchase count") {
+    import graft.streaming.Attribution.last3Shares
+    val cases = Seq(Seq(), Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("a", "a", "b"), Seq("x", "x", "x"), Seq("a", "b", "c", "d"))
+    cases.foreach { r =>
+      assert(last3Shares(r, 100).map(_.w).sum == 1000000L,
+        s"shares for $r don't sum to 1e6")
+    }
+    assert(last3Shares(Seq("a", "a", "b"), 1).find(_.touch_type == "a")
+      .get.w == 800000L)
+    val rows = SparkEntry.queries("c37_stream_last3")(spark, dir)
+      .collect()
+    val nPurch = graft.queries.Tables.events(spark, dir)
+      .where(col("event_type") === "purchase").count()
+    assert(math.abs(rows.map(_.getDouble(1)).sum - nPurch) < 1e-6,
+      s"conversions ${rows.map(_.getDouble(1)).sum} != purchases $nPurch")
   }
 
   test("e114: tau_b in [-1,1]; C/D match a driver-side O(n^2) recount") {
