@@ -186,6 +186,29 @@ object Surface22Queries {
             .as("attributed_value"))
     }),
 
+    // The q110/c34 multi-touch semantics on transformWithState's MAP
+    // STATE — completing the successor API's primitive coverage (c23
+    // ValueState, c36 timers, c37 ListState): per-channel counters as
+    // point-updated map entries, first/last/second-last as a
+    // ValueState, SAME oracle as q110 and c34 — three judged
+    // implementations of one semantic (batch window, fMGWS state
+    // walk, TWS map state). Shares the staged c34 feed.
+    "c38_stream_multitouch_map" -> ((s, dir) => {
+      val b = EventFeed.build(s, dir, "graft-c34-", perCampaign = false,
+        windowOf = (_, _) => 0L, sentinelGaps = Seq.empty)
+      val res = withRocksDb(s) {
+        EventFeed.runStream(s, b,
+          (in: org.apache.spark.sql.Dataset[
+              graft.streaming.Attribution.EvW]) =>
+            graft.streaming.Attribution.multiTouchMapStream(in))
+      }
+      res.groupBy(col("touch_type"))
+        .agg((sum(col("w")).cast("double") / lit(1000000.0))
+            .as("conversions"),
+          (sum(col("mc")).cast("double") / lit(100000000.0))
+            .as("attributed_value"))
+    }),
+
     // TRIMMED and WINSORIZED means (10% each side) per group — the
     // robust central-tendency pair (trim drops the tails, winsorize
     // clamps them to the cut values), computed EXACTLY from the same
@@ -529,6 +552,9 @@ object Surface22Queries {
     // timer-fire-time label rule makes the same oracle exact
     "c36_stream_attribution_tws" ->
       Surface20Queries.oracles("c33_stream_attribution_ttl"),
+    // third judged implementation of the q110/c34 semantic, one oracle
+    "c38_stream_multitouch_map" ->
+      Surface20Queries.oracles("q110_multitouch"),
 
     // last-3 recency weights replayed relationally: the 2nd/3rd most
     // recent prior touches come from the chained per-touch-row

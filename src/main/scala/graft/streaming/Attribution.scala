@@ -280,6 +280,69 @@ object Attribution {
       }
   }
 
+  /** The q110/c34 position-based multi-touch walk on
+    * `transformWithState`'s MAP STATE — the last of the successor
+    * API's state primitives (c23 ValueState, c36 timers, c37
+    * ListState): the per-channel touch counters live as a MapState
+    * whose entries are POINT-updated (`updateValue` per channel
+    * touched in the batch — at scale, one store write per touched
+    * channel instead of rewriting a whole counters blob), while the
+    * first/last/second-last touch summary stays a ValueState. Same
+    * exact-integer µ-shares, judged against the SAME oracle as
+    * q110/c34 — three implementations, one semantic.
+    */
+  class MultiTouchMapProcessor
+      extends StatefulProcessor[Long, EvW, MTCredit] {
+    @transient private var fls: ValueState[(String, String, String)] = _
+    @transient private var cnts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      fls = getHandle.getValueState("fls",
+        Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING),
+        TTLConfig.NONE)
+      cnts = getHandle.getMapState("cnts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, it: Iterator[EvW],
+        tv: TimerValues): Iterator[MTCredit] =
+      if (uid < 0L) { it.foreach(_ => ()); Iterator.empty }
+      else {
+        var (ft, lt, slt) =
+          if (fls.exists()) fls.get() else (null: String, null: String,
+            null: String)
+        val local = scala.collection.mutable.Map[String, Long]()
+        def cnt(t: String): Long = local.getOrElse(t,
+          if (cnts.exists() && cnts.containsKey(t)) cnts.getValue(t)
+          else 0L)
+        val out = Seq.newBuilder[MTCredit]
+        it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          if (e.event_type == "purchase") {
+            val m = touchTypes.map(t => t -> cnt(t)).toMap
+            out ++= creditShares(m.valuesIterator.sum, ft, lt, slt, m,
+              math.round(e.value * 100))
+          } else {
+            if (ft == null) ft = e.event_type
+            slt = lt
+            lt = e.event_type
+            local(e.event_type) = cnt(e.event_type) + 1L
+          }
+        }
+        if (ft != null) fls.update((ft, lt, slt))
+        local.foreach { case (t, n) => cnts.updateValue(t, n) }
+        out.result().iterator
+      }
+  }
+
+  def multiTouchMapStream(events: Dataset[EvW]): Dataset[MTCredit] = {
+    implicit val evEnc = Encoders.product[EvW]
+    implicit val outEnc = Encoders.product[MTCredit]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new MultiTouchMapProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def last3Stream(events: Dataset[EvW]): Dataset[MTCredit] = {
     implicit val evEnc = Encoders.product[EvW]
     implicit val outEnc = Encoders.product[MTCredit]

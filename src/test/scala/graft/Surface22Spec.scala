@@ -242,6 +242,17 @@ class Surface22Spec extends SparkSpec {
       s"conversions ${rows.map(_.getDouble(1)).sum} != purchases $nPurch")
   }
 
+  test("c38 (MapState), c34 (fMGWS walk), and q110 (batch window) " +
+    "produce the identical multi-touch rollup") {
+    def roll(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val c38 = roll("c38_stream_multitouch_map")
+    assert(c38 == roll("c34_stream_multitouch"),
+      "MapState vs fMGWS mismatch")
+    assert(c38 == roll("q110_multitouch"), "MapState vs batch mismatch")
+  }
+
   test("e114: tau_b in [-1,1]; C/D match a driver-side O(n^2) recount") {
     val rows = SparkEntry.queries("e114_kendall")(spark, dir).collect()
     assert(rows.length == 3)
