@@ -3,8 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-13 wave: the tokenizer trains for real and the rank-
-  * correlation pair completes.
+/** Round-13 wave: the tokenizer trains (and applies) for real, the
+  * rank-correlation pair completes, the robust/concentration
+  * statistics land on the shared rank-span fixture, and the
+  * `transformWithState` successor API reaches full judged primitive
+  * coverage.
   *
   *  - `e113_bpe_train` — ITERATIVE BPE merge training: N real merge
   *    rounds over the corpus word histogram, each round counting
@@ -20,6 +23,9 @@ import org.apache.spark.sql.functions._
   *    histogram (the checkpoint a tokenizer-training pipeline
   *    persists); every merge round then runs on the type frame,
   *    whose cardinality is vocabulary-bounded, not corpus-bounded.
+  *  - `e115_bpe_apply` — the trained merge table applied back to the
+  *    type frame; fertility / segmentation stats (the vocab-sizing
+  *    report).
   *  - `e114_kendall` — Kendall's tau-b rank correlation per group,
   *    completing the rank-correlation pair with e106's Spearman:
   *    concordant/discordant pairs come from the JOINT (x, y) value
@@ -28,6 +34,19 @@ import org.apache.spark.sql.functions._
   *    sub-thousand-row frame, never of rows. All sufficient
   *    statistics are exact integers (decimal-38 sums — the ×10
   *    overflow lesson); tau-b is ONE final double formula.
+  *  - `q115_gini` / `q117_trimmed_mean` — concentration and robust
+  *    central tendency assembled EXACTLY from the staged rank spans
+  *    (span (lo,hi) algebra; integer cent sums); `q116_acf` — lag-k
+  *    autocorrelation of the calendar-bounded daily series;
+  *    `e116_benford` — first-digit law audit with compile-time
+  *    literal expectations (no log on any data path);
+  *    `e117_collocations` — lift-ranked keyphrase mining (PMI's
+  *    order without a logarithm, exact-integer rank key).
+  *  - `c36`/`c37`/`c38` — the `transformWithState` successor API's
+  *    remaining state primitives, each judged against an EXISTING
+  *    oracle as a twin: event-time timers (c36 = c33's semantics),
+  *    ListState (c37, bounded last-3 log), MapState (c38 = the
+  *    q110/c34 semantic — three implementations, one oracle).
   */
 object Surface22Queries {
   import Tables._
