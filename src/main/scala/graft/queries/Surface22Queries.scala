@@ -126,11 +126,16 @@ object Surface22Queries {
     // Lag-k AUTOCORRELATION of the daily event-count series — the
     // time-series seasonality probe an ingest-monitoring pass runs
     // (lag-1 ≈ day-over-day persistence; a weekly cycle shows at
-    // lag-7 on longer feeds). One corpus pass to the daily counts (a
-    // days-sized frame), then each lag is a self-join on d + k over
-    // that tiny frame with exact integer moment sums and Pearson's
-    // ONE closed-form double — partition-invariant at any scale
-    // because the series length is calendar-bounded, not row-bounded.
+    // lag-7 on longer feeds). Complements `e98_acf` (per-event-type
+    // lag-1 via row-order lag): this is the WHOLE-stream series at
+    // lags 1/2/3 with CALENDAR-exact alignment — pairs join on
+    // d + k days, so a missing day breaks the pair instead of
+    // silently lagging across the gap, the correct monitor semantics
+    // for sparse ingest calendars. One corpus pass to the daily
+    // counts (a days-sized frame), then each lag is a self-join on
+    // d + k over that tiny frame with exact integer moment sums and
+    // Pearson's ONE closed-form double — partition-invariant at any
+    // scale because the series length is calendar-bounded.
     "q116_acf" -> ((s, dir) => {
       val daily = events(s, dir)
         .groupBy(to_date(col("ts")).as("d"))
