@@ -146,18 +146,15 @@ object CdcQueries {
     // the oracle is a plain UNION ALL with a NULL literal.
     "c15_schema_evolution" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val fix = Stage.durableDir("feed-c15", dir, "_FEED_OK") { stage =>
-        val tbl = stage.resolve("tbl").toString
+      // durableChunkFeed appends both generations into ONE dir (the
+      // CDC-sink table under schema drift); mtime pinning is
+      // irrelevant here (batch read) but harmless
+      val tbl = Stage.durableChunkFeed("feed-c15", dir)(Seq(
         c.where(col("c_custkey") % 2 === 0)
-          .select("c_custkey", "c_name", "c_acctbal")
-          .write.mode("append").parquet(tbl)
+          .select("c_custkey", "c_name", "c_acctbal"),
         c.where(col("c_custkey") % 2 === 1)
-          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-          .write.mode("append").parquet(tbl)
-        java.nio.file.Files.write(stage.resolve("_FEED_OK"),
-          Array.emptyByteArray)
-      }
-      s.read.option("mergeSchema", "true").parquet(s"$fix/tbl")
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")))
+      s.read.option("mergeSchema", "true").parquet(tbl)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
     }),
 

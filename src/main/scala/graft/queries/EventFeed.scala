@@ -58,7 +58,17 @@ object EventFeed {
     // publish rename preserves them), so arrival order is identical
     // on every reuse. Checkpoints/output stay per-run in [[Stage
     // .tempDir]] — only the input files are shared.
-    val fix = Stage.durableDir(s"feed-${tmpPrefix.stripSuffix("-")}",
+    // the fixture key folds in a digest of the STATIC parameters the
+    // staged bytes depend on (perCampaign changes the data, windowOf
+    // and sentinelGaps the sentinel rows) — editing a caller's
+    // parameters can never silently serve the stale feed. windowOf is
+    // a function, so it is characterized by probing at two fixed
+    // spans; any formula edit that changes either probe re-keys.
+    val pdig = (s"$perCampaign|${sentinelGaps.mkString(",")}|" +
+      s"${windowOf(0L, 3000000L)}|${windowOf(0L, 86400000000L)}")
+      .hashCode & 0x7fffffff
+    val fix = Stage.durableDir(
+        s"feed-${tmpPrefix.stripSuffix("-")}-p${pdig.toHexString}",
         dir, "_FEED_OK") { stage =>
       val kCol =
         if (perCampaign) get_json_object(col("props"), "$.k").cast("long")

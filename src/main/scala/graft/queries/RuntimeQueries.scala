@@ -289,18 +289,13 @@ object RuntimeQueries {
       val ev = Tables.events(s, dir)
       val tmp = Stage.tempDir("graft-c11-").toString
       val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-      val fix = Stage.durableDir("feed-c11", dir, "_FEED_OK") { stage =>
-        ev.where(col("event_type") === "view")
+      val fix = Stage.durableSplitFeed("feed-c11", dir)(Seq(
+        "views" -> ev.where(col("event_type") === "view")
           .select(col("ts").as("v_ts"), col("event_id").as("v_event_id"),
-            col("user_id"))
-          .coalesce(1).write.parquet(stage.resolve("views").toString)
-        ev.where(col("event_type") === "click")
+            col("user_id")),
+        "clicks" -> ev.where(col("event_type") === "click")
           .select(col("ts").as("c_ts"), col("event_id").as("c_event_id"),
-            col("user_id"))
-          .coalesce(1).write.parquet(stage.resolve("clicks").toString)
-        java.nio.file.Files.write(stage.resolve("_FEED_OK"),
-          Array.emptyByteArray)
-      }
+            col("user_id"))))
       val vDir = s"$fix/views"; val cDir = s"$fix/clicks"
       val tsT = org.apache.spark.sql.types.TimestampType
       val longT = org.apache.spark.sql.types.LongType
@@ -498,18 +493,13 @@ object RuntimeQueries {
       val ev = Tables.events(s, dir)
       val tmp = Stage.tempDir("graft-c22-").toString
       val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-      val fix = Stage.durableDir("feed-c22", dir, "_FEED_OK") { stage =>
-        ev.where(col("event_type") === "view")
+      val fix = Stage.durableSplitFeed("feed-c22", dir)(Seq(
+        "views" -> ev.where(col("event_type") === "view")
           .select(col("ts").as("v_ts"), col("event_id").as("v_event_id"),
-            col("user_id"))
-          .coalesce(1).write.parquet(stage.resolve("views").toString)
-        ev.where(col("event_type") === "click")
+            col("user_id")),
+        "clicks" -> ev.where(col("event_type") === "click")
           .select(col("ts").as("c_ts"), col("event_id").as("c_event_id"),
-            col("user_id"))
-          .coalesce(1).write.parquet(stage.resolve("clicks").toString)
-        java.nio.file.Files.write(stage.resolve("_FEED_OK"),
-          Array.emptyByteArray)
-      }
+            col("user_id"))))
       val vDir = s"$fix/views"; val cDir = s"$fix/clicks"
       val tsT = org.apache.spark.sql.types.TimestampType
       val longT = org.apache.spark.sql.types.LongType

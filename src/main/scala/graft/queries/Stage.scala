@@ -191,28 +191,47 @@ object Stage {
     path
   }
 
+  /** Digest of the ANALYZED plans behind a set of frames, folded into
+    * a fixture key: the testdata fingerprint invalidates a fixture
+    * when the SOURCE changes, this invalidates it when the QUERY's
+    * own derivation changes (a cut timestamp, a chunk count, a
+    * projection) — without it, editing a feed's parameters would
+    * silently keep serving the stale staged content. `semanticHash`
+    * runs on the canonicalized plan (normalized expression ids), so
+    * the digest is stable across JVMs for the same derivation and
+    * costs only plan analysis (milliseconds), never execution.
+    */
+  private def planDigest(frames: Seq[DataFrame]): String = {
+    val h = frames.foldLeft(17) { (acc, df) =>
+      acc * 31 + df.queryExecution.analyzed.semanticHash()
+    }
+    (h & 0x7fffffff).toHexString
+  }
+
   /** Durable pre-written STREAM-FEED fixture: the chunk DataFrames are
-    * written once per (name × sf × testdata fingerprint) as one
-    * coalesced file each with PINNED ascending mtimes (the file
-    * source's arrival order — previously implied by sequential write
-    * times, now an explicit property of the staged content that the
-    * publish rename preserves), and every later run re-reads the
-    * published feed. Feed construction was charged to EVERY streaming
-    * query run (a filtered pass + single-threaded write per chunk —
-    * at ×100 it dominated the query itself); it is a pure function of
-    * the source table and static parameters, so it belongs in the
-    * durable tier with the media and rank-span fixtures. `chunks` is
-    * by-name: on reuse the DataFrames are never built. Checkpoints
-    * and outputs stay per-run in [[tempDir]].
+    * written once per (name × sf × testdata fingerprint × chunk-plan
+    * digest) as one coalesced file each with PINNED ascending mtimes
+    * (the file source's arrival order — previously implied by
+    * sequential write times, now an explicit property of the staged
+    * content that the publish rename preserves), and every later run
+    * re-reads the published feed. Feed construction was charged to
+    * EVERY streaming query run (a filtered pass + single-threaded
+    * write per chunk — at ×100 it dominated the query itself); it is
+    * a pure function of the source table and the chunk derivations,
+    * both of which the key now covers. `chunks` is by-name: reuse
+    * still builds the (lazy) DataFrames to compute the plan digest,
+    * but never executes them. Checkpoints and outputs stay per-run in
+    * [[tempDir]].
     */
   def durableChunkFeed(name: String, dir: String)
-                      (chunks: => Seq[DataFrame]): String =
-    durableDir(name, dir, "_FEED_OK") { stage =>
+                      (chunks: => Seq[DataFrame]): String = {
+    val cs = chunks
+    durableDir(s"$name-p${planDigest(cs)}", dir, "_FEED_OK") { stage =>
       val feed = stage.resolve("feed")
       val fdir = feed.toFile
       val stamped = scala.collection.mutable.Set[String]()
       var idx = 0
-      chunks.foreach { c =>
+      cs.foreach { c =>
         c.coalesce(1).write.mode("append").parquet(feed.toString)
         fdir.listFiles().foreach { f =>
           val n = f.getName
@@ -228,6 +247,27 @@ object Stage {
       java.nio.file.Files.write(stage.resolve("_FEED_OK"),
         Array.emptyByteArray)
     }.resolve("feed").toString
+  }
+
+  /** Durable MULTI-SIDED feed fixture (two-or-more named input dirs —
+    * the stream-stream join shape): each side is written once under
+    * `<fixture>/<sideName>`, keyed like [[durableChunkFeed]] by the
+    * sides' plan digest so parameter edits can never serve a stale
+    * feed. Returns the fixture root; side paths are
+    * `s"$root/<sideName>"`.
+    */
+  def durableSplitFeed(name: String, dir: String)
+                      (sides: => Seq[(String, DataFrame)]): String = {
+    val ss = sides
+    durableDir(s"$name-p${planDigest(ss.map(_._2))}", dir, "_FEED_OK") {
+      stage =>
+        ss.foreach { case (sub, df) =>
+          df.coalesce(1).write.parquet(stage.resolve(sub).toString)
+        }
+        java.nio.file.Files.write(stage.resolve("_FEED_OK"),
+          Array.emptyByteArray)
+    }.toString
+  }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

