@@ -276,6 +276,26 @@ object Surface22Queries {
             .as("winsorized_mean"))
     }),
 
+    // BOWLEY (quartile) skewness + IQR per group — the robust shape
+    // statistic that pairs with q113's MAD and q117's trimmed means:
+    // quartiles by the contains-rank rule over the SAME staged span
+    // frame (rank k = ceil(p·n) via exact integral division), then
+    // two closed-form doubles. One narrow scan, one group agg, no new
+    // corpus pass.
+    "q118_bowley" -> ((s, dir) => {
+      import graft.operators.Quantiles.ldiv
+      graft.operators.Quantiles.selectRanks(
+          StatsQueries.priceSpans(s, dir),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq("q1" -> (c => ldiv(c + 3, 4L)),
+            "q2" -> (c => ldiv(c + 1, 2L)),
+            "q3" -> (c => ldiv(c * 3 + 3, 4L))))
+        .select(col("l_returnflag"), col("q1"), col("q2"), col("q3"),
+          (col("q3") - col("q1")).as("iqr"),
+          ((col("q3") + col("q1") - lit(2.0) * col("q2")) /
+            (col("q3") - col("q1"))).as("bowley"))
+    }),
+
     // BENFORD first-digit audit — the fraud/synthetic-data smell test
     // a data-quality pass runs on value columns: observed first-digit
     // frequencies against Benford's log-law expectation. The digit is
@@ -728,6 +748,34 @@ object Surface22Queries {
                 CAST(round(hi_val * 100) AS HUGEINT)) AS DOUBLE) /
              100.0 / CAST(n AS DOUBLE) AS winsorized_mean
          FROM tm JOIN bv USING (l_returnflag)""",
+
+    // quartiles by the contains-rank rule (smallest value whose
+    // cumulative count reaches ceil(p·n)), then the same two double
+    // expressions as the Spark side.
+    "q118_bowley" ->
+      """WITH h AS (
+           SELECT l_returnflag, l_extendedprice, count(*) AS cnt
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY 1, 2),
+         sp AS (
+           SELECT l_returnflag, l_extendedprice,
+             SUM(cnt) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS nn
+           FROM h),
+         q AS (
+           SELECT l_returnflag,
+             min(CASE WHEN hi >= (nn + 3) // 4
+               THEN l_extendedprice END) AS q1,
+             min(CASE WHEN hi >= (nn + 1) // 2
+               THEN l_extendedprice END) AS q2,
+             min(CASE WHEN hi >= (nn * 3 + 3) // 4
+               THEN l_extendedprice END) AS q3
+           FROM sp GROUP BY 1)
+         SELECT l_returnflag, q1, q2, q3, q3 - q1 AS iqr,
+           (q3 + q1 - 2.0 * q2) / (q3 - q1) AS bowley
+         FROM q""",
 
     // Pearson over the lag-aligned daily count pairs: integer moment
     // sums, one closed-form double — same expression text as Spark.

@@ -172,6 +172,25 @@ class Surface22Spec extends SparkSpec {
     }
   }
 
+  test("q118: quartiles match a driver-side sorted selection; " +
+    "bowley in [-1,1] and iqr consistent") {
+    val rows = SparkEntry.queries("q118_bowley")(spark, dir).collect()
+    val li = graft.queries.Tables.t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    rows.foreach { r =>
+      val xs = li.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = xs.length
+      def at(k: Int) = xs(k - 1)
+      assert(r.getDouble(1) == at((n + 3) / 4) &&
+        r.getDouble(2) == at((n + 1) / 2) &&
+        r.getDouble(3) == at((3 * n + 3) / 4),
+        s"${r.getString(0)}: quartile mismatch")
+      assert(r.getDouble(4) == r.getDouble(3) - r.getDouble(1))
+      assert(math.abs(r.getDouble(5)) <= 1.0)
+    }
+  }
+
   test("e116: digit counts cover the table, probabilities sum to 1, " +
     "expected matches the Benford law") {
     val rows = SparkEntry.queries("e116_benford")(spark, dir).collect()
