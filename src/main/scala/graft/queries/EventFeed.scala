@@ -62,13 +62,23 @@ object EventFeed {
     // staged bytes depend on (perCampaign changes the data, windowOf
     // and sentinelGaps the sentinel rows) — editing a caller's
     // parameters can never silently serve the stale feed. windowOf is
-    // a function, so it is characterized by probing at two fixed
-    // spans; any formula edit that changes either probe re-keys.
-    val pdig = (s"$perCampaign|${sentinelGaps.mkString(",")}|" +
-      s"${windowOf(0L, 3000000L)}|${windowOf(0L, 86400000000L)}")
-      .hashCode & 0x7fffffff
+    // a function, so it is characterized by probing it at FOUR spans:
+    // two small fixed ones, one at the realistic multi-day scale an
+    // actual events feed spans, and one with a NONZERO lo (a formula
+    // that reads lo is invisible to lo=0 probes). A non-affine edit
+    // would have to agree at all four probe points to slip through,
+    // and the digest is a truncated MD5, not a 32-bit String.hashCode,
+    // so accidental collisions between candidate formulas are out.
+    val probeStr = s"$perCampaign|${sentinelGaps.mkString(",")}|" +
+      Seq((0L, 3000000L), (0L, 86400000000L),
+        (0L, 30L * 86400000000L),
+        (1700000000000000L, 1700000000000000L + 7L * 86400000000L))
+        .map { case (lo, hi) => windowOf(lo, hi) }.mkString("|")
+    val pdig = java.security.MessageDigest.getInstance("MD5")
+      .digest(probeStr.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     val fix = Stage.durableDir(
-        s"feed-${tmpPrefix.stripSuffix("-")}-p${pdig.toHexString}",
+        s"feed-${tmpPrefix.stripSuffix("-")}-p$pdig",
         dir, "_FEED_OK") { stage =>
       val kCol =
         if (perCampaign) get_json_object(col("props"), "$.k").cast("long")

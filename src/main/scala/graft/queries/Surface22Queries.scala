@@ -51,12 +51,25 @@ import org.apache.spark.sql.functions._
 object Surface22Queries {
   import Tables._
 
-  /** Number of BPE merge rounds e113 trains (enough for the merge
-    * table to leave the two-character regime and show real chaining
-    * — merged symbols winning later rounds — while each round is one
-    * type-frame aggregate).
+  /** Number of BPE merge rounds e113 trains — deep enough (32) that
+    * the merge table is well past the two-character regime (merged
+    * symbols winning later rounds, chains of chains) and that the
+    * trainer's linearized state lineage is actually exercised: each
+    * round is one type-frame aggregate, and the symbol state is
+    * checkpointed every [[bpeCheckpointEvery]] merges so per-round
+    * cost is flat in the round index (see [[bpeMerges]]).
     */
-  val bpeIters = 8
+  val bpeIters = 32
+
+  /** Checkpoint cadence for the trainer's symbol state. Without the
+    * cut, round k's aggregate re-executes replaces 1..k−1 over the
+    * type frame — O(k²) total replace work and a lineage the analyzer
+    * re-walks per round; with it, replay since the last cut is
+    * bounded by the cadence, so training is linear in the merge
+    * count. 16 trades replay (≤16 replaces, all narrow map steps)
+    * against staged-parquet writes.
+    */
+  val bpeCheckpointEvery = 16
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e113_bpe_train" -> ((s, dir) => {
@@ -292,8 +305,14 @@ object Surface22Queries {
             "q3" -> (c => ldiv(c * 3 + 3, 4L))))
         .select(col("l_returnflag"), col("q1"), col("q2"), col("q3"),
           (col("q3") - col("q1")).as("iqr"),
-          ((col("q3") + col("q1") - lit(2.0) * col("q2")) /
-            (col("q3") - col("q1"))).as("bowley"))
+          // NULL (not ±Inf/NaN) on a degenerate group whose q1 = q3
+          // (all mass at one value): skewness of a point mass is
+          // undefined, and a guard is robust across engines where
+          // matching IEEE-division text is merely lucky. Oracle
+          // mirrors with NULLIF.
+          when(col("q3") =!= col("q1"),
+            (col("q3") + col("q1") - lit(2.0) * col("q2")) /
+              (col("q3") - col("q1"))).as("bowley"))
     }),
 
     // BENFORD first-digit audit — the fraud/synthetic-data smell test
@@ -328,22 +347,32 @@ object Surface22Queries {
     // PMI (log is monotone) with NO logarithm anywhere — the rank key
     // is the exact integer floor((n_ab·N·1e6) / (n_a·n_b)) in
     // DECIMAL/HUGEINT (n_ab·N·1e6 overflows long at ×100), so the
-    // top-k frontier is bit-deterministic cross-engine. Plan: the
-    // unigram and bigram histograms (both map-side combinable), two
-    // vocab-sized hash joins, TakeOrdered(25) — the corpus is scanned
-    // twice and nothing row-sized is ever joined.
+    // top-k frontier is bit-deterministic cross-engine. Plan: ONE
+    // corpus scan builds the joint successor histogram (arrays_zip
+    // null-pads the shorter slice, so each document-final token
+    // contributes a (t, null) row — every token occurrence appears
+    // exactly once as t1); the unigram histogram is then a VOCAB-
+    // sized re-agg of the joint frame, never a second corpus pass.
+    // The joint histogram is durably staged (three downstream slices
+    // read it, and it is exactly the n-gram checkpoint a corpus
+    // pipeline persists between jobs); everything after it is
+    // vocab-bounded hash joins + TakeOrdered(25).
     "e117_collocations" -> ((s, dir) => {
       val tk = graft.operators.TextAnalysis.tokens(col("text"))
-      val docs = tBalanced(s, dir, "documents")
-      val uni = docs.select(explode(tk).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("n"))
+      val hist = Stage.durableFrame(s, "e117-joint-hist", dir) {
+        tBalanced(s, dir, "documents")
+          .select(explode(arrays_zip(
+            tk.as("t1"),
+            slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))
+              .as("t2"))).as("p"))
+          .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+      }
+      val uni = hist.groupBy(col("t1").as("t"))
+        .agg(sum(col("n")).as("n"))
       val tot = uni.agg(sum(col("n")).as("nn"))
-      val bg = docs
-        .select(explode(arrays_zip(
-          slice(tk, lit(1), size(tk) - 1).as("t1"),
-          slice(tk, lit(2), size(tk) - 1).as("t2"))).as("b"))
-        .select(col("b.t1").as("t1"), col("b.t2").as("t2"))
-        .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      val bg = hist.where(col("t2").isNotNull)
+        .select(col("t1"), col("t2"), col("n").as("n_ab"))
         .where(col("n_ab") >= 20)
       bg.join(uni.select(col("t").as("t1"), col("n").as("n_a")), "t1")
         .join(uni.select(col("t").as("t2"), col("n").as("n_b")), "t2")
@@ -498,6 +527,16 @@ object Surface22Queries {
       out += ((k.toLong, a, b, n))
       state = state.withColumn("s",
         replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+      // linearize the state lineage: cut it to staged parquet every
+      // bpeCheckpointEvery merges (per-JVM stage — the durable
+      // artifact is the merge TABLE in trainedMerges; replaying ≤16
+      // narrow replaces per JVM is cheaper than another fixture
+      // family). The key folds in the testdata dir so two dirs never
+      // share a cut.
+      if (k % bpeCheckpointEvery == 0 && k < iters) {
+        val cut = state
+        state = Stage.frame(s, s"bpe-state-$dir-$k", "graft-bpe-")(cut)
+      }
     }
     out.result()
   }
@@ -520,8 +559,10 @@ object Surface22Queries {
                FROM (SELECT str_split(trim(s, ' '), '  ') AS tk, cnt
                      FROM st${i - 1}))
          GROUP BY 1, 2),
-       top$i AS (SELECT a, b, n FROM pc$i ORDER BY n DESC, a, b LIMIT 1),
-       st$i AS (SELECT replace(s, ' ' || t.a || '  ' || t.b || ' ',
+       top$i AS MATERIALIZED (
+         SELECT a, b, n FROM pc$i ORDER BY n DESC, a, b LIMIT 1),
+       st$i AS MATERIALIZED (
+         SELECT replace(s, ' ' || t.a || '  ' || t.b || ' ',
            ' ' || t.a || t.b || ' ') AS s, cnt
          FROM st${i - 1}, top$i t)"""
 
@@ -536,7 +577,7 @@ object Surface22Queries {
          SELECT tk AS word, count(*) AS cnt
          FROM (SELECT unnest($tokensSql) AS tk FROM documents)
          WHERE len(tk) >= 2 GROUP BY tk),
-       st0 AS (
+       st0 AS MATERIALIZED (
          SELECT '  ' || array_to_string(list_transform(
              range(1, len(word) + 1),
              i -> substr(word, CAST(i AS INT), 1)), '  ') || '  ' AS s,
@@ -555,7 +596,7 @@ object Surface22Queries {
          SELECT tk AS word, count(*) AS cnt
          FROM (SELECT unnest($tokensSql) AS tk FROM documents)
          WHERE len(tk) >= 2 GROUP BY tk),
-       st0 AS (
+       st0 AS MATERIALIZED (
          SELECT '  ' || array_to_string(list_transform(
              range(1, len(word) + 1),
              i -> substr(word, CAST(i AS INT), 1)), '  ') || '  ' AS s,
@@ -774,7 +815,7 @@ object Surface22Queries {
                THEN l_extendedprice END) AS q3
            FROM sp GROUP BY 1)
          SELECT l_returnflag, q1, q2, q3, q3 - q1 AS iqr,
-           (q3 + q1 - 2.0 * q2) / (q3 - q1) AS bowley
+           (q3 + q1 - 2.0 * q2) / NULLIF(q3 - q1, 0) AS bowley
          FROM q""",
 
     // Pearson over the lag-aligned daily count pairs: integer moment

@@ -56,11 +56,16 @@ object Attribution {
     * exactly that integer arithmetic.
     *
     * Evictions are AUDITED in-band: each timeout emits one zero-value
-    * row labeled `(evicted)` while the stream is inside its data range
-    * (watermark ≤ `drainAfterMs`) or `(live_end)` during the final
-    * drain — so `(evicted)` + `(live_end)` counts partition the
+    * row labeled from the timer's own FIRE TIME — `(evicted)` when
+    * `fireMs < drainAfterMs` (the touch expired inside the data
+    * range), `(live_end)` otherwise (it was still claimable at data
+    * end) — so `(evicted)` + `(live_end)` counts partition the
     * touched-entity population and the state-store size is judged, not
-    * asserted. Rows with `user_id < 0` are watermark-bearing sentinels
+    * asserted. Fire time, not the watermark at fire time: WHICH batch
+    * a timeout fires in depends on batch boundaries; the fire time
+    * doesn't, so the labels are batch-invariant and all three eviction
+    * paths (timeout, inline stale-touch guard, c36's timer twin) share
+    * one rule. Rows with `user_id < 0` are watermark-bearing sentinels
     * (they advance event time so timeouts fire deterministically) and
     * never create state.
     */
@@ -373,9 +378,16 @@ object Attribution {
         GroupStateTimeout.EventTimeTimeout) {
         (key: (Long, Long), it: Iterator[EvW], state: GroupState[Touch]) =>
           if (state.hasTimedOut) {
+            // label from the TIMER'S OWN fire time (recomputed from the
+            // retained touch — fMGWS doesn't expose the registered
+            // timestamp, but setTimeoutTimestamp below used this exact
+            // formula), not the watermark at fire time: WHICH batch a
+            // timeout fires in depends on batch boundaries, the fire
+            // time doesn't — same batch-invariance rule as the c36
+            // twin's ExpiredTimerInfo.getExpiryTimeInMs.
+            val fireMs = (state.get.ts_us + windowUs) / 1000L
             val label =
-              if (state.getCurrentWatermarkMs() > drainAfterMs) "(live_end)"
-              else "(evicted)"
+              if (fireMs < drainAfterMs) "(evicted)" else "(live_end)"
             state.remove()
             Iterator.single(Attributed(label, 0.0))
           } else if (key._1 < 0L) {
@@ -414,9 +426,13 @@ object Attribution {
               val fireMs = (t.ts_us + windowUs) / 1000L
               if (fireMs <= state.getCurrentWatermarkMs()) {
                 state.remove()
+                // same fire-time label rule as the timeout path above
+                // and the c36 twin: a guard-path eviction whose fireMs
+                // predates the drain boundary is "(evicted)" even when
+                // the watermark has already passed drainAfterMs.
                 out += Attributed(
-                  if (state.getCurrentWatermarkMs() > drainAfterMs)
-                    "(live_end)" else "(evicted)", 0.0)
+                  if (fireMs < drainAfterMs) "(evicted)" else "(live_end)",
+                  0.0)
               } else {
                 state.update(t)
                 state.setTimeoutTimestamp(fireMs)
