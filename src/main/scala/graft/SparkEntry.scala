@@ -30,7 +30,8 @@ object SparkEntry {
       Surface13Queries.all ++ Surface14Queries.all ++ Surface15Queries.all ++
       Surface16Queries.all ++ Surface17Queries.all ++
       Surface18Queries.all ++ Surface19Queries.all ++ Surface20Queries.all ++
-      Surface21Queries.all ++ Surface22Queries.all
+      Surface21Queries.all ++ Surface22Queries.all ++
+      Surface23Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -52,5 +53,6 @@ object SparkEntry {
       Surface15Queries.oracles ++ Surface16Queries.oracles ++
       Surface17Queries.oracles ++ Surface18Queries.oracles ++
       Surface19Queries.oracles ++ Surface20Queries.oracles ++
-      Surface21Queries.oracles ++ Surface22Queries.oracles
+      Surface21Queries.oracles ++ Surface22Queries.oracles ++
+      Surface23Queries.oracles
 }

@@ -212,6 +212,39 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Gradient (difference-hash) perceptual fingerprint over the REAL
+    * decoded raster — the first stage of image dedup at corpus scale:
+    * bit i is set iff pixel i is brighter than pixel i+1, over the
+    * first 16 decoded pixels (so up to 15 bits; rasters shorter than
+    * 16 pixels contribute only their defined comparisons, high bits
+    * zero). Identical-looking images land on identical fingerprints,
+    * so dedup is a map-side-combinable hash groupBy on `fp` — no
+    * pairwise comparison ever touches image bytes. A production dHash
+    * resizes to 9×8 first; the comparison-bitmap shape, the decode
+    * path, and the bucketing plumbing are identical.
+    */
+  case class DHashRow(doc_id: Long, fp: Long)
+
+  def dHash15(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val px = SignalOps.decode(r.kind, r.media)
+        if (px.isEmpty) None
+        else {
+          val m = math.min(px.length, 16)
+          var fp = 0L
+          var i = 0
+          while (i < m - 1) {
+            if ((px(i) & 0xff) > (px(i + 1) & 0xff)) fp |= 1L << i
+            i += 1
+          }
+          Some(DHashRow(r.doc_id, fp))
+        }
+      }
+    }.toDF()
+  }
+
   /** Sampled frames per media row, hex-encoded for judgeable output:
     * the video-ingest shape (decode → fixed-size frames → keep every
     * k-th). Runs per-partition like [[extractFeatures]]; frames stay in

@@ -80,7 +80,12 @@ class PlanAuditSpec extends SparkSpec {
     "e104_mannwhitney" ->
       "crossJoin against the broadcast 1-row sample-size totals",
     "e111_vocab_coverage" ->
-      "Rank.withGlobalRowNumber: broadcast 1-row total-count scalar"
+      "Rank.withGlobalRowNumber: broadcast 1-row total-count scalar",
+    "q121_cusum" ->
+      ("withGlobalCumsums triangular offset join (partitions-sized, " +
+        "broadcast) plus broadcast 1-row (days, total) scalar"),
+    "e119_t_closeness" ->
+      "crossJoin against the broadcast 1-row corpus-total scalar"
   )
 
   /** Built once, shared by the nested-loop and window gates (plan
