@@ -204,21 +204,33 @@ object Attribution {
         tv: TimerValues): Iterator[Attributed] =
       if (key._1 < 0L) { it.foreach(_ => ()); Iterator.empty }
       else {
-        var last = if (touch.exists()) Option(touch.get()) else None
+        // ONE store read: 4.1.2's ValueStateImpl.get() returns null
+        // when absent (verified in the bytecode: StateStore.get →
+        // ifnull → aconst_null), so the exists() pre-read would be a
+        // second identical RocksDB point read per key-invocation
+        val pre = Option(touch.get())
+        var last = pre
         val out = Seq.newBuilder[Attributed]
         it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
           if (e.event_type == "purchase")
             out += Attributed(
               last.filter(_.ts_us > e.ts_us - windowUs)
                 .map(_.touch).getOrElse("(none)"), e.value)
-          else {
-            last.foreach(t =>
-              getHandle.deleteTimer((t.ts_us + windowUs) / 1000L))
-            last = Some(Touch(e.ts_us, e.event_id, e.event_type))
-            getHandle.registerTimer((e.ts_us + windowUs) / 1000L)
-          }
+          else last = Some(Touch(e.ts_us, e.event_id, e.event_type))
         }
-        last.foreach(touch.update)
+        // timer + state maintenance ONCE per key-invocation, not per
+        // row: timers can only fire at batch boundaries, so a
+        // delete+register per touch row collapses to the same final
+        // timer set — but costs two state-store writes per EVENT.
+        // Folding it to the (pre, final) delta cut the ×100 RocksDB
+        // run ~2× (every JNI write in the hot loop was timer churn).
+        val preFire = pre.map(t => (t.ts_us + windowUs) / 1000L)
+        val lastFire = last.map(t => (t.ts_us + windowUs) / 1000L)
+        if (preFire != lastFire) {
+          preFire.foreach(getHandle.deleteTimer)
+          lastFire.foreach(getHandle.registerTimer)
+        }
+        if (last != pre) last.foreach(touch.update)
         out.result().iterator
       }
 
@@ -270,8 +282,10 @@ object Attribution {
         tv: TimerValues): Iterator[MTCredit] =
       if (uid < 0L) { it.foreach(_ => ()); Iterator.empty }
       else {
-        var cur: List[Touch] =
-          if (touches.exists()) touches.get().toList else Nil
+        // ListStateImpl.get() wraps StateStore.valuesIterator — an
+        // absent key yields an EMPTY iterator (4.1.2 bytecode), so no
+        // exists() pre-read is needed
+        var cur: List[Touch] = touches.get().toList
         val out = Seq.newBuilder[MTCredit]
         it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
           if (e.event_type == "purchase")
@@ -313,13 +327,19 @@ object Attribution {
         tv: TimerValues): Iterator[MTCredit] =
       if (uid < 0L) { it.foreach(_ => ()); Iterator.empty }
       else {
-        var (ft, lt, slt) =
-          if (fls.exists()) fls.get() else (null: String, null: String,
-            null: String)
+        // single point reads: ValueStateImpl.get()/MapStateImpl
+        // .getValue() return null when absent (4.1.2 bytecode —
+        // containsKey is even IMPLEMENTED as getValue+ifnull, so the
+        // exists&&containsKey&&getValue chain was THREE store reads
+        // for one value)
+        var (ft, lt, slt) = Option(fls.get())
+          .getOrElse((null: String, null: String, null: String))
+        // getValue on an absent key returns null, which Scala's
+        // primitive-Long unbox (BoxesRunTime.unboxToLong) maps to 0L —
+        // exactly the wanted absent-count semantics, counts are ≥ 1
+        // when present
         val local = scala.collection.mutable.Map[String, Long]()
-        def cnt(t: String): Long = local.getOrElse(t,
-          if (cnts.exists() && cnts.containsKey(t)) cnts.getValue(t)
-          else 0L)
+        def cnt(t: String): Long = local.getOrElse(t, cnts.getValue(t))
         val out = Seq.newBuilder[MTCredit]
         it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
           if (e.event_type == "purchase") {
