@@ -295,6 +295,51 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // ROUGE-1 F₁ audit of the LSH candidate pairs — the
+    // decontamination/summarization-eval metric as a SECOND opinion
+    // on the shingle-set Jaccard (e1_jaccard verifies SET overlap of
+    // word bigrams; this is frequency-CLIPPED unigram overlap, the
+    // ROUGE definition — a doc that repeats a phrase 50× no longer
+    // matches a doc containing it once). The harmonic mean collapses
+    // to the rational 2·ov/(n_a+n_b) (ov = Σ_w min(cnt_a, cnt_b)), so
+    // one exact integer per pair and ONE final division. Plan: the
+    // per-doc token histogram is durably staged (the same checkpoint
+    // the richness stats read corpus-wide); each pair's overlap is an
+    // equi-join on (doc, word) — pair-bounded, never all-pairs.
+    "e121_rouge_audit" -> ((s, dir) => {
+      val pairs = candidatePairs(s, dir)
+      val tokCnt = Stage.durableFrame(s, "doc-token-hist", dir) {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      }
+      val tots = tokCnt.groupBy("doc_id").agg(sum(col("cnt")).as("ntok"))
+      val ov = pairs
+        .join(tokCnt.select(col("doc_id").as("id_a"), col("w"),
+          col("cnt").as("ca")), Seq("id_a"))
+        .join(tokCnt.select(col("doc_id").as("id_b"), col("w"),
+          col("cnt").as("cb")), Seq("id_b", "w"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(least(col("ca"), col("cb"))).as("ov"))
+      pairs
+        .join(ov, Seq("id_a", "id_b"), "left")
+        .join(tots.select(col("doc_id").as("id_a"),
+          col("ntok").as("na")), Seq("id_a"), "left")
+        .join(tots.select(col("doc_id").as("id_b"),
+          col("ntok").as("nb")), Seq("id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("ov"), lit(0L)).as("overlap"),
+          coalesce(col("na"), lit(0L)).as("n_a"),
+          coalesce(col("nb"), lit(0L)).as("n_b"),
+          when(coalesce(col("na"), lit(0L)) +
+              coalesce(col("nb"), lit(0L)) > 0,
+            lit(2.0) * coalesce(col("ov"), lit(0L)).cast("double") /
+              (coalesce(col("na"), lit(0L)) +
+                coalesce(col("nb"), lit(0L))).cast("double"))
+            .as("rouge1_f"))
+    }),
+
     // STREAMING near-dup admission (§2.6 E1 × C6): the staged band
     // keys replayed through the real micro-batch engine in three
     // doc-id-ordered ingest chunks; [[graft.streaming.BandAdmission]]
@@ -879,6 +924,36 @@ object DedupQueries {
           JOIN documents db ON v.id_b = db.doc_id
           WHERE v.jaccard >= 0.3
           GROUP BY 1, 2""",
+    // frequency-clipped unigram overlap per candidate pair; the
+    // harmonic F collapses to 2·ov/(n_a+n_b) — one exact integer, one
+    // final division (CASE mirrors the Spark `when` null-guard)
+    "e121_rouge_audit" ->
+      s"""WITH $shingleCte,
+          $bandPairsCte,
+          tc AS (SELECT doc_id, tk AS w, count(*) AS cnt
+                 FROM (SELECT doc_id, unnest($tokensSql) AS tk
+                       FROM documents)
+                 GROUP BY 1, 2),
+          tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS ntok
+                  FROM tc GROUP BY 1),
+          ov AS (SELECT p.id_a, p.id_b,
+                   CAST(SUM(LEAST(a.cnt, b.cnt)) AS BIGINT) AS ov
+                 FROM pairs p
+                 JOIN tc a ON a.doc_id = p.id_a
+                 JOIN tc b ON b.doc_id = p.id_b AND b.w = a.w
+                 GROUP BY 1, 2)
+          SELECT p.id_a, p.id_b,
+            coalesce(o.ov, 0) AS overlap,
+            coalesce(ta.ntok, 0) AS n_a,
+            coalesce(tb.ntok, 0) AS n_b,
+            CASE WHEN coalesce(ta.ntok, 0) + coalesce(tb.ntok, 0) > 0
+              THEN 2.0 * CAST(coalesce(o.ov, 0) AS DOUBLE) /
+                CAST(coalesce(ta.ntok, 0) + coalesce(tb.ntok, 0)
+                  AS DOUBLE) END AS rouge1_f
+          FROM pairs p
+          LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b
+          LEFT JOIN tot ta ON ta.doc_id = p.id_a
+          LEFT JOIN tot tb ON tb.doc_id = p.id_b""",
     // streaming admission must equal the batch definition: a doc is a
     // near-dup iff some band of it was first seen on a smaller doc id
     "c31_stream_neardup" ->

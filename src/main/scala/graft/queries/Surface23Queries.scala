@@ -23,6 +23,9 @@ import graft.operators.{Multimodal, Quantiles, Rank, TextAnalysis}
   *    (Levene with group medians): medians from the SHARED staged
   *    rank spans, ONE corpus scan for the absolute deviations
   *    (integer cents), F from exact per-group sums.
+  *  - `q122_anova` — one-way ANOVA F, the parametric mean-equality
+  *    member of the same family (q119 nonparametric twin; q120 the
+  *    variance-homogeneity precondition).
   *  - `q121_cusum` — CUSUM excursion of the daily ingest series
   *    (cumulative deviation from the mean rate): the changepoint
   *    monitor a feed-health pass runs; integer excursion numerator
@@ -162,6 +165,47 @@ object Surface23Queries {
         round(d(col("s1_N")) / d(col("n_N")) / lit(100.0), 8).as("mad_n"),
         round(d(col("s1_R")) / d(col("n_R")) / lit(100.0), 8).as("mad_r"),
         round((ssb / lit(2.0)) / (ssw / (nt - lit(3.0))), 8).as("f_stat"))
+    }),
+
+    // One-way ANOVA F — the parametric mean-equality test that pairs
+    // with q119 (its nonparametric twin) and q120 (which tests
+    // VARIANCE homogeneity — ANOVA's precondition — on median
+    // deviations; this tests MEAN location on the raw values). Same
+    // fixed-pivot discipline: per-group n / Σcents / Σcents² as exact
+    // decimals in ONE scan, the F decomposition in one closed-form
+    // double over six scalars.
+    "q122_anova" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)")
+            .as("c"))
+      def n1(f: String) = sum(when(col("l_returnflag") === f, 1L)
+        .otherwise(0L)).as(s"n_$f")
+      def s1(f: String) = sum(when(col("l_returnflag") === f, col("c"))
+        .otherwise(lit(0L))).as(s"s1_$f")
+      def s2(f: String) = sum(when(col("l_returnflag") === f,
+        col("c") * col("c")).otherwise(lit(0L))).as(s"s2_$f")
+      val ag = li.agg(n1("A"), n1("N"), n1("R"),
+        s1("A"), s1("N"), s1("R"), s2("A"), s2("N"), s2("R"))
+      val nt = d(col("n_A") + col("n_N") + col("n_R"))
+      val tA = d(col("s1_A")) * d(col("s1_A")) / d(col("n_A"))
+      val tN = d(col("s1_N")) * d(col("s1_N")) / d(col("n_N"))
+      val tR = d(col("s1_R")) * d(col("s1_R")) / d(col("n_R"))
+      val tot = d(col("s1_A")) + d(col("s1_N")) + d(col("s1_R"))
+      val ssb = tA + tN + tR - tot * tot / nt
+      val ssw = d(col("s2_A")) + d(col("s2_N")) + d(col("s2_R")) -
+        (tA + tN + tR)
+      ag.select(col("n_A").as("n_a"), col("n_N").as("n_n"),
+        col("n_R").as("n_r"),
+        round(d(col("s1_A")) / d(col("n_A")) / lit(100.0), 8)
+          .as("mean_a"),
+        round(d(col("s1_N")) / d(col("n_N")) / lit(100.0), 8)
+          .as("mean_n"),
+        round(d(col("s1_R")) / d(col("n_R")) / lit(100.0), 8)
+          .as("mean_r"),
+        round((ssb / lit(2.0)) / (ssw / (nt - lit(3.0))), 8)
+          .as("f_stat"))
     }),
 
     // CUSUM excursion of the daily ingest-count series — the
@@ -474,6 +518,53 @@ object Surface23Queries {
              AS mad_n,
            round(CAST(s1r AS DOUBLE) / CAST(n_r AS DOUBLE) / 100.0, 8)
              AS mad_r,
+           round((ssb / 2.0) / (ssw / (nt - 3.0)), 8) AS f_stat
+         FROM g""",
+
+    // same pivoted exact-sum discipline as q120, raw cents instead of
+    // median deviations
+    "q122_anova" ->
+      """WITH c AS (
+           SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         ag AS (SELECT
+             CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_n,
+             CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_r,
+             SUM(CASE WHEN l_returnflag='A' THEN c ELSE 0 END) AS s1a,
+             SUM(CASE WHEN l_returnflag='N' THEN c ELSE 0 END) AS s1n,
+             SUM(CASE WHEN l_returnflag='R' THEN c ELSE 0 END) AS s1r,
+             SUM(CASE WHEN l_returnflag='A' THEN c*c ELSE 0 END) AS s2a,
+             SUM(CASE WHEN l_returnflag='N' THEN c*c ELSE 0 END) AS s2n,
+             SUM(CASE WHEN l_returnflag='R' THEN c*c ELSE 0 END) AS s2r
+           FROM c),
+         f AS (SELECT *,
+             CAST(n_a + n_n + n_r AS DOUBLE) AS nt,
+             CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) /
+               CAST(n_a AS DOUBLE) AS ta,
+             CAST(s1n AS DOUBLE) * CAST(s1n AS DOUBLE) /
+               CAST(n_n AS DOUBLE) AS tn,
+             CAST(s1r AS DOUBLE) * CAST(s1r AS DOUBLE) /
+               CAST(n_r AS DOUBLE) AS tr,
+             CAST(s1a AS DOUBLE) + CAST(s1n AS DOUBLE) +
+               CAST(s1r AS DOUBLE) AS tot
+           FROM ag),
+         g AS (SELECT *,
+             ta + tn + tr - tot * tot / nt AS ssb,
+             CAST(s2a AS DOUBLE) + CAST(s2n AS DOUBLE) +
+               CAST(s2r AS DOUBLE) - (ta + tn + tr) AS ssw
+           FROM f)
+         SELECT n_a, n_n, n_r,
+           round(CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 8)
+             AS mean_a,
+           round(CAST(s1n AS DOUBLE) / CAST(n_n AS DOUBLE) / 100.0, 8)
+             AS mean_n,
+           round(CAST(s1r AS DOUBLE) / CAST(n_r AS DOUBLE) / 100.0, 8)
+             AS mean_r,
            round((ssb / 2.0) / (ssw / (nt - 3.0)), 8) AS f_stat
          FROM g""",
 

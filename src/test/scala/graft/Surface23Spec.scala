@@ -72,6 +72,56 @@ class Surface23Spec extends SparkSpec {
     }
   }
 
+  test("q122: ANOVA F matches a driver-side exact-sum recount") {
+    val row = SparkEntry.queries("q122_anova")(spark, dir).head()
+    val li = pooled()
+    val groups = Seq("A", "N", "R")
+    val cs = groups.map(g => li.filter(_._1 == g).map(_._2))
+    val n = cs.map(_.length.toLong)
+    val s1 = cs.map(_.map(BigInt(_)).sum)
+    val s2 = cs.map(_.map(v => BigInt(v) * v).sum)
+    val nt = n.sum.toDouble
+    val t3 = groups.indices.map(i =>
+      s1(i).toDouble * s1(i).toDouble / n(i)).sum
+    val tot = s1.map(_.toDouble).sum
+    val f = ((t3 - tot * tot / nt) / 2.0) /
+      ((s2.map(_.toDouble).sum - t3) / (nt - 3.0))
+    assert(math.abs(row.getAs[Double]("f_stat") - f) < 1e-6)
+    groups.indices.foreach { i =>
+      val m = s1(i).toDouble / n(i) / 100.0
+      assert(math.abs(
+        row.getAs[Double](s"mean_${groups(i).toLowerCase}") - m) < 1e-6)
+    }
+  }
+
+  test("e121: clipped unigram overlap and F match a driver-side " +
+    "recount on every candidate pair") {
+    val rows = SparkEntry.queries("e121_rouge_audit")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val toks = graft.queries.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("tk"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).groupBy(identity).view
+          .mapValues(_.length.toLong).toMap)
+      .toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val (ca, cb) = (toks(a), toks(b))
+      val ov = ca.keysIterator
+        .map(w => math.min(ca(w), cb.getOrElse(w, 0L))).sum
+      val (na, nb) = (ca.values.sum, cb.values.sum)
+      assert(r.getAs[Long]("overlap") == ov, s"pair ($a,$b)")
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      assert(math.abs(r.getAs[Double]("rouge1_f") -
+        2.0 * ov / (na + nb)) < 1e-12)
+      assert(r.getAs[Double]("rouge1_f") >= 0.0 &&
+        r.getAs[Double]("rouge1_f") <= 1.0)
+    }
+  }
+
   test("q121: excursions match a driver-side cumsum and end at zero") {
     val rows = SparkEntry.queries("q121_cusum")(spark, dir)
       .orderBy("d").collect()
