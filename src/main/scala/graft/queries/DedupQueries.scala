@@ -308,12 +308,7 @@ object DedupQueries {
     // equi-join on (doc, word) — pair-bounded, never all-pairs.
     "e121_rouge_audit" -> ((s, dir) => {
       val pairs = candidatePairs(s, dir)
-      val tokCnt = Stage.durableFrame(s, "doc-token-hist", dir) {
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(TextAnalysis.tokens(col("text"))).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      }
+      val tokCnt = docTokenHist(s, dir)
       val tots = tokCnt.groupBy("doc_id").agg(sum(col("cnt")).as("ntok"))
       val ov = pairs
         .join(tokCnt.select(col("doc_id").as("id_a"), col("w"),
@@ -369,8 +364,8 @@ object DedupQueries {
       // feed's plan digest, so a max job inside the thunk would run
       // per-invocation even on fixture hits — durableScalar makes
       // reuse a one-line file read, truly paid once per fixture.
-      val mx = Stage.durableScalar("mx-c31", dir, long)(
-        long.agg(max("doc_id")).head().getLong(0))
+      val mx = Stage.durableScalar("mx-c31", dir)(
+        long.agg(max("doc_id")))
       val feed = Stage.durableChunkFeed("feed-c31", dir)({
         var lo = Long.MinValue
         Seq(mx / 3, 2 * mx / 3, Long.MaxValue).map { hi =>
@@ -466,8 +461,8 @@ object DedupQueries {
       // the horizon h is re-derived OUTSIDE the staged build too (the
       // handler needs it every run); the 1-row max it hangs off is a
       // durable scalar — reuse is a file read, not a Spark job
-      val mx = Stage.durableScalar("mx-c35", dir, long)(
-        long.agg(max("doc_id")).head().getLong(0))
+      val mx = Stage.durableScalar("mx-c35", dir)(
+        long.agg(max("doc_id")))
       val h = 2 * (mx / 3) + 3
       val feed = Stage.durableChunkFeed("feed-c35", dir)({
         var lo = Long.MinValue
@@ -540,6 +535,20 @@ object DedupQueries {
         Dedup.minhashSignaturesFromHashes(col("hs"), minhashK): _*)
     }
   }
+
+  /** Durably-staged per-document token histogram (doc_id, w, cnt) —
+    * the ONE corpus tokenize pass behind every token-count consumer:
+    * e121's pair overlaps read it per doc, and e118's corpus-wide
+    * histogram is a re-agg of it (never a second tokenize of the
+    * text). Public: shared across query files.
+    */
+  def docTokenHist(s: SparkSession, dir: String): DataFrame =
+    Stage.durableFrame(s, "doc-token-hist", dir) {
+      tBalanced(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    }
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val sig = stagedSignatures(s, dir) // hoisted (see Stage scaladoc)

@@ -130,25 +130,26 @@ object Stage {
   }
 
   /** Durable LONG sizing scalar (a feed's max doc id, a ts bound):
-    * `compute` runs once per (name × sf × testdata fingerprint ×
-    * derivation digest) and the value is persisted; every later call
-    * is a one-line file read — no Spark job at all. Without this, a
-    * sizing aggregation hoisted into (or above) a [[durableChunkFeed]]
-    * thunk executes on EVERY invocation even on fixture hits, because
-    * the chunk plans that embed the scalar must be built to compute
-    * the feed's plan digest. `of` is the frame the scalar derives
-    * from; its analyzed-plan digest keys the fixture, so editing the
-    * derivation re-computes instead of serving a stale value.
+    * the 1-row aggregate `scalar` executes once per (name × sf ×
+    * testdata fingerprint × derivation digest) and the value is
+    * persisted; every later call is a one-line file read — no Spark
+    * job at all. Without this, a sizing aggregation hoisted into (or
+    * above) a [[durableChunkFeed]] thunk executes on EVERY invocation
+    * even on fixture hits, because the chunk plans that embed the
+    * scalar must be built to compute the feed's plan digest. The
+    * fixture key digests the SCALAR's own analyzed plan (the whole
+    * derivation, aggregate included — not just its input), so editing
+    * e.g. max→min re-computes instead of serving the stale value.
     */
-  def durableScalar(name: String, dir: String, of: DataFrame)
-                   (compute: => Long): Long = {
-    val p = durableDir(s"$name-p${planDigest(Seq(of))}", dir, "_SCALAR") {
-      stage =>
+  def durableScalar(name: String, dir: String)
+                   (scalar: DataFrame): Long = {
+    val p = durableDir(s"$name-p${planDigest(Seq(scalar))}", dir,
+      "_SCALAR") { stage =>
         // Spark writers create their staging dir themselves; a bare
         // file write doesn't — make it first.
         java.nio.file.Files.createDirectories(stage)
         java.nio.file.Files.write(stage.resolve("_SCALAR"),
-          compute.toString.getBytes("UTF-8"))
+          scalar.head().getLong(0).toString.getBytes("UTF-8"))
     }
     new String(java.nio.file.Files.readAllBytes(p.resolve("_SCALAR")),
       "UTF-8").trim.toLong

@@ -85,6 +85,89 @@ object Surface23Queries {
   private def d(c: Column): Column = c.cast("double")
   private def dec38(c: Column): Column = c.cast("decimal(38,0)")
 
+  /** Shared one-way F decomposition over a `(l_returnflag, z)` frame
+    * (z = integer cents): pivoted exact per-group n/Σz/Σz² in ONE
+    * scan, then F = (SSB/(k−1))/(SSW/(N−k)) and per-group means
+    * `<meanName>_{a,n,r}` as closed-form doubles (round 8). The same
+    * machinery serves q120 (z = |x − median|, Brown–Forsythe) and
+    * q122 (z = raw value, classic ANOVA) — and [[fStatSql]] is its
+    * oracle-text twin, so the formula text lives in exactly one
+    * place per engine.
+    */
+  private def pivotedF(dev: DataFrame, meanName: String): DataFrame = {
+    def n1(f: String) = sum(when(col("l_returnflag") === f, 1L)
+      .otherwise(0L)).as(s"n_$f")
+    def s1(f: String) = sum(when(col("l_returnflag") === f,
+      dec38(col("z"))).otherwise(lit(0L))).as(s"s1_$f")
+    def s2(f: String) = sum(when(col("l_returnflag") === f,
+      dec38(col("z")) * col("z")).otherwise(lit(0L))).as(s"s2_$f")
+    val ag = dev.agg(n1("A"), n1("N"), n1("R"),
+      s1("A"), s1("N"), s1("R"), s2("A"), s2("N"), s2("R"))
+    val nt = d(col("n_A") + col("n_N") + col("n_R"))
+    val tA = d(col("s1_A")) * d(col("s1_A")) / d(col("n_A"))
+    val tN = d(col("s1_N")) * d(col("s1_N")) / d(col("n_N"))
+    val tR = d(col("s1_R")) * d(col("s1_R")) / d(col("n_R"))
+    val tot = d(col("s1_A")) + d(col("s1_N")) + d(col("s1_R"))
+    val ssb = tA + tN + tR - tot * tot / nt
+    val ssw = d(col("s2_A")) + d(col("s2_N")) + d(col("s2_R")) -
+      (tA + tN + tR)
+    ag.select(col("n_A").as("n_a"), col("n_N").as("n_n"),
+      col("n_R").as("n_r"),
+      round(d(col("s1_A")) / d(col("n_A")) / lit(100.0), 8)
+        .as(s"${meanName}_a"),
+      round(d(col("s1_N")) / d(col("n_N")) / lit(100.0), 8)
+        .as(s"${meanName}_n"),
+      round(d(col("s1_R")) / d(col("n_R")) / lit(100.0), 8)
+        .as(s"${meanName}_r"),
+      round((ssb / lit(2.0)) / (ssw / (nt - lit(3.0))), 8).as("f_stat"))
+  }
+
+  /** Oracle twin of [[pivotedF]]: `prelude` must be a `WITH` chain
+    * ending in a CTE `dev(l_returnflag, z)` with z already HUGEINT
+    * cents.
+    */
+  private def fStatSql(prelude: String, meanName: String): String =
+    s"""$prelude,
+         ag AS (SELECT
+             CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_n,
+             CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_r,
+             SUM(CASE WHEN l_returnflag='A' THEN z ELSE 0 END) AS s1a,
+             SUM(CASE WHEN l_returnflag='N' THEN z ELSE 0 END) AS s1n,
+             SUM(CASE WHEN l_returnflag='R' THEN z ELSE 0 END) AS s1r,
+             SUM(CASE WHEN l_returnflag='A' THEN z*z ELSE 0 END) AS s2a,
+             SUM(CASE WHEN l_returnflag='N' THEN z*z ELSE 0 END) AS s2n,
+             SUM(CASE WHEN l_returnflag='R' THEN z*z ELSE 0 END) AS s2r
+           FROM dev),
+         f AS (SELECT *,
+             CAST(n_a + n_n + n_r AS DOUBLE) AS nt,
+             CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) /
+               CAST(n_a AS DOUBLE) AS ta,
+             CAST(s1n AS DOUBLE) * CAST(s1n AS DOUBLE) /
+               CAST(n_n AS DOUBLE) AS tn,
+             CAST(s1r AS DOUBLE) * CAST(s1r AS DOUBLE) /
+               CAST(n_r AS DOUBLE) AS tr,
+             CAST(s1a AS DOUBLE) + CAST(s1n AS DOUBLE) +
+               CAST(s1r AS DOUBLE) AS tot
+           FROM ag),
+         g AS (SELECT *,
+             ta + tn + tr - tot * tot / nt AS ssb,
+             CAST(s2a AS DOUBLE) + CAST(s2n AS DOUBLE) +
+               CAST(s2r AS DOUBLE) - (ta + tn + tr) AS ssw
+           FROM f)
+         SELECT n_a, n_n, n_r,
+           round(CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 8)
+             AS ${meanName}_a,
+           round(CAST(s1n AS DOUBLE) / CAST(n_n AS DOUBLE) / 100.0, 8)
+             AS ${meanName}_n,
+           round(CAST(s1r AS DOUBLE) / CAST(n_r AS DOUBLE) / 100.0, 8)
+             AS ${meanName}_r,
+           round((ssb / 2.0) / (ssw / (nt - 3.0)), 8) AS f_stat
+         FROM g"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // KRUSKAL–WALLIS H across the k=3 return-flag groups, tie-
     // corrected — the k-population rank test that closes the
@@ -143,28 +226,7 @@ object Surface23Queries {
         .select(col("l_returnflag"),
           abs(round(col("l_extendedprice") * 100).cast("long") -
             round(col("med") * 100).cast("long")).as("z"))
-      def s1(f: String) = sum(when(col("l_returnflag") === f,
-        dec38(col("z"))).otherwise(lit(0L))).as(s"s1_$f")
-      def s2(f: String) = sum(when(col("l_returnflag") === f,
-        dec38(col("z")) * col("z")).otherwise(lit(0L))).as(s"s2_$f")
-      def n1(f: String) = sum(when(col("l_returnflag") === f, 1L)
-        .otherwise(0L)).as(s"n_$f")
-      val ag = dev.agg(n1("A"), n1("N"), n1("R"),
-        s1("A"), s1("N"), s1("R"), s2("A"), s2("N"), s2("R"))
-      val nt = d(col("n_A") + col("n_N") + col("n_R"))
-      val tA = d(col("s1_A")) * d(col("s1_A")) / d(col("n_A"))
-      val tN = d(col("s1_N")) * d(col("s1_N")) / d(col("n_N"))
-      val tR = d(col("s1_R")) * d(col("s1_R")) / d(col("n_R"))
-      val tot = d(col("s1_A")) + d(col("s1_N")) + d(col("s1_R"))
-      val ssb = tA + tN + tR - tot * tot / nt
-      val ssw = d(col("s2_A")) + d(col("s2_N")) + d(col("s2_R")) -
-        (tA + tN + tR)
-      ag.select(col("n_A").as("n_a"), col("n_N").as("n_n"),
-        col("n_R").as("n_r"),
-        round(d(col("s1_A")) / d(col("n_A")) / lit(100.0), 8).as("mad_a"),
-        round(d(col("s1_N")) / d(col("n_N")) / lit(100.0), 8).as("mad_n"),
-        round(d(col("s1_R")) / d(col("n_R")) / lit(100.0), 8).as("mad_r"),
-        round((ssb / lit(2.0)) / (ssw / (nt - lit(3.0))), 8).as("f_stat"))
+      pivotedF(dev, "mad")
     }),
 
     // One-way ANOVA F — the parametric mean-equality test that pairs
@@ -175,37 +237,11 @@ object Surface23Queries {
     // decimals in ONE scan, the F decomposition in one closed-form
     // double over six scalars.
     "q122_anova" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      pivotedF(t(s, dir, "lineitem")
         .where(col("l_extendedprice").isNotNull)
         .select(col("l_returnflag"),
-          round(col("l_extendedprice") * 100).cast("decimal(38,0)")
-            .as("c"))
-      def n1(f: String) = sum(when(col("l_returnflag") === f, 1L)
-        .otherwise(0L)).as(s"n_$f")
-      def s1(f: String) = sum(when(col("l_returnflag") === f, col("c"))
-        .otherwise(lit(0L))).as(s"s1_$f")
-      def s2(f: String) = sum(when(col("l_returnflag") === f,
-        col("c") * col("c")).otherwise(lit(0L))).as(s"s2_$f")
-      val ag = li.agg(n1("A"), n1("N"), n1("R"),
-        s1("A"), s1("N"), s1("R"), s2("A"), s2("N"), s2("R"))
-      val nt = d(col("n_A") + col("n_N") + col("n_R"))
-      val tA = d(col("s1_A")) * d(col("s1_A")) / d(col("n_A"))
-      val tN = d(col("s1_N")) * d(col("s1_N")) / d(col("n_N"))
-      val tR = d(col("s1_R")) * d(col("s1_R")) / d(col("n_R"))
-      val tot = d(col("s1_A")) + d(col("s1_N")) + d(col("s1_R"))
-      val ssb = tA + tN + tR - tot * tot / nt
-      val ssw = d(col("s2_A")) + d(col("s2_N")) + d(col("s2_R")) -
-        (tA + tN + tR)
-      ag.select(col("n_A").as("n_a"), col("n_N").as("n_n"),
-        col("n_R").as("n_r"),
-        round(d(col("s1_A")) / d(col("n_A")) / lit(100.0), 8)
-          .as("mean_a"),
-        round(d(col("s1_N")) / d(col("n_N")) / lit(100.0), 8)
-          .as("mean_n"),
-        round(d(col("s1_R")) / d(col("n_R")) / lit(100.0), 8)
-          .as("mean_r"),
-        round((ssb / lit(2.0)) / (ssw / (nt - lit(3.0))), 8)
-          .as("f_stat"))
+          round(col("l_extendedprice") * 100).cast("long").as("z")),
+        "mean")
     }),
 
     // CUSUM excursion of the daily ingest-count series — the
@@ -247,10 +283,13 @@ object Surface23Queries {
     // No logarithm anywhere (K and D are rational; the entropy-form
     // richness measures are not oracle-safe cross-engine).
     "e118_lexical_richness" -> ((s, dir) => {
+      // the corpus histogram is a RE-AGG of the shared per-doc token
+      // histogram (DedupQueries.docTokenHist) — one tokenize pass
+      // serves both fixtures, never a second scan of the text.
+      // Resolved BEFORE the durableFrame thunk (hoisting discipline).
+      val perDoc = DedupQueries.docTokenHist(s, dir)
       val hist = Stage.durableFrame(s, "token-hist-full", dir) {
-        tBalanced(s, dir, "documents")
-          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        perDoc.groupBy("w").agg(sum(col("cnt")).as("cnt"))
       }
       val ag = hist.agg(count(lit(1)).as("types"),
         sum(col("cnt")).as("toks"),
@@ -280,9 +319,15 @@ object Surface23Queries {
     // once. All frames after the one corpus pass are class- or
     // language-bounded.
     "e119_t_closeness" -> ((s, dir) => {
+      // NULL sensitive values are a CATEGORY, not droppable rows: the
+      // class assembly equi-joins on lang, and a null key would never
+      // match — its mass would silently flow through the absent-
+      // language term and overstate t. Sentinel-coalesce keeps the
+      // arithmetic exact for any future fixture (mirrored in the
+      // oracle).
       val cls = t(s, dir, "documents")
         .select(col("source"), expr("n_chars div 200").as("len_band"),
-          col("lang"))
+          coalesce(col("lang"), lit("(null)")).as("lang"))
         .groupBy("source", "len_band", "lang")
         .agg(count(lit(1)).as("n_gs"))
       val langTot = cls.groupBy("lang").agg(sum(col("n_gs")).as("n_s"))
@@ -451,8 +496,9 @@ object Surface23Queries {
          FROM f""",
 
     // group medians by the contains-rank rule (q118's recipe), then
-    // one scan for integer cent deviations and the pivoted F formula.
-    "q120_levene" ->
+    // one scan for integer cent deviations; F machinery via the
+    // shared fStatSql twin of pivotedF.
+    "q120_levene" -> fStatSql(
       """WITH h AS (
            SELECT l_returnflag, l_extendedprice, count(*) AS cnt
            FROM lineitem WHERE l_extendedprice IS NOT NULL
@@ -471,102 +517,18 @@ object Surface23Queries {
            FROM sp GROUP BY 1),
          dev AS (
            SELECT li.l_returnflag,
-             abs(CAST(round(li.l_extendedprice * 100) AS BIGINT) -
-                 CAST(round(m.med * 100) AS BIGINT)) AS z
+             CAST(abs(CAST(round(li.l_extendedprice * 100) AS BIGINT) -
+                 CAST(round(m.med * 100) AS BIGINT)) AS HUGEINT) AS z
            FROM lineitem li JOIN med m USING (l_returnflag)
-           WHERE li.l_extendedprice IS NOT NULL),
-         ag AS (SELECT
-             CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_a,
-             CAST(SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_n,
-             CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_r,
-             SUM(CASE WHEN l_returnflag='A' THEN CAST(z AS HUGEINT)
-               ELSE 0 END) AS s1a,
-             SUM(CASE WHEN l_returnflag='N' THEN CAST(z AS HUGEINT)
-               ELSE 0 END) AS s1n,
-             SUM(CASE WHEN l_returnflag='R' THEN CAST(z AS HUGEINT)
-               ELSE 0 END) AS s1r,
-             SUM(CASE WHEN l_returnflag='A' THEN CAST(z AS HUGEINT)*z
-               ELSE 0 END) AS s2a,
-             SUM(CASE WHEN l_returnflag='N' THEN CAST(z AS HUGEINT)*z
-               ELSE 0 END) AS s2n,
-             SUM(CASE WHEN l_returnflag='R' THEN CAST(z AS HUGEINT)*z
-               ELSE 0 END) AS s2r
-           FROM dev),
-         f AS (SELECT *,
-             CAST(n_a + n_n + n_r AS DOUBLE) AS nt,
-             CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) /
-               CAST(n_a AS DOUBLE) AS ta,
-             CAST(s1n AS DOUBLE) * CAST(s1n AS DOUBLE) /
-               CAST(n_n AS DOUBLE) AS tn,
-             CAST(s1r AS DOUBLE) * CAST(s1r AS DOUBLE) /
-               CAST(n_r AS DOUBLE) AS tr,
-             CAST(s1a AS DOUBLE) + CAST(s1n AS DOUBLE) +
-               CAST(s1r AS DOUBLE) AS tot
-           FROM ag),
-         g AS (SELECT *,
-             ta + tn + tr - tot * tot / nt AS ssb,
-             CAST(s2a AS DOUBLE) + CAST(s2n AS DOUBLE) +
-               CAST(s2r AS DOUBLE) - (ta + tn + tr) AS ssw
-           FROM f)
-         SELECT n_a, n_n, n_r,
-           round(CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 8)
-             AS mad_a,
-           round(CAST(s1n AS DOUBLE) / CAST(n_n AS DOUBLE) / 100.0, 8)
-             AS mad_n,
-           round(CAST(s1r AS DOUBLE) / CAST(n_r AS DOUBLE) / 100.0, 8)
-             AS mad_r,
-           round((ssb / 2.0) / (ssw / (nt - 3.0)), 8) AS f_stat
-         FROM g""",
+           WHERE li.l_extendedprice IS NOT NULL)""", "mad"),
 
     // same pivoted exact-sum discipline as q120, raw cents instead of
-    // median deviations
-    "q122_anova" ->
-      """WITH c AS (
+    // median deviations — one shared F text per engine
+    "q122_anova" -> fStatSql(
+      """WITH dev AS (
            SELECT l_returnflag,
-             CAST(round(l_extendedprice * 100) AS HUGEINT) AS c
-           FROM lineitem WHERE l_extendedprice IS NOT NULL),
-         ag AS (SELECT
-             CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_a,
-             CAST(SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_n,
-             CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_r,
-             SUM(CASE WHEN l_returnflag='A' THEN c ELSE 0 END) AS s1a,
-             SUM(CASE WHEN l_returnflag='N' THEN c ELSE 0 END) AS s1n,
-             SUM(CASE WHEN l_returnflag='R' THEN c ELSE 0 END) AS s1r,
-             SUM(CASE WHEN l_returnflag='A' THEN c*c ELSE 0 END) AS s2a,
-             SUM(CASE WHEN l_returnflag='N' THEN c*c ELSE 0 END) AS s2n,
-             SUM(CASE WHEN l_returnflag='R' THEN c*c ELSE 0 END) AS s2r
-           FROM c),
-         f AS (SELECT *,
-             CAST(n_a + n_n + n_r AS DOUBLE) AS nt,
-             CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) /
-               CAST(n_a AS DOUBLE) AS ta,
-             CAST(s1n AS DOUBLE) * CAST(s1n AS DOUBLE) /
-               CAST(n_n AS DOUBLE) AS tn,
-             CAST(s1r AS DOUBLE) * CAST(s1r AS DOUBLE) /
-               CAST(n_r AS DOUBLE) AS tr,
-             CAST(s1a AS DOUBLE) + CAST(s1n AS DOUBLE) +
-               CAST(s1r AS DOUBLE) AS tot
-           FROM ag),
-         g AS (SELECT *,
-             ta + tn + tr - tot * tot / nt AS ssb,
-             CAST(s2a AS DOUBLE) + CAST(s2n AS DOUBLE) +
-               CAST(s2r AS DOUBLE) - (ta + tn + tr) AS ssw
-           FROM f)
-         SELECT n_a, n_n, n_r,
-           round(CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 8)
-             AS mean_a,
-           round(CAST(s1n AS DOUBLE) / CAST(n_n AS DOUBLE) / 100.0, 8)
-             AS mean_n,
-           round(CAST(s1r AS DOUBLE) / CAST(n_r AS DOUBLE) / 100.0, 8)
-             AS mean_r,
-           round((ssb / 2.0) / (ssw / (nt - 3.0)), 8) AS f_stat
-         FROM g""",
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS z
+           FROM lineitem WHERE l_extendedprice IS NOT NULL)""", "mean"),
 
     // integer excursion numerator D·cum − i·T; the mean daily rate
     // never materializes as a float before the single division.
@@ -619,8 +581,8 @@ object Surface23Queries {
     // |n_gs·N − n_s·n_g|, absent languages n_g·(N − Σ_present n_s).
     "e119_t_closeness" ->
       """WITH cls AS (
-           SELECT source, n_chars // 200 AS len_band, lang,
-             count(*) AS n_gs
+           SELECT source, n_chars // 200 AS len_band,
+             coalesce(lang, '(null)') AS lang, count(*) AS n_gs
            FROM documents GROUP BY 1, 2, 3),
          lt AS (SELECT lang, SUM(n_gs) AS n_s FROM cls GROUP BY 1),
          nt AS (SELECT SUM(n_s) AS nn FROM lt),

@@ -235,11 +235,34 @@ class Surface23Spec extends SparkSpec {
       ("Y", 1.0), ("Y", 2.0), ("Y", 3.0), ("Y", 4.0), ("Y", 100.0))
       .toDF("l_returnflag", "l_extendedprice")
       .write.parquet(s"$tmp/lineitem.parquet")
-    val rows = SparkEntry.queries("q118_bowley")(spark, tmp.toString)
-      .collect().map(r => r.getString(0) -> r).toMap
-    assert(rows("X").getAs[Double]("iqr") == 0.0)
-    assert(rows("X").isNullAt(rows("X").fieldIndex("bowley")))
-    assert(!rows("Y").isNullAt(rows("Y").fieldIndex("bowley")))
-    assert(!rows("Y").getAs[Double]("bowley").isNaN)
+    try {
+      val rows = SparkEntry.queries("q118_bowley")(spark, tmp.toString)
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(rows("X").getAs[Double]("iqr") == 0.0)
+      assert(rows("X").isNullAt(rows("X").fieldIndex("bowley")))
+      assert(!rows("Y").isNullAt(rows("Y").fieldIndex("bowley")))
+      assert(!rows("Y").getAs[Double]("bowley").isNaN)
+    } finally {
+      // the query routes through a DURABLE fixture keyed by this
+      // one-time tmp dir — sweep it, or every test run leaves a dead
+      // target/graft-fixtures entry no later run can ever hit
+      val sfKey = tmp.toString.replaceAll("[^A-Za-z0-9]", "_")
+      val root = java.nio.file.Paths.get("target", "graft-fixtures")
+      if (java.nio.file.Files.isDirectory(root)) {
+        val listing = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .filter(_.getFileName.toString.contains(sfKey))
+            .foreach { p =>
+              val walk = java.nio.file.Files.walk(p)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+              finally walk.close()
+            }
+        } finally listing.close()
+      }
+    }
   }
 }
