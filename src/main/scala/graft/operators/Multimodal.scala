@@ -472,6 +472,46 @@ object Multimodal {
                            duration_us: Long, peak: Int, s_sum: Long,
                            s_sumsq: Long, zero_cross: Int)
 
+  /** Energy-gated voice-activity segmentation over REALLY decoded PCM
+    * — the VAD pass an audio-curation pipeline runs before keeping a
+    * clip: fixed 8-sample frames, frame energy Σs² against a fixed
+    * gate, segments = maximal runs of consecutive voiced frames.
+    * Trailing partial frames are ignored (a production VAD pads or
+    * windows; the frame/gate/run plumbing is the point). All integer
+    * arithmetic, so the report is exactly reproducible by an oracle
+    * that knows the fixture's generative sample formula.
+    */
+  case class AudioVadRow(doc_id: Long, n_frames: Int, voiced_frames: Int,
+                         n_segments: Int, longest_segment: Int)
+
+  val vadFrame = 8
+  val vadGate = 3000000000L
+
+  def audioVad(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, s) = AudioCodec.decodePcmWav(r.media)
+        val nf = s.length / vadFrame
+        var (voiced, segs, longest, run) = (0, 0, 0, 0)
+        var j = 0
+        while (j < nf) {
+          var e = 0L
+          var i = j * vadFrame
+          val end = i + vadFrame
+          while (i < end) { e += s(i).toLong * s(i); i += 1 }
+          if (e >= vadGate) {
+            voiced += 1; run += 1
+            if (run == 1) segs += 1
+            if (run > longest) longest = run
+          } else run = 0
+          j += 1
+        }
+        AudioVadRow(r.doc_id, nf, voiced, segs, longest)
+      }
+    }.toDF()
+  }
+
   def audioStats(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

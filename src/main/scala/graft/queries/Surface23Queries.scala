@@ -55,17 +55,18 @@ object Surface23Queries {
   import Tables._
 
   /** Pooled (value → per-group counts) histogram of
-    * `l_extendedprice` by `l_returnflag` with GLOBAL rank spans: one
-    * corpus pass to the value-domain-bounded joint histogram, then
-    * the partitioned cumulative pass ([[Rank.withGlobalCumsums]])
-    * ranks the POOLED sample — `__hi`/`__lo` span the global ranks
-    * each value occupies, `f_a`/`f_n`/`f_r` how many of them belong
-    * to each group. Shared by q119 (rank sums) and anything
-    * rank-based over the pooled population. Durably staged like
-    * [[StatsQueries.priceSpans]].
+    * `l_extendedprice` by `l_returnflag` with GLOBAL cumulative
+    * counts, pooled AND per group: one corpus pass to the
+    * value-domain-bounded joint histogram, then ONE partitioned
+    * cumulative pass ([[Rank.withGlobalCumsums]]) over all four
+    * count columns. `cum___t` carries the pooled rank spans (hi =
+    * cum, lo = cum − t + 1); `cum_f_g` are the per-group empirical
+    * CDF numerators. Shared by q119 (rank sums) and e122 (CDF
+    * distance) — every pooled-rank statistic reads this one staged
+    * frame. Durably staged like [[StatsQueries.priceSpans]].
     */
-  private def pooledPriceSpans(s: SparkSession, dir: String): DataFrame =
-    Stage.durableFrame(s, "li-pooled-spans", dir) {
+  private def pooledPriceCums(s: SparkSession, dir: String): DataFrame =
+    Stage.durableFrame(s, "li-pooled-cums", dir) {
       val hist = t(s, dir, "lineitem")
         .where(col("l_extendedprice").isNotNull)
         .groupBy(col("l_extendedprice").as("v"))
@@ -76,10 +77,8 @@ object Surface23Queries {
             .as("f_n"),
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
             .as("f_r"))
-      Rank.withGlobalCumsums(hist, Seq(col("v")), Seq("__t"))
-        .withColumn("__hi", col("cum___t"))
-        .withColumn("__lo", col("__hi") - col("__t") + lit(1L))
-        .drop("cum___t")
+      Rank.withGlobalCumsums(hist, Seq(col("v")),
+        Seq("__t", "f_a", "f_n", "f_r"))
     }
 
   private def d(c: Column): Column = c.cast("double")
@@ -181,7 +180,9 @@ object Surface23Queries {
     // double summation anywhere. At 100 TB: one corpus pass lives in
     // the staged histogram; the test itself is value-domain-bounded.
     "q119_kruskal" -> ((s, dir) => {
-      val spans = pooledPriceSpans(s, dir)
+      val spans = pooledPriceCums(s, dir)
+        .withColumn("__hi", col("cum___t"))
+        .withColumn("__lo", col("__hi") - col("__t") + lit(1L))
       val ag = spans.agg(
         sum(col("f_a")).as("n_a"), sum(col("f_n")).as("n_n"),
         sum(col("f_r")).as("n_r"),
@@ -227,6 +228,33 @@ object Surface23Queries {
           abs(round(col("l_extendedprice") * 100).cast("long") -
             round(col("med") * 100).cast("long")).as("z"))
       pivotedF(dev, "mad")
+    }),
+
+    // CRAMÉR–VON MISES two-sample distance (tie-aware) between the
+    // A and R price populations — the L² companion to e103's
+    // Kolmogorov–Smirnov sup-norm (KS sees the single worst CDF gap;
+    // CvM integrates ALL of it, the usual drift score when the
+    // difference is spread thin). Tie-aware form over the pooled
+    // value histogram: T = Σ_v t_v·(m·cumA_v − n·cumR_v)² /
+    // (n·m·(n+m)²) — the numerator is ONE exact DECIMAL(38,0) sum
+    // off the shared staged pooled-cums frame (no new corpus pass),
+    // and T is one closed-form double. Σ t·(m·cumA − n·cumR)² at
+    // ×100 peaks ≈ 6e36 < 10³⁸ — sized for two decades of headroom.
+    "e122_cvm" -> ((s, dir) => {
+      val cums = pooledPriceCums(s, dir)
+      val tot = cums.agg(max(col("cum_f_a")).as("n"),
+        max(col("cum_f_r")).as("m"))
+      val diff = dec38(col("m")) * col("cum_f_a") -
+        dec38(col("n")) * col("cum_f_r")
+      val ag = cums.crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n_a"), max(col("m")).as("n_r"),
+          sum(dec38(col("__t")) * diff * diff).as("num"))
+      val nm = d(col("n_a")) * d(col("n_r"))
+      val np = d(col("n_a")) + d(col("n_r"))
+      // T = (nm/(n+m)²)·Σ t·(F−G)², and (F−G)² = diff²/(nm)², so the
+      // denominator is nm·(n+m)²
+      ag.select(col("n_a"), col("n_r"),
+        round(d(col("num")) / (nm * np * np), 8).as("t_cvm"))
     }),
 
     // One-way ANOVA F — the parametric mean-equality test that pairs
@@ -370,6 +398,25 @@ object Surface23Queries {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .where(col("n_images") >= 2)
+    }),
+
+    // Voice-activity segmentation over REALLY decoded PCM
+    // ([[Multimodal.audioVad]]) — the audio twin of e120's image
+    // dedup stage: decode → fixed 8-sample frames → integer energy
+    // gate → maximal voiced runs. Completes the audio family (e101
+    // per-clip signal stats → this is the SEGMENT-level curation
+    // report: how much of the clip is signal, in how many bursts).
+    // The oracle re-derives frame energies from the fixture's
+    // generative sample formula (md5-byte cycle), so the real WAV
+    // container decode is value-judged end to end.
+    "e123_audio_vad" -> ((s, dir) => {
+      Multimodal.audioVad(
+          Multimodal.toMediaDataset(MediaFixtures.wav(s, dir)))
+        .select(col("doc_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("voiced_frames").cast("long").as("voiced_frames"),
+          col("n_segments").cast("long").as("n_segments"),
+          col("longest_segment").cast("long").as("longest_segment"))
     }),
 
     // Streaming SCD2 — [[graft.streaming.Scd2.history]] over the
@@ -522,6 +569,37 @@ object Surface23Queries {
            FROM lineitem li JOIN med m USING (l_returnflag)
            WHERE li.l_extendedprice IS NOT NULL)""", "mad"),
 
+    // pooled per-group cumulative counts via window sums; the same
+    // exact-integer numerator and one closed-form double as the
+    // Spark side
+    "e122_cvm" ->
+      """WITH h AS (
+           SELECT l_extendedprice AS v, count(*) AS t,
+             SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS fa,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS fr
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         sp AS (
+           SELECT t,
+             SUM(fa) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(fr) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+           FROM h),
+         tot AS (SELECT max(ca) AS n, max(cr) AS m FROM sp),
+         ag AS (SELECT max(tot.n) AS n_a, max(tot.m) AS m_r,
+             SUM(CAST(sp.t AS HUGEINT) *
+               (CAST(tot.m AS HUGEINT) * sp.ca -
+                CAST(tot.n AS HUGEINT) * sp.cr) *
+               (CAST(tot.m AS HUGEINT) * sp.ca -
+                CAST(tot.n AS HUGEINT) * sp.cr)) AS num
+           FROM sp, tot)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(m_r AS BIGINT) AS n_r,
+           round(CAST(num AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(m_r AS DOUBLE) *
+              (CAST(n_a AS DOUBLE) + CAST(m_r AS DOUBLE)) *
+              (CAST(n_a AS DOUBLE) + CAST(m_r AS DOUBLE))), 8) AS t_cvm
+         FROM ag""",
+
     // same pivoted exact-sum discipline as q120, raw cents instead of
     // median deviations — one shared F text per engine
     "q122_anova" -> fStatSql(
@@ -605,6 +683,43 @@ object Surface23Queries {
            CAST(pa + CAST(n_g AS HUGEINT) * (nn - pns) AS DOUBLE) /
              (2.0 * CAST(n_g AS DOUBLE) * CAST(nn AS DOUBLE)) AS t
          FROM pc""",
+
+    // frame energies re-derived from the fixture's generative sample
+    // formula (sample i = md5-byte(i mod 16)·257 − 32768, e101's
+    // derivation); segments via gaps-and-islands over voiced frames
+    "e123_audio_vad" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+             (n_chars % 96) + 32 AS n FROM documents),
+         samp AS (
+           SELECT d.doc_id, j.j, i.i,
+             CAST('0x' || substr(d.h, 2*((8*j.j + i.i) % 16) + 1, 2)
+               AS BIGINT) * 257 - 32768 AS s
+           FROM d, generate_series(0, 14) AS j(j),
+             generate_series(0, 7) AS i(i)
+           WHERE j.j < d.n // 8),
+         fr AS (
+           SELECT doc_id, j,
+             SUM(CAST(s AS HUGEINT) * s) >= 3000000000 AS voiced
+           FROM samp GROUP BY 1, 2),
+         runs AS (
+           SELECT doc_id, j,
+             j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
+               AS grp
+           FROM fr WHERE voiced),
+         seg AS (
+           SELECT doc_id, grp, count(*) AS len
+           FROM runs GROUP BY 1, 2)
+         SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN f.voiced THEN 1 ELSE 0 END) AS BIGINT)
+             AS voiced_frames,
+           CAST(coalesce(max(sg.n_seg), 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(max(sg.longest), 0) AS BIGINT)
+             AS longest_segment
+         FROM fr f
+         LEFT JOIN (SELECT doc_id, count(*) AS n_seg, max(len) AS longest
+                    FROM seg GROUP BY 1) sg ON sg.doc_id = f.doc_id
+         GROUP BY f.doc_id""",
 
     // the fingerprint re-derived from the fixture's generative pixel
     // formula (pixels cycle the md5 bytes of the text — e94's

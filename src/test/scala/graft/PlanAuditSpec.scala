@@ -85,7 +85,9 @@ class PlanAuditSpec extends SparkSpec {
       ("withGlobalCumsums triangular offset join (partitions-sized, " +
         "broadcast) plus broadcast 1-row (days, total) scalar"),
     "e119_t_closeness" ->
-      "crossJoin against the broadcast 1-row corpus-total scalar"
+      "crossJoin against the broadcast 1-row corpus-total scalar",
+    "e122_cvm" ->
+      "crossJoin against the broadcast 1-row (n, m) sample-size totals"
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

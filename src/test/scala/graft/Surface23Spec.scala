@@ -122,6 +122,64 @@ class Surface23Spec extends SparkSpec {
     }
   }
 
+  test("e122: tie-aware CvM matches a driver-side pooled-CDF recount " +
+    "and is nonnegative") {
+    val row = SparkEntry.queries("e122_cvm")(spark, dir).head()
+    val li = pooled()
+    val byV = li.groupBy(_._2).view.mapValues { xs =>
+      (xs.length.toLong, xs.count(_._1 == "A").toLong,
+        xs.count(_._1 == "R").toLong)
+    }.toSeq.sortBy(_._1)
+    val n = byV.map(_._2._2).sum
+    val m = byV.map(_._2._3).sum
+    var (ca, cr) = (0L, 0L)
+    var num = BigInt(0)
+    byV.foreach { case (_, (t, fa, fr)) =>
+      ca += fa; cr += fr
+      val diff = BigInt(m) * ca - BigInt(n) * cr
+      num += BigInt(t) * diff * diff
+    }
+    val tExp = num.toDouble /
+      (n.toDouble * m * (n.toDouble + m) * (n.toDouble + m))
+    assert(row.getAs[Long]("n_a") == n && row.getAs[Long]("n_r") == m)
+    assert(row.getAs[Double]("t_cvm") >= 0.0)
+    // engine value is round(·, 8); allow the quantization
+    assert(math.abs(row.getAs[Double]("t_cvm") - tExp) < 1e-7,
+      s"engine ${row.getAs[Double]("t_cvm")} vs $tExp")
+  }
+
+  test("e123: VAD report matches a driver-side md5-derived energy " +
+    "recount for every clip") {
+    val rows = SparkEntry.queries("e123_audio_vad")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    graft.queries.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text", "n_chars").collect().foreach { r =>
+        val dig = md.digest(Option(r.getString(1)).getOrElse("")
+          .getBytes("UTF-8"))
+        val ns = (r.getLong(2) % 96 + 32).toInt
+        val nf = ns / 8
+        var (voiced, segs, longest, run) = (0L, 0L, 0L, 0L)
+        for (j <- 0 until nf) {
+          val e = (0 until 8).map { i =>
+            val s = (dig((8 * j + i) % 16) & 0xff).toLong * 257 - 32768
+            s * s
+          }.sum
+          if (e >= graft.operators.Multimodal.vadGate) {
+            voiced += 1; run += 1
+            if (run == 1) segs += 1
+            if (run > longest) longest = run
+          } else run = 0
+        }
+        val row = rows(r.getLong(0))
+        assert(row.getAs[Long]("n_frames") == nf.toLong &&
+          row.getAs[Long]("voiced_frames") == voiced &&
+          row.getAs[Long]("n_segments") == segs &&
+          row.getAs[Long]("longest_segment") == longest,
+          s"doc ${r.getLong(0)}")
+      }
+  }
+
   test("q121: excursions match a driver-side cumsum and end at zero") {
     val rows = SparkEntry.queries("q121_cusum")(spark, dir)
       .orderBy("d").collect()
