@@ -438,6 +438,49 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Scene-cut detection over REALLY decoded GIF frames — the video
+    * twin of [[audioVad]]: consecutive-frame pixel-difference energy
+    * Σ(pxₖ − pxₖ₋₁)² against a per-pixel gate, a cut wherever the
+    * energy clears it, scenes = cuts + 1. The shot-boundary pass a
+    * video-curation pipeline runs before frame sampling. All integer
+    * arithmetic over the lossless decode, so the report is exactly
+    * reproducible by the oracle from the fixture's generative pixel
+    * formula.
+    */
+  case class SceneCutRow(doc_id: Long, n_frames: Int, n_cuts: Int,
+                         n_scenes: Int, max_diff: Long)
+
+  /** Per-pixel mean-squared-difference gate: two independent uniform
+    * bytes differ by E(Δ²) ≈ 10.8k, so this splits real frame pairs
+    * by hash rather than classifying all-cut or all-same.
+    */
+  val sceneGate = 10800L
+
+  def videoSceneCuts(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val frames = VideoCodec.decodeGrayGifFrames(r.media)
+        var (cuts, maxDiff) = (0, 0L)
+        var f = 1
+        while (f < frames.length) {
+          val a = frames(f - 1)._3
+          val b = frames(f)._3
+          var (e, i) = (0L, 0)
+          while (i < a.length) {
+            val dv = ((b(i) & 0xff) - (a(i) & 0xff)).toLong
+            e += dv * dv
+            i += 1
+          }
+          if (e >= sceneGate * a.length) cuts += 1
+          if (e > maxDiff) maxDiff = e
+          f += 1
+        }
+        SceneCutRow(r.doc_id, frames.length, cuts, cuts + 1, maxDiff)
+      }
+    }.toDF()
+  }
+
   /** Deterministic audio fixture from `documents`: each doc becomes a
     * REAL 8 kHz mono PCM WAV of n = (n_chars mod 96) + 32 samples,
     * sample i = md5-byte(i mod 16) · 257 − 32768 (a bijection from the

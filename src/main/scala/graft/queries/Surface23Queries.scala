@@ -419,6 +419,59 @@ object Surface23Queries {
           col("longest_segment").cast("long").as("longest_segment"))
     }),
 
+    // Scene-cut detection over REALLY decoded GIF frames
+    // ([[Multimodal.videoSceneCuts]]) — completes the multimodal
+    // curation triad (e120 image dedup, e123 audio VAD, this video
+    // shot-boundary pass): consecutive-frame pixel-difference energy
+    // against a per-pixel gate, scenes = cuts + 1. Oracle re-derives
+    // every frame diff from the fixture's generative pixel formula
+    // (frame f pixel i = md5-byte((i + 3f) mod 16)), so the real GIF
+    // container decode is value-judged end to end.
+    "e124_scene_cuts" -> ((s, dir) => {
+      Multimodal.videoSceneCuts(
+          Multimodal.toMediaDataset(MediaFixtures.gif(s, dir)))
+        .select(col("doc_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_cuts").cast("long").as("n_cuts"),
+          col("n_scenes").cast("long").as("n_scenes"),
+          col("max_diff"))
+    }),
+
+    // MANN–KENDALL monotonic-trend test on the daily ingest series —
+    // the NONPARAMETRIC member of the feed-trend family (e97 fits an
+    // OLS slope, q121 scores level changes via CUSUM; this tests
+    // "is the series drifting at all" with no distribution
+    // assumption). S = Σ_{i<j} sign(x_j − x_i) over the calendar-
+    // bounded daily frame (a days² triangular self-join of a tiny
+    // frame — the corpus is touched once for the daily counts), the
+    // tie-corrected variance numerator is exact integer arithmetic,
+    // and the normal-approximation z is one closed-form double
+    // (sqrt is IEEE-correctly-rounded in both engines).
+    "q123_mann_kendall" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      val p = daily.as("a").join(daily.as("b"), col("b.d") > col("a.d"))
+        .agg(sum(when(col("b.x") > col("a.x"), 1L)
+          .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s_stat"))
+      val n = daily.agg(count(lit(1)).as("nd"))
+      val tie = daily.groupBy("x").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t") * (col("t") - 1) *
+          (lit(2L) * col("t") + 5)), lit(0L)).as("tie"))
+      val vn = col("nd") * (col("nd") - 1) * (lit(2L) * col("nd") + 5) -
+        col("tie")
+      val sd = sqrt(d(col("var_num")) / lit(18.0))
+      p.crossJoin(broadcast(n)).crossJoin(broadcast(tie))
+        .select(col("nd").as("n_days"), col("s_stat"),
+          vn.as("var_num"))
+        .select(col("n_days"), col("s_stat"), col("var_num"),
+          round(when(col("s_stat") > 0,
+              (d(col("s_stat")) - lit(1.0)) / sd)
+            .when(col("s_stat") < 0,
+              (d(col("s_stat")) + lit(1.0)) / sd)
+            .otherwise(lit(0.0)), 8).as("z"))
+    }),
+
     // Streaming SCD2 — [[graft.streaming.Scd2.history]] over the
     // same four change generations as the batch `c12_scd2`, judged
     // against the SAME oracle (the c36/c38 twin discipline): per
@@ -683,6 +736,62 @@ object Surface23Queries {
            CAST(pa + CAST(n_g AS HUGEINT) * (nn - pns) AS DOUBLE) /
              (2.0 * CAST(n_g AS DOUBLE) * CAST(nn AS DOUBLE)) AS t
          FROM pc""",
+
+    // consecutive-frame pixel diffs re-derived from the GIF fixture's
+    // generative formula; (i + 3f − 3) ≥ 0 for f ≥ 1 so the cycle
+    // index needs no negative-mod care
+    "e124_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+             (n_chars % 16) + 4 AS w, (n_chars % 6) + 2 AS nf
+           FROM documents),
+         px AS (
+           SELECT d.doc_id, f.f,
+             CAST('0x' || substr(d.h, 2*((i.i + 3*f.f) % 16) + 1, 2)
+               AS BIGINT) AS b1,
+             CAST('0x' || substr(d.h, 2*((i.i + 3*f.f - 3) % 16) + 1, 2)
+               AS BIGINT) AS b0
+           FROM d, generate_series(1, 6) AS f(f),
+             generate_series(0, 79) AS i(i)
+           WHERE f.f < d.nf AND i.i < 4 * d.w),
+         fr AS (
+           SELECT doc_id, f, SUM((b1 - b0) * (b1 - b0)) AS e,
+             count(*) AS npx
+           FROM px GROUP BY 1, 2),
+         cut AS (
+           SELECT doc_id,
+             SUM(CASE WHEN e >= 10800 * npx THEN 1 ELSE 0 END) AS nc,
+             max(e) AS mx
+           FROM fr GROUP BY 1)
+         SELECT d.doc_id, CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(c.nc AS BIGINT) AS n_cuts,
+           CAST(c.nc + 1 AS BIGINT) AS n_scenes,
+           CAST(c.mx AS BIGINT) AS max_diff
+         FROM d JOIN cut c USING (doc_id)""",
+
+    // triangular pair walk over the days-bounded daily frame; the
+    // tie-corrected variance numerator is exact, z one closed form
+    "q123_mann_kendall" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d, count(*) AS x
+           FROM events GROUP BY 1),
+         p AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+           FROM daily a JOIN daily b ON b.d > a.d),
+         n AS (SELECT count(*) AS nd FROM daily),
+         t AS (SELECT CAST(coalesce(SUM(t * (t - 1) * (2 * t + 5)), 0)
+               AS BIGINT) AS tie
+           FROM (SELECT count(*) AS t FROM daily GROUP BY x)),
+         v AS (SELECT CAST(n.nd AS BIGINT) AS nd,
+             CAST(n.nd * (n.nd - 1) * (2 * n.nd + 5) - t.tie AS BIGINT)
+               AS vn
+           FROM n, t)
+         SELECT v.nd AS n_days, p.s AS s_stat, v.vn AS var_num,
+           round(CASE WHEN p.s > 0 THEN (CAST(p.s AS DOUBLE) - 1.0) /
+               sqrt(CAST(v.vn AS DOUBLE) / 18.0)
+             WHEN p.s < 0 THEN (CAST(p.s AS DOUBLE) + 1.0) /
+               sqrt(CAST(v.vn AS DOUBLE) / 18.0)
+             ELSE 0.0 END, 8) AS z
+         FROM p, v""",
 
     // frame energies re-derived from the fixture's generative sample
     // formula (sample i = md5-byte(i mod 16)·257 − 32768, e101's

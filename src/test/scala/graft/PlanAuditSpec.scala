@@ -87,7 +87,10 @@ class PlanAuditSpec extends SparkSpec {
     "e119_t_closeness" ->
       "crossJoin against the broadcast 1-row corpus-total scalar",
     "e122_cvm" ->
-      "crossJoin against the broadcast 1-row (n, m) sample-size totals"
+      "crossJoin against the broadcast 1-row (n, m) sample-size totals",
+    "q123_mann_kendall" ->
+      ("triangular pair join of the calendar-bounded daily frame " +
+        "(days choose 2) plus broadcast 1-row totals")
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

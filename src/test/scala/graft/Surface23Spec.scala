@@ -180,6 +180,59 @@ class Surface23Spec extends SparkSpec {
       }
   }
 
+  test("e124: scene cuts match a driver-side md5-derived frame-diff " +
+    "recount for every clip") {
+    val rows = SparkEntry.queries("e124_scene_cuts")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    graft.queries.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text", "n_chars").collect().foreach { r =>
+        val dig = md.digest(Option(r.getString(1)).getOrElse("")
+          .getBytes("UTF-8"))
+        val w = (r.getLong(2) % 16 + 4).toInt
+        val nf = (r.getLong(2) % 6 + 2).toInt
+        val npx = 4 * w
+        var (cuts, mx) = (0L, 0L)
+        for (f <- 1 until nf) {
+          val e = (0 until npx).map { i =>
+            val dv = ((dig((i + 3 * f) % 16) & 0xff) -
+              (dig((i + 3 * f - 3) % 16) & 0xff)).toLong
+            dv * dv
+          }.sum
+          if (e >= graft.operators.Multimodal.sceneGate * npx) cuts += 1
+          if (e > mx) mx = e
+        }
+        val row = rows(r.getLong(0))
+        assert(row.getAs[Long]("n_frames") == nf.toLong &&
+          row.getAs[Long]("n_cuts") == cuts &&
+          row.getAs[Long]("n_scenes") == cuts + 1 &&
+          row.getAs[Long]("max_diff") == mx, s"doc ${r.getLong(0)}")
+      }
+  }
+
+  test("q123: Mann-Kendall S, tie-corrected variance and z match a " +
+    "driver-side pair walk") {
+    val row = SparkEntry.queries("q123_mann_kendall")(spark, dir).head()
+    val xs = SparkEntry.queries("q121_cusum")(spark, dir)
+      .orderBy("d").collect().map(_.getAs[Long]("x"))
+    val dDays = xs.length
+    var s = 0L
+    for (i <- xs.indices; j <- (i + 1) until dDays)
+      s += java.lang.Long.signum(xs(j) - xs(i))
+    val tie = xs.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) })
+      .sum
+    val vn = dDays.toLong * (dDays - 1) * (2L * dDays + 5) - tie
+    val z =
+      if (s > 0) (s - 1.0) / math.sqrt(vn / 18.0)
+      else if (s < 0) (s + 1.0) / math.sqrt(vn / 18.0)
+      else 0.0
+    assert(row.getAs[Long]("n_days") == dDays.toLong)
+    assert(row.getAs[Long]("s_stat") == s)
+    assert(row.getAs[Long]("var_num") == vn)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-7)
+  }
+
   test("q121: excursions match a driver-side cumsum and end at zero") {
     val rows = SparkEntry.queries("q121_cusum")(spark, dir)
       .orderBy("d").collect()
