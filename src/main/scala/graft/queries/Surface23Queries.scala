@@ -246,9 +246,12 @@ object Surface23Queries {
         max(col("cum_f_r")).as("m"))
       val diff = dec38(col("m")) * col("cum_f_a") -
         dec38(col("n")) * col("cum_f_r")
+      // integration weight is the A∪R multiplicity f_a + f_r, NOT the
+      // 3-group pooled __t: the 'N' population is in neither sample,
+      // and an N-only value must contribute zero mass to the integral
       val ag = cums.crossJoin(broadcast(tot))
         .agg(max(col("n")).as("n_a"), max(col("m")).as("n_r"),
-          sum(dec38(col("__t")) * diff * diff).as("num"))
+          sum(dec38(col("f_a") + col("f_r")) * diff * diff).as("num"))
       val nm = d(col("n_a")) * d(col("n_r"))
       val np = d(col("n_a")) + d(col("n_r"))
       // T = (nm/(n+m)²)·Σ t·(F−G)², and (F−G)² = diff²/(nm)², so the
@@ -627,12 +630,12 @@ object Surface23Queries {
     // Spark side
     "e122_cvm" ->
       """WITH h AS (
-           SELECT l_extendedprice AS v, count(*) AS t,
+           SELECT l_extendedprice AS v,
              SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS fa,
              SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS fr
            FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
          sp AS (
-           SELECT t,
+           SELECT fa + fr AS t,
              SUM(fa) OVER (ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
              SUM(fr) OVER (ORDER BY v

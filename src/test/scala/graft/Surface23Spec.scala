@@ -134,10 +134,11 @@ class Surface23Spec extends SparkSpec {
     val m = byV.map(_._2._3).sum
     var (ca, cr) = (0L, 0L)
     var num = BigInt(0)
-    byV.foreach { case (_, (t, fa, fr)) =>
+    // weight = A∪R multiplicity only — N rows are in neither sample
+    byV.foreach { case (_, (_, fa, fr)) =>
       ca += fa; cr += fr
       val diff = BigInt(m) * ca - BigInt(n) * cr
-      num += BigInt(t) * diff * diff
+      num += BigInt(fa + fr) * diff * diff
     }
     val tExp = num.toDouble /
       (n.toDouble * m * (n.toDouble + m) * (n.toDouble + m))
