@@ -7,11 +7,14 @@ import org.apache.spark.sql.SparkSession
   *  "unit":"sec","n":<count>,"queries":{<slowest 25, ms precision>},
   *  "failed":[...],"sf":"..."}.
   *
-  * The consumer reads only the tail of the process output, so the line
-  * must stay short: per-query detail is limited to the 25 slowest
-  * (the rest are sub-second noise at sf0.1) and rounded to 1 ms. The
-  * full per-query map is written to target/bench_detail.json for
-  * anyone who wants the long tail.
+  * The consumer reads only the LAST ~2000 chars of the process output,
+  * so the line must stay short: per-query detail is limited to the 25
+  * slowest (the rest are sub-second noise at sf0.1) and rounded to
+  * 1 ms, inline outlier disclosure is capped, the whole line is held
+  * under a hard length budget, and the headline fields are emitted
+  * LAST (see [[headlineJson]] — round 14's record was lost to exactly
+  * this window). The full per-query map and the uncapped outlier list
+  * are written to target/bench_detail.json.
   *
   * ==Contention defense==
   * A bench number is only as good as the box it ran on (r7 recorded
@@ -43,6 +46,55 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val probeEvery = 20
+
+  private[graft] def ms(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private[graft] def dict(m: Iterable[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+
+  /** Assemble the ONE stdout JSON line, truncation-proof.
+    *
+    * The consumer keeps only the LAST ~2000 chars of stdout. Round 14
+    * proved the failure mode: a cold host + the 2× outlier trigger put
+    * 24 inline outlier entries on the line, pushing the leading
+    * `{"metric":"total",...}` prefix out of the window — the driver
+    * recorded `parsed:null` and the round's official headline number
+    * was lost (recoverable only from target/bench_detail.json). Three
+    * defenses, each sufficient alone:
+    *
+    *  1. Inline outlier disclosure is CAPPED (worst [[maxInlineOutliers]]
+    *     by first/ref ratio) + `outliers_total`; the full list always
+    *     goes to target/bench_detail.json.
+    *  2. The whole line is held under [[lineBudget]] chars by shrinking
+    *     the per-query map (slowest-first) until it fits — the map is
+    *     courtesy detail, never the record.
+    *  3. Headline fields (`ref_loaded`, `suspect`, `n`, `value`) are
+    *     emitted LAST, so even a pathological truncation that eats the
+    *     line's head leaves the fields a regex consumer needs inside
+    *     the tail window.
+    */
+  private[graft] val lineBudget = 1900
+  private[graft] val maxInlineOutliers = 8
+  private[graft] def headlineJson(
+      total: Double, n: Int, sfDir: String,
+      slowestFirst: Seq[(String, Double)], failed: Seq[String],
+      probeJson: String,
+      outliers: Seq[(String, Double, Double, Double, Boolean)],
+      refLoaded: Int, suspect: Boolean): String = {
+    val worst = outliers
+      .sortBy { case (_, f, _, rf, _) => -(f / math.max(rf, 1e-9)) }
+      .take(maxInlineOutliers)
+    val outlierJson = worst.map { case (nm, f, r2, rf, adj) =>
+      s"""{"name":"$nm","first":${ms(f)},"rerun":${ms(r2)},"ref":${ms(rf)},"adjudicated":$adj}"""
+    }.mkString("[", ",", "]")
+    val fs = failed.map(k => "\"" + k + "\"").mkString("[", ",", "]")
+    def assemble(topK: Int): String =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$fs,$probeJson,"outliers_total":${outliers.size},"outliers":$outlierJson,"queries":${dict(slowestFirst.take(topK))},"ref_loaded":$refLoaded,"suspect":$suspect,"n":$n,"value":${ms(total)}}"""
+    // shrink the courtesy per-query map until the line fits the window
+    Iterator.iterate(25)(_ - 5).takeWhile(_ >= 0).map(assemble)
+      .find(_.length <= lineBudget)
+      .getOrElse(assemble(0))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -193,28 +245,25 @@ object Bench {
     // ref.isEmpty => the envelope pass could not run; the number may be
     // fine, but nothing adjudicated it — disclose, don't vouch.
     val suspect = probeSpread > 3.0 || unadjudicated > 0 || ref.isEmpty
-    def ms(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val probeJson = s""""probes":{"n":${probes.size},"min":${ms(if (probes.isEmpty) 0 else probes.min)},"max":${ms(if (probes.isEmpty) 0 else probes.max)},"spread":${ms(probeSpread)}}"""
-    val outlierJson = outliers.map { case (n, f, r2, rf, adj) =>
+    // full, uncapped outlier disclosure goes to bench_detail.json only
+    val fullOutlierJson = outliers.map { case (n, f, r2, rf, adj) =>
       s"""{"name":"$n","first":${ms(f)},"rerun":${ms(r2)},"ref":${ms(rf)},"adjudicated":$adj}"""
     }.mkString("[", ",", "]")
     // failed queries are listed separately (and excluded from the
     // headline total) so a query that throws instantly can never
     // masquerade as a sub-second success
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
-    def dict(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val top = ok.toSeq.sortBy(-_._2).take(25)
     val fs = failed.map(k => "\"" + k + "\"").mkString("[", ",", "]")
-    val defense = s"""$probeJson,"ref_loaded":${ref.size},"outliers":$outlierJson,"suspect":$suspect,"""
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${ok.size},$defense"queries":${dict(top)},"failed":$fs,"sf":"$sfDir"}"""
+    val line = headlineJson(total, ok.size, sfDir,
+      ok.toSeq.sortBy(-_._2), failed.toSeq,
+      probeJson, outliers.toSeq, ref.size, suspect)
     try {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"total":${ms(total)},"n":${ok.size},$defense"queries":${dict(ok.toSeq.sortBy(_._1))},"failed":$fs,"sf":"$sfDir"}"""
+        s"""{"total":${ms(total)},"n":${ok.size},$probeJson,"ref_loaded":${ref.size},"outliers":$fullOutlierJson,"suspect":$suspect,"queries":${dict(ok.toSeq.sortBy(_._1))},"failed":$fs,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // silence any executor/shutdown logging that could land AFTER the

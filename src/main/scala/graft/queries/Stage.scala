@@ -148,8 +148,17 @@ object Stage {
         // Spark writers create their staging dir themselves; a bare
         // file write doesn't — make it first.
         java.nio.file.Files.createDirectories(stage)
+        // exactly one non-null row, or fail NAMING the fixture — a bare
+        // head() on an empty/null aggregate throws an anonymous
+        // NoSuchElementException/NPE with no hint which scalar broke,
+        // and a >1-row frame would silently use an arbitrary row
+        val rows = scalar.take(2)
+        require(rows.length == 1,
+          s"durableScalar($name): sizing aggregate returned ${rows.length} rows (want exactly 1)")
+        require(!rows(0).isNullAt(0),
+          s"durableScalar($name): sizing aggregate is NULL (empty input?)")
         java.nio.file.Files.write(stage.resolve("_SCALAR"),
-          scalar.head().getLong(0).toString.getBytes("UTF-8"))
+          rows(0).getLong(0).toString.getBytes("UTF-8"))
     }
     new String(java.nio.file.Files.readAllBytes(p.resolve("_SCALAR")),
       "UTF-8").trim.toLong

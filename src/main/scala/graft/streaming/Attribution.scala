@@ -238,7 +238,7 @@ object Attribution {
         info: ExpiredTimerInfo): Iterator[Attributed] = {
       touch.clear()
       Iterator.single(Attributed(
-        if (info.getExpiryTimeInMs < drainAfterMs) "(evicted)"
+        if (info.getExpiryTimeInMs() < drainAfterMs) "(evicted)"
         else "(live_end)", 0.0))
     }
   }
@@ -313,14 +313,17 @@ object Attribution {
   class MultiTouchMapProcessor
       extends StatefulProcessor[Long, EvW, MTCredit] {
     @transient private var fls: ValueState[(String, String, String)] = _
-    @transient private var cnts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    // value type is BOXED java.lang.Long so getValue's absent-key null
+    // is visible to the type system (a scala.Long state unboxes at the
+    // call site, silently coupling absent→0 to BoxesRunTime behavior)
+    @transient private var cnts: org.apache.spark.sql.streaming.MapState[String, java.lang.Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       fls = getHandle.getValueState("fls",
         Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING),
         TTLConfig.NONE)
       cnts = getHandle.getMapState("cnts",
-        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.STRING, Encoders.LONG, TTLConfig.NONE)
     }
 
     override def handleInputRows(uid: Long, it: Iterator[EvW],
@@ -334,12 +337,15 @@ object Attribution {
         // for one value)
         var (ft, lt, slt) = Option(fls.get())
           .getOrElse((null: String, null: String, null: String))
-        // getValue on an absent key returns null, which Scala's
-        // primitive-Long unbox (BoxesRunTime.unboxToLong) maps to 0L —
-        // exactly the wanted absent-count semantics, counts are ≥ 1
-        // when present
+        // getValue on an absent key returns null (4.1.2 bytecode);
+        // wrap the single read in Option so absent→0L is OUR contract,
+        // not a silent dependency on null-unboxing — a Spark upgrade
+        // that makes getValue throw on absence would otherwise break
+        // attribution counts at runtime with no compile-time signal.
+        // Still exactly one store read per key.
         val local = scala.collection.mutable.Map[String, Long]()
-        def cnt(t: String): Long = local.getOrElse(t, cnts.getValue(t))
+        def cnt(t: String): Long = local.getOrElse(t,
+          Option(cnts.getValue(t)).fold(0L)(_.longValue))
         val out = Seq.newBuilder[MTCredit]
         it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
           if (e.event_type == "purchase") {
@@ -354,7 +360,7 @@ object Attribution {
           }
         }
         if (ft != null) fls.update((ft, lt, slt))
-        local.foreach { case (t, n) => cnts.updateValue(t, n) }
+        local.foreach { case (t, n) => cnts.updateValue(t, Long.box(n)) }
         out.result().iterator
       }
   }

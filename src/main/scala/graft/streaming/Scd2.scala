@@ -39,8 +39,11 @@ object Scd2 {
   case class Change(c_custkey: Long, c_acctbal: Option[Double],
                     op: String, ts_g: Long)
 
-  /** Open-interval state: the current dimension row version. */
-  case class Open(bal: Double, from: Long)
+  /** Open-interval state: the current dimension row version. `bal`
+    * is Option so a null balance on an r/u change round-trips as NULL,
+    * exactly like the batch c12 oracle (not coerced to 0.0).
+    */
+  case class Open(bal: Option[Double], from: Long)
 
   case class Version(c_custkey: Long, c_acctbal: Option[Double],
                      effective_from: Long, effective_to: Option[Long],
@@ -64,7 +67,7 @@ object Scd2 {
             val o = state.get
             state.remove()
             Iterator.single(
-              Version(key, Some(o.bal), o.from, None, is_current = true))
+              Version(key, o.bal, o.from, None, is_current = true))
           } else if (key < 0L) {
             it.foreach(_ => ()) // watermark-bearing sentinel: no state
             Iterator.empty
@@ -72,11 +75,11 @@ object Scd2 {
             val out = Seq.newBuilder[Version]
             it.toSeq.sortBy(_.ts_g).foreach { ch =>
               state.getOption.foreach { o =>
-                out += Version(key, Some(o.bal), o.from, Some(ch.ts_g),
+                out += Version(key, o.bal, o.from, Some(ch.ts_g),
                   is_current = false)
               }
               if (ch.op == "d") { if (state.exists) state.remove() }
-              else state.update(Open(ch.c_acctbal.getOrElse(0.0), ch.ts_g))
+              else state.update(Open(ch.c_acctbal, ch.ts_g))
             }
             // re-arm on every invocation that leaves state behind
             // (timeout config does not survive an invocation)
