@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Round-15 wave: the two public LLM-curation primitives the r14
+  * verdict named as the remaining depth items.
+  *
+  *  - `e125_dsir_weights` — DSIR-style importance weighting (the
+  *    public method of Xie et al. 2023, "Data Selection for Language
+  *    Models via Importance Resampling"): score each document by its
+  *    hashed-bigram feature counts against a TARGET-domain vs
+  *    whole-corpus frequency ratio. Here in log-free rational form so
+  *    the statistic is oracle-exact: per doc, w_num = Σ_f c_f·n_tgt(f)
+  *    and w_den = Σ_f c_f·n_raw(f) are exact integer sufficient
+  *    statistics, and the weight (w_num·N_raw)/(w_den·N_tgt) — the
+  *    count-weighted mean target/corpus frequency ratio, normalized so
+  *    a domain-typical document scores 1 — is ONE final double
+  *    formula. Plan shape: one corpus tokenize pass to per-(doc,
+  *    bucket) counts, histogram + totals re-aggregated from THAT frame
+  *    (not the corpus), then a broadcast join of the 64-row histogram
+  *    back onto the per-doc counts — the "two histogram passes + one
+  *    broadcast join" shape that makes DSIR linear at 100 TB. Natural
+  *    neighbor of e11's quality gate and e78's novelty scoring.
+  *  - `e126_dup_spans` — duplicated-span EXTENT audit: e28 counts how
+  *    many 16-token chunks repeat; this reports, per candidate doc
+  *    pair, the MAXIMAL run of CONSECUTIVE shared chunk fingerprints —
+  *    the metric that distinguishes boilerplate headers (max_run 1)
+  *    from wholesale document copies (max_run ≈ doc length). Off the
+  *    SAME durably-staged chunk-fp frame as e28
+  *    ([[Surface4Queries.chunkFp16]]): zero new corpus passes. Runs
+  *    via index arithmetic (islands-and-gaps): shared positions
+  *    (ia, ib) group by diagonal delta = ia−ib, and within a diagonal
+  *    consecutive ia values share island id ia − row_number — a
+  *    partitioned window over (pair, delta), never an all-pairs or
+  *    unpartitioned scan. Pair volume is quadratic only in PER-
+  *    FINGERPRINT multiplicity (the e1 LSH-candidate shape, tiny next
+  *    to the corpus); at 100 TB a frequency cap on degenerate
+  *    boilerplate fps bounds the worst diagonal.
+  */
+object Surface24Queries {
+  import Tables._
+
+  /** Hashed-bigram feature buckets (the paper's hashed n-gram space;
+    * 64 keeps the histogram broadcast-trivial and collision-rich,
+    * which is the point of HASHED features).
+    */
+  private val dsirBuckets = 64
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "e125_dsir_weights" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 1)
+      // word bigrams → md5 bucket (the established engine-portable
+      // hash: conv(md5-prefix) here, '0x'||substr(md5) in the oracle)
+      val bg = tk.select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat(element_at(col("tk"), i), lit(" "),
+              element_at(col("tk"), i + lit(1))))).as("bgr"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("bgr").cast("binary")), 1, 4), 16, 10)
+            .cast("long") % dsirBuckets).as("b"))
+      // ONE corpus pass to per-(doc, bucket) counts; histogram and
+      // totals are re-aggregations of this persisted frame
+      val docb = bg.groupBy("doc_id", "lang", "b")
+        .agg(count(lit(1)).as("c")).persist()
+      val hist = docb.groupBy("b").agg(sum(col("c")).as("n_raw"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("n_tgt"))
+      val tot = hist.agg(sum(col("n_raw")).as("nr"),
+        sum(col("n_tgt")).as("nt"))
+      docb.join(broadcast(hist), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("n_tgt")).as("w_num"),
+          sum(col("c") * col("n_raw")).as("w_den"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("w_num"), col("w_den"),
+          round(col("w_num").cast("double") * col("nr") /
+            (col("w_den").cast("double") * col("nt")), 8)
+            .as("dsir_weight"))
+    }),
+
+    "e126_dup_spans" -> ((s, dir) => {
+      val ch = Surface4Queries.chunkFp16(s, dir)
+      val left = ch.select(col("doc_id").as("doc_a"),
+        col("cid").as("ia"), col("fp"))
+      val right = ch.select(col("doc_id").as("doc_b"),
+        col("cid").as("ib"), col("fp"))
+      val pr = left.join(right, "fp")
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ia"),
+          (col("ia") - col("ib")).as("delta"))
+      val w = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("ia")
+      // islands-and-gaps: consecutive ia on one diagonal share
+      // (ia − row_number); run length = island size
+      val il = pr.withColumn("island", col("ia") - row_number().over(w))
+        .groupBy("doc_a", "doc_b", "delta", "island")
+        .agg(count(lit(1)).as("run_len"))
+      il.groupBy("doc_a", "doc_b")
+        .agg(sum(col("run_len")).as("n_shared"),
+          max(col("run_len")).as("max_run"))
+    }))
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+
+    "e125_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $tokensSql AS tk FROM documents
+                      WHERE len($tokensSql) > 1),
+          bg AS (SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 4)
+                     AS BIGINT) % $dsirBuckets AS b
+                 FROM (SELECT doc_id, lang, tk,
+                         unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+                       FROM tk)),
+          docb AS (SELECT doc_id, lang, b, count(*) AS c
+                   FROM bg GROUP BY doc_id, lang, b),
+          hist AS (SELECT b, CAST(SUM(c) AS BIGINT) AS n_raw,
+                     CAST(COALESCE(SUM(c) FILTER (WHERE lang = 'en'), 0)
+                       AS BIGINT) AS n_tgt
+                   FROM docb GROUP BY b),
+          tot AS (SELECT CAST(SUM(n_raw) AS BIGINT) AS nr,
+                    CAST(SUM(n_tgt) AS BIGINT) AS nt FROM hist)
+          SELECT doc_id,
+            CAST(SUM(c * n_tgt) AS BIGINT) AS w_num,
+            CAST(SUM(c * n_raw) AS BIGINT) AS w_den,
+            round((CAST(SUM(c * n_tgt) AS DOUBLE) * nr) /
+              (CAST(SUM(c * n_raw) AS DOUBLE) * nt), 8) AS dsir_weight
+          FROM docb JOIN hist USING (b), tot
+          GROUP BY doc_id, nr, nt""",
+
+    "e126_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+          ch AS (SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS cid,
+                   md5(array_to_string(tk[s : least(s + 15,
+                     CAST(len(tk) AS BIGINT))], ' ')) AS fp
+                 FROM (SELECT doc_id, tk,
+                         unnest(range(1, CAST(len(tk) AS BIGINT) + 1, 16))
+                           AS s
+                       FROM tk WHERE len(tk) > 0)),
+          pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.cid AS ia, a.cid - b.cid AS delta
+                 FROM ch a JOIN ch b USING (fp)
+                 WHERE a.doc_id < b.doc_id),
+          runs AS (SELECT doc_a, doc_b, delta,
+                     ia - row_number() OVER
+                       (PARTITION BY doc_a, doc_b, delta ORDER BY ia)
+                       AS island
+                   FROM pr),
+          il AS (SELECT doc_a, doc_b, count(*) AS run_len
+                 FROM runs GROUP BY doc_a, doc_b, delta, island)
+          SELECT doc_a, doc_b, CAST(SUM(run_len) AS BIGINT) AS n_shared,
+            CAST(max(run_len) AS BIGINT) AS max_run
+          FROM il GROUP BY doc_a, doc_b""")
+}

@@ -18,6 +18,23 @@ object Surface4Queries {
 
   private val allMarkers = TextAnalysis.langMarkers.flatMap(_._2)
 
+  /** Shared non-overlapping 16-token chunk fingerprints
+    * (doc_id, cid, fp), durably staged: ONE corpus tokenize+chunk
+    * pass per (sf × testdata fingerprint), after which both
+    * e28_passage_dedup and Surface24's e126_dup_spans are equi-key
+    * joins/aggregations over this frame — zero query-time corpus
+    * passes, and the two passage-level dedup reports provably audit
+    * the SAME chunk inventory.
+    */
+  private[queries] def chunkFp16(s: SparkSession, dir: String): DataFrame =
+    Stage.durableFrame(s, "chunks16-fp", dir) {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      graft.operators.Corpus.chunkTokens(tk, "doc_id", "tk", 16, 16)
+        .select(col("doc_id"), col("chunk_id").as("cid"),
+          md5(col("chunk_text").cast("binary")).as("fp"))
+    }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quartile assignment + cumulative distribution over one global
     // ordering — via Rank.withGlobalRowNumber: range-partition on the
@@ -477,14 +494,10 @@ object Surface4Queries {
     // anywhere marks duplicated passage content (the within-corpus
     // boilerplate signal line-level dedup targets). Chunking is a narrow
     // generate stage; the only exchanges are on the constant-width
-    // fingerprint — never the text
+    // fingerprint — never the text. The chunk-fp frame is durably
+    // staged ([[chunkFp16]]) and shared with e126's span-extent audit.
     "e28_passage_dedup" -> ((s, dir) => {
-      val tk = t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-      val ch = graft.operators.Corpus.chunkTokens(tk, "doc_id", "tk", 16, 16)
-        .select(col("doc_id"),
-          md5(col("chunk_text").cast("binary")).as("fp"))
-        .persist()
+      val ch = chunkFp16(s, dir)
       val dup = ch.groupBy("fp").agg(count(lit(1)).as("cnt"))
       ch.join(dup, "fp")
         .groupBy("doc_id")

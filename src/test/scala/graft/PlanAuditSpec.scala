@@ -90,7 +90,9 @@ class PlanAuditSpec extends SparkSpec {
       "crossJoin against the broadcast 1-row (n, m) sample-size totals",
     "q123_mann_kendall" ->
       ("triangular pair join of the calendar-bounded daily frame " +
-        "(days choose 2) plus broadcast 1-row totals")
+        "(days choose 2) plus broadcast 1-row totals"),
+    "e125_dsir_weights" ->
+      "crossJoin against the broadcast 1-row (N_raw, N_tgt) totals"
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

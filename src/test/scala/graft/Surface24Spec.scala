@@ -1,0 +1,95 @@
+package graft
+
+/** Invariants for the round-15 wave (Surface24Queries): DSIR hashed-
+  * bigram importance weights and the duplicated-span extent audit —
+  * each recounted driver-side from first principles at sf0.001.
+  */
+class Surface24Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def toks(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  private def docs(): Array[(Long, String, String)] =
+    graft.queries.Tables.t(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("e125: weights match a first-principles hashed-bigram recount") {
+    val rows = SparkEntry.queries("e125_dsir_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // recount: per-doc bucket histogram, corpus + target totals
+    val perDoc = docs().map { case (id, lang, text) =>
+      val tk = toks(Option(text).getOrElse(""))
+      val buckets = tk.sliding(2).filter(_.length == 2)
+        .map(p => java.lang.Long.parseLong(
+          md5hex(p(0) + " " + p(1)).take(4), 16) % 64)
+        .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      (id, lang, buckets)
+    }.filter(_._3.nonEmpty)
+    val nRaw = perDoc.flatMap(_._3.toSeq).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val nTgt = perDoc.filter(_._2 == "en").flatMap(_._3.toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val (tr, tt) = (nRaw.values.sum, nTgt.values.sum)
+    assert(rows.size == perDoc.length)
+    perDoc.foreach { case (id, _, b) =>
+      val num = b.map { case (k, c) => c * nTgt.getOrElse(k, 0L) }.sum
+      val den = b.map { case (k, c) => c * nRaw(k) }.sum
+      val (gNum, gDen, gW) = rows(id)
+      assert(gNum == num && gDen == den, s"doc $id sums")
+      val w = BigDecimal(num.toDouble * tr / (den.toDouble * tt))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gW - w) < 1e-9, s"doc $id weight $gW vs $w")
+    }
+    // hashed features are shared across docs: every bucket the corpus
+    // produced must have nonzero corpus mass (histogram completeness)
+    assert(nRaw.values.forall(_ > 0))
+  }
+
+  test("e126: span extents match a brute-force pair walk") {
+    val got = SparkEntry.queries("e126_dup_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // recount: chunk fingerprints per doc, then brute-force diagonals
+    val chunks = docs().map { case (id, _, text) =>
+      val tk = toks(Option(text).getOrElse(""))
+      id -> tk.grouped(16).zipWithIndex
+        .map { case (c, i) => (i.toLong, md5hex(c.mkString(" "))) }.toSeq
+    }.filter(_._2.nonEmpty).toMap
+    val expect = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    for {
+      a <- chunks.keys.toSeq.sorted
+      b <- chunks.keys.toSeq.sorted if a < b
+    } {
+      val byFp = chunks(b).groupBy(_._2)
+      val shared = chunks(a).flatMap { case (ia, fp) =>
+        byFp.getOrElse(fp, Seq.empty).map { case (ib, _) => (ia, ib) }
+      }
+      if (shared.nonEmpty) {
+        val runs = shared.groupBy { case (ia, ib) => ia - ib }.values
+          .flatMap { diag =>
+            val ias = diag.map(_._1).sorted
+            // island lengths on one diagonal
+            ias.zipWithIndex.groupBy { case (ia, i) => ia - i }
+              .values.map(_.size.toLong)
+          }
+        expect((a, b)) = (shared.size.toLong, runs.max)
+      }
+    }
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, v) =>
+      assert(got(k) == v, s"pair $k: got ${got(k)}, want $v")
+    }
+    // extent never exceeds either doc's chunk inventory
+    got.foreach { case ((a, b), (shared, run)) =>
+      assert(run <= shared)
+      assert(run <= math.min(chunks(a).size, chunks(b).size))
+    }
+  }
+}
