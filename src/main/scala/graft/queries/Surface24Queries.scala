@@ -53,23 +53,27 @@ object Surface24Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "e125_dsir_weights" -> ((s, dir) => {
-      val tk = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextAnalysis.tokens(col("text")).as("tk"))
-        .where(size(col("tk")) > 1)
-      // word bigrams → md5 bucket (the established engine-portable
-      // hash: conv(md5-prefix) here, '0x'||substr(md5) in the oracle)
-      val bg = tk.select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(1), size(col("tk")) - 1),
-            i => concat(element_at(col("tk"), i), lit(" "),
-              element_at(col("tk"), i + lit(1))))).as("bgr"))
-        .select(col("doc_id"), col("lang"),
-          (conv(substring(md5(col("bgr").cast("binary")), 1, 4), 16, 10)
-            .cast("long") % dsirBuckets).as("b"))
-      // ONE corpus pass to per-(doc, bucket) counts; histogram and
-      // totals are re-aggregations of this persisted frame
-      val docb = bg.groupBy("doc_id", "lang", "b")
-        .agg(count(lit(1)).as("c")).persist()
+      // ONE corpus tokenize pass to per-(doc, bucket) counts, durably
+      // staged (the e118 token-histogram discipline): histogram,
+      // totals, and the per-doc weights are all re-aggregations of
+      // this frame — zero query-time corpus passes on fixture hits
+      val docb = Stage.durableFrame(s, "dsir-docb64", dir) {
+        val tk = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) > 1)
+        // word bigrams → md5 bucket (the established engine-portable
+        // hash: conv(md5-prefix) here, '0x'||substr(md5) in the oracle)
+        tk.select(col("doc_id"), col("lang"),
+            explode(transform(sequence(lit(1), size(col("tk")) - 1),
+              i => concat(element_at(col("tk"), i), lit(" "),
+                element_at(col("tk"), i + lit(1))))).as("bgr"))
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("bgr").cast("binary")), 1, 4), 16, 10)
+              .cast("long") % dsirBuckets).as("b"))
+          .groupBy("doc_id", "lang", "b")
+          .agg(count(lit(1)).as("c"))
+      }
       val hist = docb.groupBy("b").agg(sum(col("c")).as("n_raw"),
         sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("n_tgt"))
       val tot = hist.agg(sum(col("n_raw")).as("nr"),
