@@ -626,6 +626,32 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Clipping audit over REALLY decoded PCM — the level-gain quality
+    * gate an audio-curation pass runs next to VAD: a sample at either
+    * int16 rail (−32768 or 32767) was (or may as well have been)
+    * clipped by the recording chain; clips with a high rail fraction
+    * are distorted and get dropped or re-gained before training.
+    * Integer counts from the lossless decode, per-partition session
+    * decode like [[audioVad]].
+    */
+  case class AudioClipRow(doc_id: Long, n_samples: Int, n_clipped: Int)
+
+  def audioClipping(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new AudioCodec.Session
+      rows.map { r =>
+        val (_, s) = codec.decodePcmWav(r.media)
+        var (c, i) = (0, 0)
+        while (i < s.length) {
+          if (s(i) == Short.MaxValue || s(i) == Short.MinValue) c += 1
+          i += 1
+        }
+        AudioClipRow(r.doc_id, s.length, c)
+      }
+    }.toDF()
+  }
+
   def audioStats(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

@@ -4,10 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis
+import graft.operators.{Multimodal, Rank, TextAnalysis}
 
 /** Round-15 wave: the two public LLM-curation primitives the r14
-  * verdict named as the remaining depth items.
+  * verdict named as the remaining depth items (e125 DSIR, e126 span
+  * extents), plus the round's own additions — the Theil–Sen estimator
+  * completing the trend family (q124), the language-ID confusion
+  * audit (e127), and the audio clipping screen (e128).
   *
   *  - `e125_dsir_weights` — DSIR-style importance weighting (the
   *    public method of Xie et al. 2023, "Data Selection for Language
@@ -89,6 +92,69 @@ object Surface24Queries {
             .as("dsir_weight"))
     }),
 
+    // THEIL–SEN robust slope of the daily ingest series — the
+    // ESTIMATOR companion of q123's Mann–Kendall TEST (MK answers
+    // "is the feed drifting", this answers "by how much per day",
+    // robust to the outlier days that wreck e97's OLS slope): the
+    // median of all pairwise slopes over the calendar-bounded daily
+    // frame. Pair slopes are one corpus pass + a days² triangular
+    // self-join (the q123 shape); the median is selected by exact
+    // rank arithmetic over Rank.withGlobalRowNumber (no interpolating
+    // percentile whose lower+(hi−lo)·f float form differs across
+    // engines) — the midpoint average is ONE shared double formula.
+    "q124_theil_sen" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      val sl = daily.as("a").join(daily.as("b"), col("b.d") > col("a.d"))
+        .select(((col("b.x") - col("a.x")).cast("double") /
+          datediff(col("b.d"), col("a.d"))).as("sl"))
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      Rank.withGlobalRowNumber(sl, Seq(col("sl").asc))
+        .where(col("rn") ===
+            floor((col("n_total") + lit(1)) / lit(2)).cast("long") ||
+          col("rn") ===
+            floor((col("n_total") + lit(2)) / lit(2)).cast("long"))
+        .groupBy(col("n_total").as("n_pairs"))
+        .agg(round(avg(col("sl")), 8).as("slope"))
+        .crossJoin(broadcast(nd))
+        .select(col("n_days"), col("n_pairs"), col("slope"))
+    }),
+
+    // Language-ID confusion matrix: the judged e4_langid heuristic
+    // audited against the labeled lang column — the classifier-eval
+    // report a curation pipeline keeps for its router (which true
+    // languages leak into which predicted buckets, at what rate).
+    // Reuses e4_langid's exact derivation (one tokenize pass); the
+    // matrix is ≤ |langs|² rows, per-lang totals join back broadcast.
+    "e127_langid_confusion" -> ((s, dir) => {
+      val det = TextQueries.all("e4_langid")(s, dir)
+      val cm = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(det, "doc_id")
+        .groupBy("lang", "detected").agg(count(lit(1)).as("n"))
+      val tot = cm.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+      cm.join(broadcast(tot), "lang")
+        .select(col("lang"), col("detected"), col("n"),
+          round(col("n").cast("double") / col("n_lang"), 8).as("frac"))
+    }),
+
+    // Clipping audit over REALLY decoded PCM
+    // ([[Multimodal.audioClipping]]): samples at the int16 rails per
+    // clip — the level-gain gate of the audio family (e101 signal
+    // stats, e123 VAD segmentation, this distortion screen). The
+    // oracle re-derives every sample from the fixture's generative
+    // formula (md5-byte·257 − 32768: byte 0xff IS the positive rail,
+    // 0x00 the negative), so the real WAV decode is value-judged.
+    "e128_audio_clipping" -> ((s, dir) => {
+      Multimodal.audioClipping(
+          Multimodal.toMediaDataset(MediaFixtures.wav(s, dir)))
+        .select(col("doc_id"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("n_clipped").cast("long").as("n_clipped"),
+          (col("n_clipped").cast("double") / col("n_samples"))
+            .as("clip_frac"))
+    }),
+
     "e126_dup_spans" -> ((s, dir) => {
       val ch = Surface4Queries.chunkFp16(s, dir)
       val left = ch.select(col("doc_id").as("doc_a"),
@@ -114,6 +180,52 @@ object Surface24Queries {
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+
+    "q124_theil_sen" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d, count(*) AS x
+           FROM events GROUP BY 1),
+         sl AS (SELECT CAST(b.x - a.x AS DOUBLE) / (b.d - a.d) AS sl
+           FROM daily a JOIN daily b ON b.d > a.d),
+         r AS (SELECT sl, row_number() OVER (ORDER BY sl) AS rn,
+             count(*) OVER () AS np
+           FROM sl),
+         nd AS (SELECT count(*) AS n_days FROM daily)
+         SELECT nd.n_days, r.np AS n_pairs,
+           round(AVG(r.sl), 8) AS slope
+         FROM r, nd
+         WHERE r.rn = (r.np + 1) // 2 OR r.rn = (r.np + 2) // 2
+         GROUP BY nd.n_days, r.np""",
+
+    "e127_langid_confusion" ->
+      s"""WITH det AS (${TextQueries.oracles("e4_langid")}),
+          cm AS (SELECT d.lang, det.detected, count(*) AS n
+                 FROM documents d JOIN det USING (doc_id)
+                 GROUP BY d.lang, det.detected),
+          tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+                  FROM cm GROUP BY lang)
+          SELECT lang, detected, n,
+            round(CAST(n AS DOUBLE) / n_lang, 8) AS frac
+          FROM cm JOIN tot USING (lang)""",
+
+    // samples re-derived from the audio fixture's generative formula
+    // (e101/e123 pattern): sample i = md5-byte(i mod 16)·257 − 32768,
+    // so clipped ⇔ the hex byte is 'ff' (+rail) or '00' (−rail)
+    "e128_audio_clipping" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+             (n_chars % 96) + 32 AS n FROM documents),
+         samp AS (
+           SELECT d.doc_id, d.n,
+             substr(d.h, 2 * (i.i % 16) + 1, 2) AS hb
+           FROM d, generate_series(0, 126) AS i(i)
+           WHERE i.i < d.n)
+         SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(count(*) FILTER (WHERE hb IN ('ff', '00')) AS BIGINT)
+             AS n_clipped,
+           CAST(count(*) FILTER (WHERE hb IN ('ff', '00')) AS DOUBLE)
+             / max(n) AS clip_frac
+         FROM samp GROUP BY doc_id""",
 
     "e125_dsir_weights" ->
       s"""WITH tk AS (SELECT doc_id, lang, $tokensSql AS tk FROM documents

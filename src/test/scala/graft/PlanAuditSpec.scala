@@ -92,7 +92,11 @@ class PlanAuditSpec extends SparkSpec {
       ("triangular pair join of the calendar-bounded daily frame " +
         "(days choose 2) plus broadcast 1-row totals"),
     "e125_dsir_weights" ->
-      "crossJoin against the broadcast 1-row (N_raw, N_tgt) totals"
+      "crossJoin against the broadcast 1-row (N_raw, N_tgt) totals",
+    "q124_theil_sen" ->
+      ("triangular pair join of the calendar-bounded daily frame " +
+        "(the q123 shape) plus Rank.withGlobalRowNumber's broadcast " +
+        "1-row total and the broadcast 1-row n_days scalar")
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

@@ -52,6 +52,59 @@ class Surface24Spec extends SparkSpec {
     assert(nRaw.values.forall(_ > 0))
   }
 
+  test("q124: Theil–Sen slope matches a driver-side all-pairs median") {
+    val row = SparkEntry.queries("q124_theil_sen")(spark, dir).head()
+    val daily = graft.queries.Tables.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("d"))
+      .count().collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+        (daily(j)._1 - daily(i)._1)).sorted
+    val n = slopes.length
+    val med = (slopes((n + 1) / 2 - 1) + slopes((n + 2) / 2 - 1)) / 2.0
+    assert(row.getAs[Long]("n_days") == daily.length)
+    assert(row.getAs[Long]("n_pairs") == n)
+    assert(math.abs(row.getAs[Double]("slope") - med) < 1e-7,
+      s"engine ${row.getAs[Double]("slope")} vs $med")
+  }
+
+  test("e127: confusion matrix partitions the corpus; fracs sum to 1 per lang") {
+    val rows = SparkEntry.queries("e127_langid_confusion")(spark, dir)
+      .collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == docs().length)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val fracSum = rs.map(_.getAs[Double]("frac")).sum
+      assert(math.abs(fracSum - 1.0) < 1e-6, s"$lang fracs sum $fracSum")
+    }
+    // the en marker set must catch most labeled-en docs (heuristic
+    // sanity: diagonal dominance for the language the markers target)
+    val en = rows.filter(r => r.getString(0) == "en")
+    val enDiag = en.filter(_.getString(1) == "en").map(_.getAs[Long]("n")).sum
+    val enTot = en.map(_.getAs[Long]("n")).sum
+    assert(enDiag * 2 > enTot, s"en diagonal $enDiag of $enTot")
+  }
+
+  test("e128: clipped counts match the generative md5 rail bytes") {
+    val got = SparkEntry.queries("e128_audio_clipping")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.queries.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text", "n_chars").collect().foreach { r =>
+        val (id, text, nChars) =
+          (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getLong(2))
+        val bytes = md5hex(text).grouped(2)
+          .map(Integer.parseInt(_, 16)).toArray
+        val n = (nChars % 96 + 32).toInt
+        val clipped = (0 until n).count(i =>
+          bytes(i % 16) == 0xff || bytes(i % 16) == 0x00)
+        assert(got(id) == (n.toLong, clipped.toLong), s"doc $id")
+      }
+  }
+
   test("e126: span extents match a brute-force pair walk") {
     val got = SparkEntry.queries("e126_dup_spans")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
