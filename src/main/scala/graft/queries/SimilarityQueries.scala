@@ -26,7 +26,7 @@ object SimilarityQueries {
     * frame (no driver collect; at 100 TB this is a broadcast of 256
     * bytes).
     */
-  private def queryVec(s: SparkSession, dir: String): DataFrame =
+  private[queries] def queryVec(s: SparkSession, dir: String): DataFrame =
     broadcast(t(s, dir, "embeddings").where(col("vec_id") === 0)
       .select(col("embedding").as("qe")))
 

@@ -10,7 +10,9 @@ import graft.operators.{Multimodal, Rank, TextAnalysis}
   * verdict named as the remaining depth items (e125 DSIR, e126 span
   * extents), plus the round's own additions — the Theil–Sen estimator
   * completing the trend family (q124), the language-ID confusion
-  * audit (e127), and the audio clipping screen (e128).
+  * audit (e127), the audio clipping screen (e128), the Matryoshka
+  * truncation-recall audit (e129), and the Hellinger source-drift
+  * matrix (e130).
   *
   *  - `e125_dsir_weights` — DSIR-style importance weighting (the
   *    public method of Xie et al. 2023, "Data Selection for Language
@@ -155,6 +157,65 @@ object Surface24Queries {
             .as("clip_frac"))
     }),
 
+    // MATRYOSHKA truncation-recall audit (the public MRL question:
+    // how much of exact top-k survives scoring on a dim PREFIX of
+    // the embedding): ONE corpus scoring pass computes the query
+    // cosine at prefix dims 8/16/32 AND full 64 (same left-to-right
+    // fold at every width, so both engines see identical doubles),
+    // then four TakeOrdered top-10s off the persisted frame — no
+    // second corpus pass, no full sort. The report a team truncating
+    // stored vectors for memory reads before committing to a width.
+    "e129_matryoshka_recall" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val dims = Seq(8, 16, 32)
+      val scored = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .crossJoin(SimilarityQueries.queryVec(s, dir))
+        .select(col("vec_id") +: (dims :+ 64).map(m =>
+          Similarity.cosine(slice(col("embedding"), 1, m),
+            slice(col("qe"), 1, m)).as(s"cos_$m")): _*)
+        .persist()
+      def top10(m: Int) = scored
+        .orderBy(col(s"cos_$m").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      val full = top10(64)
+      dims.map { m =>
+        full.join(top10(m), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(m.toLong).as("m_dims"), col("n_hit"),
+            (col("n_hit").cast("double") / lit(10.0)).as("recall"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // HELLINGER distance between per-source LANGUAGE profiles — the
+    // pairwise drift MATRIX of the mixture audit family, on a third
+    // metric: e78 chi²-scores each source's TOKEN distribution against
+    // the corpus, e119 takes total-variation for the privacy audit;
+    // Hellinger (√(1−Σ√(p·q))) is the bounded symmetric metric a
+    // mixture monitor alarms on. The lang domain is FIXED (5 columns
+    // pivoted into one row per source), so the Bhattacharyya sum is
+    // one fixed-order expression — no sum-order nondeterminism — and
+    // sqrt is IEEE-correctly-rounded in both engines. The pair join
+    // is the 5-row profile frame against itself.
+    "e130_hellinger_drift" -> ((s, dir) => {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val prof = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          langs.map(l =>
+            count(when(col("lang") === l, 1)).as(s"n_$l")): _*)
+      val bc = langs.map { l =>
+        sqrt((col(s"a.n_$l").cast("double") / col("a.n")) *
+          (col(s"b.n_$l").cast("double") / col("b.n")))
+      }.reduce(_ + _)
+      prof.as("a").join(broadcast(prof.as("b")),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"),
+          col("b.source").as("source_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          round(bc, 8).as("bc"),
+          round(sqrt(greatest(lit(0.0), lit(1.0) - bc)), 8)
+            .as("hellinger"))
+    }),
+
     "e126_dup_spans" -> ((s, dir) => {
       val ch = Surface4Queries.chunkFp16(s, dir)
       val left = ch.select(col("doc_id").as("doc_a"),
@@ -179,7 +240,56 @@ object Surface24Queries {
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Prefix-dim dot product as DuckDB SQL — the m-dim generalization
+    * of [[SimilarityQueries.doubleCosineSql]]'s 64-dim fold, same
+    * left-to-right summation as `Similarity.cosine` over a slice.
+    */
+  private def foldDotM(a: String, b: String, m: Int) =
+    s"""list_reduce(list_transform(generate_series(1, $m),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+        (acc, x) -> acc + x)"""
+
+  private def matryoshkaBranchSql(m: Int) =
+    s"""SELECT CAST($m AS BIGINT) AS m_dims, count(*) AS n_hit,
+          CAST(count(*) AS DOUBLE) / 10.0 AS recall
+        FROM top64 WHERE vec_id IN (SELECT vec_id FROM top$m)"""
+
+  private def topMSql(m: Int) =
+    s"""(SELECT e.vec_id FROM embeddings e, q
+         WHERE e.vec_id <> 0
+         ORDER BY ${foldDotM("e.embedding", "q.qe", m)} /
+           (sqrt(${foldDotM("e.embedding", "e.embedding", m)}) *
+            sqrt(${foldDotM("q.qe", "q.qe", m)})) DESC, e.vec_id
+         LIMIT 10)"""
+
   val oracles: Map[String, String] = Map(
+
+    "e129_matryoshka_recall" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+                     WHERE vec_id = 0),
+          top8 AS ${topMSql(8)},
+          top16 AS ${topMSql(16)},
+          top32 AS ${topMSql(32)},
+          top64 AS ${topMSql(64)}
+          ${matryoshkaBranchSql(8)}
+          UNION ALL ${matryoshkaBranchSql(16)}
+          UNION ALL ${matryoshkaBranchSql(32)}""",
+
+    "e130_hellinger_drift" -> {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val profCols = langs.map(l =>
+        s"count(*) FILTER (WHERE lang = '$l') AS n_$l").mkString(", ")
+      val bc = langs.map(l =>
+        s"sqrt((CAST(a.n_$l AS DOUBLE) / a.n) * " +
+          s"(CAST(b.n_$l AS DOUBLE) / b.n))").mkString(" + ")
+      s"""WITH prof AS (SELECT source, count(*) AS n, $profCols
+                        FROM documents GROUP BY source)
+          SELECT a.source AS source_a, b.source AS source_b,
+            a.n AS n_a, b.n AS n_b,
+            round($bc, 8) AS bc,
+            round(sqrt(greatest(0.0, 1.0 - ($bc))), 8) AS hellinger
+          FROM prof a JOIN prof b ON a.source < b.source"""
+    },
 
     "q124_theil_sen" ->
       """WITH daily AS (

@@ -96,7 +96,12 @@ class PlanAuditSpec extends SparkSpec {
     "q124_theil_sen" ->
       ("triangular pair join of the calendar-bounded daily frame " +
         "(the q123 shape) plus Rank.withGlobalRowNumber's broadcast " +
-        "1-row total and the broadcast 1-row n_days scalar")
+        "1-row total and the broadcast 1-row n_days scalar"),
+    "e129_matryoshka_recall" ->
+      "crossJoin against the broadcast 1-row query vector",
+    "e130_hellinger_drift" ->
+      ("pairwise non-equi join of the sources-sized language-profile " +
+        "frame against its broadcast self (|sources| rows at any scale)")
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

@@ -105,6 +105,57 @@ class Surface24Spec extends SparkSpec {
       }
   }
 
+  test("e129: prefix-dim recall matches a driver-side exact recount") {
+    val got = SparkEntry.queries("e129_matryoshka_recall")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = graft.queries.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = vecs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float], m: Int): Double = {
+      def fold(x: Array[Float], y: Array[Float]) =
+        (0 until m).foldLeft(0.0)((acc, i) =>
+          acc + x(i).toDouble * y(i).toDouble)
+      fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+    }
+    def top10(m: Int): Set[Long] = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q, m)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val full = top10(64)
+    Seq(8, 16, 32).foreach { m =>
+      val hit = (full intersect top10(m)).size.toLong
+      assert(got(m.toLong) == hit, s"m=$m: engine ${got(m.toLong)} vs $hit")
+    }
+    // truncation can only lose information: full-dim self-recall is 10
+    assert((full intersect top10(64)).size == 10)
+  }
+
+  test("e130: Hellinger matrix is a bounded symmetric metric over profiles") {
+    val rows = SparkEntry.queries("e130_hellinger_drift")(spark, dir)
+      .collect()
+    val nSources = graft.queries.Tables.t(spark, dir, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val (bc, h) = (r.getAs[Double]("bc"), r.getAs[Double]("hellinger"))
+      assert(bc >= 0.0 && bc <= 1.0 + 1e-9, s"bc $bc")
+      assert(h >= 0.0 && h <= 1.0, s"hellinger $h")
+      // h = sqrt(1 - bc) up to the rounding of both outputs
+      assert(math.abs(h - math.sqrt(math.max(0.0, 1.0 - bc))) < 1e-6)
+    }
+    // a recount on one pair from raw counts
+    val profs = graft.queries.Tables.t(spark, dir, "documents")
+      .groupBy("source", "lang").count().collect()
+      .groupBy(_.getString(0)).view.mapValues(rs =>
+        rs.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+    val r0 = rows.minBy(r => (r.getString(0), r.getString(1)))
+    val (a, b) = (profs(r0.getString(0)), profs(r0.getString(1)))
+    val (na, nb) = (a.values.sum.toDouble, b.values.sum.toDouble)
+    val bc = Seq("en", "de", "es", "fr", "zh").map(l =>
+      math.sqrt((a.getOrElse(l, 0L) / na) * (b.getOrElse(l, 0L) / nb))).sum
+    assert(math.abs(r0.getAs[Double]("bc") - bc) < 1e-7)
+  }
+
   test("e126: span extents match a brute-force pair walk") {
     val got = SparkEntry.queries("e126_dup_spans")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
