@@ -459,7 +459,7 @@ object Surface22Queries {
   /** `transformWithState` requires the RocksDB state-store provider;
     * scope the conf flip to the streaming run (c23's discipline).
     */
-  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+  private[queries] def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -156,6 +156,23 @@ class Surface24Spec extends SparkSpec {
     assert(math.abs(r0.getAs[Double]("bc") - bc) < 1e-7)
   }
 
+  test("c40: TWS session twin equals the built-in session_window output") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))
+    val tws = SparkEntry.queries("c40_stream_session_tws")(spark, dir)
+      .collect().map(key).sorted
+    val builtin = SparkEntry.queries("c21_stream_session")(spark, dir)
+      .select("user_id", "session_start", "session_end", "n")
+      .collect().map(key).sorted
+    assert(tws.length == builtin.length)
+    assert(tws sameElements builtin)
+    // sessions are well-formed: start < end, gap-closed end
+    tws.foreach { case (_, st, en, n) =>
+      assert(n >= 1 && en - st >= 1800000L, s"session ($st,$en,$n)")
+    }
+  }
+
   test("e126: span extents match a brute-force pair walk") {
     val got = SparkEntry.queries("e126_dup_spans")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
