@@ -11,8 +11,9 @@ import graft.operators.{Multimodal, Rank, TextAnalysis}
   * extents), plus the round's own additions — the Theil–Sen estimator
   * completing the trend family (q124), the language-ID confusion
   * audit (e127), the audio clipping screen (e128), the Matryoshka
-  * truncation-recall audit (e129), and the Hellinger source-drift
-  * matrix (e130).
+  * truncation-recall audit (e129), the Hellinger source-drift
+  * matrix (e130), the hash-uniformity KS audit (e131), and the
+  * transformWithState session-window twin (c40).
   *
   *  - `e125_dsir_weights` — DSIR-style importance weighting (the
   *    public method of Xie et al. 2023, "Data Selection for Language
@@ -274,6 +275,51 @@ object Surface24Queries {
         col("n"))
     }),
 
+    // One-sample KS uniformity TEST of the doc-id hash over 100
+    // buckets — the partition-skew audit a team runs BEFORE trusting
+    // hash-bucketed layouts (e68 builds such a layout; e105 tests
+    // independence of two observed columns; this tests the hash
+    // itself against the uniform null): D = max_k |F̂(k) − (k+1)/B|,
+    // kept exact as the integer numerator max_k |B·cum_k − (k+1)·N|
+    // with ONE final double division. Cumulative counts over the
+    // FIXED 100-bucket spine (absent buckets matter — they hold the
+    // deviation flat while the null grows) via the shared partitioned
+    // cumsum machinery.
+    "e131_hash_uniformity" -> ((s, dir) => {
+      val bN = 100
+      val counts = t(s, dir, "documents")
+        .select((conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 4), 16, 10).cast("long") % bN).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("nk"))
+      val full = s.range(bN).select(col("id").as("k"))
+        .join(counts, Seq("k"), "left")
+        .select(col("k"), coalesce(col("nk"), lit(0L)).as("nk"))
+        .persist()
+      // the spine is FIXED at 100 rows no matter the corpus scale, so
+      // the cumulative counts come from a bounded triangular
+      // broadcast self-join (10k comparisons, one stage) instead of
+      // the corpus-sized repartition machinery withGlobalCumsums
+      // rightly uses on data-sized frames
+      val cums = full.as("a").join(broadcast(full.as("b")),
+          col("b.k") <= col("a.k"))
+        .groupBy(col("a.k").as("k")).agg(sum(col("b.nk")).as("cum_nk"))
+      val tot = broadcast(cums.agg(max(col("cum_nk")).as("n_total")))
+      // ONE aggregation selects the sup deviation AND its first
+      // argmax bucket: struct max orders (dev, −k) lexicographically,
+      // so ties resolve to the smallest k — no second max/filter pass
+      cums.crossJoin(tot)
+        .select(col("n_total"),
+          struct(abs(lit(bN) * col("cum_nk") -
+              (col("k") + 1) * col("n_total")).as("dev"),
+            (-col("k")).as("negk")).as("dk"))
+        .groupBy(col("n_total"))
+        .agg(max(col("dk")).as("m"))
+        .select(col("n_total"), col("m.dev").as("d_num"),
+          (-col("m.negk")).as("worst_bucket"),
+          round(col("m.dev").cast("double") /
+            (col("n_total") * lit(bN.toLong)), 8).as("ks_d"))
+    }),
+
     "e126_dup_spans" -> ((s, dir) => {
       val ch = Surface4Queries.chunkFp16(s, dir)
       val left = ch.select(col("doc_id").as("doc_a"),
@@ -326,6 +372,27 @@ object Surface24Queries {
     // twin discipline: one semantic, one oracle, two engines
     "c40_stream_session_tws" ->
       RuntimeQueries.oracles("c21_stream_session"),
+
+    "e131_hash_uniformity" ->
+      """WITH c AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 4) AS BIGINT) % 100 AS k FROM documents),
+         cnt AS (SELECT k, count(*) AS nk FROM c GROUP BY k),
+         spine AS (SELECT unnest(range(0, 100)) AS k),
+         f AS (SELECT spine.k, COALESCE(cnt.nk, 0) AS nk
+               FROM spine LEFT JOIN cnt USING (k)),
+         cum AS (SELECT k, SUM(nk) OVER (ORDER BY k
+             ROWS UNBOUNDED PRECEDING) AS cum_nk FROM f),
+         tot AS (SELECT CAST(max(cum_nk) AS BIGINT) AS n_total FROM cum),
+         dev AS (SELECT k,
+             CAST(abs(100 * cum_nk - (k + 1) * n_total) AS BIGINT) AS dev
+           FROM cum, tot),
+         mx AS (SELECT CAST(max(dev) AS BIGINT) AS d_num FROM dev)
+         SELECT tot.n_total, mx.d_num,
+           CAST(min(dev.k) AS BIGINT) AS worst_bucket,
+           round(CAST(mx.d_num AS DOUBLE) / (tot.n_total * 100), 8)
+             AS ks_d
+         FROM dev, mx, tot WHERE dev.dev = mx.d_num
+         GROUP BY tot.n_total, mx.d_num""",
 
     "e129_matryoshka_recall" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings

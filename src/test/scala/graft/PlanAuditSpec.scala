@@ -101,7 +101,11 @@ class PlanAuditSpec extends SparkSpec {
       "crossJoin against the broadcast 1-row query vector",
     "e130_hellinger_drift" ->
       ("pairwise non-equi join of the sources-sized language-profile " +
-        "frame against its broadcast self (|sources| rows at any scale)")
+        "frame against its broadcast self (|sources| rows at any scale)"),
+    "e131_hash_uniformity" ->
+      ("triangular cumsum self-join of the FIXED 100-bucket spine " +
+        "(broadcast, 10k comparisons at any corpus scale) plus the " +
+        "broadcast 1-row total scalar")
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

@@ -173,6 +173,26 @@ class Surface24Spec extends SparkSpec {
     }
   }
 
+  test("e131: KS uniformity statistic matches a driver-side recount") {
+    val row = SparkEntry.queries("e131_hash_uniformity")(spark, dir).head()
+    val ks = docs().map { case (id, _, _) =>
+      java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 100
+    }
+    val n = ks.length.toLong
+    val counts = ks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var (cum, dMax, worst) = (0L, -1L, -1L)
+    (0L until 100L).foreach { k =>
+      cum += counts.getOrElse(k, 0L)
+      val dev = math.abs(100L * cum - (k + 1) * n)
+      if (dev > dMax) { dMax = dev; worst = k }
+    }
+    assert(row.getAs[Long]("n_total") == n)
+    assert(row.getAs[Long]("d_num") == dMax)
+    assert(row.getAs[Long]("worst_bucket") == worst)
+    assert(math.abs(row.getAs[Double]("ks_d") -
+      dMax.toDouble / (n * 100L)) < 1e-12)
+  }
+
   test("e126: span extents match a brute-force pair walk") {
     val got = SparkEntry.queries("e126_dup_spans")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
