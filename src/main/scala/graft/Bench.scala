@@ -63,8 +63,10 @@ object Bench {
     * defenses, each sufficient alone:
     *
     *  1. Inline outlier disclosure is CAPPED (worst [[maxInlineOutliers]]
-    *     by first/ref ratio) + `outliers_total`; the full list always
-    *     goes to target/bench_detail.json.
+    *     by first/ref ratio) + `outliers_total`, and the failed list is
+    *     capped at [[maxInlineFailed]] + `failed_total` (a mass failure
+    *     would otherwise bust the budget at any topK); the full lists
+    *     always go to target/bench_detail.json.
     *  2. The whole line is held under [[lineBudget]] chars by shrinking
     *     the per-query map (slowest-first) until it fits — the map is
     *     courtesy detail, never the record.
@@ -75,6 +77,7 @@ object Bench {
     */
   private[graft] val lineBudget = 1900
   private[graft] val maxInlineOutliers = 8
+  private[graft] val maxInlineFailed = 12
   private[graft] def headlineJson(
       total: Double, n: Int, sfDir: String,
       slowestFirst: Seq[(String, Double)], failed: Seq[String],
@@ -87,9 +90,15 @@ object Bench {
     val outlierJson = worst.map { case (nm, f, r2, rf, adj) =>
       s"""{"name":"$nm","first":${ms(f)},"rerun":${ms(r2)},"ref":${ms(rf)},"adjudicated":$adj}"""
     }.mkString("[", ",", "]")
-    val fs = failed.map(k => "\"" + k + "\"").mkString("[", ",", "]")
+    // the failed list is capped like the outliers (a mass failure —
+    // e.g. a missing fixture dir breaking 30 queries — would otherwise
+    // put ~1 kB of names on the line and bust the budget even at
+    // topK=0); failed_total discloses the true count and the full
+    // list always goes to bench_detail.json
+    val fs = failed.take(maxInlineFailed)
+      .map(k => "\"" + k + "\"").mkString("[", ",", "]")
     def assemble(topK: Int): String =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$fs,$probeJson,"outliers_total":${outliers.size},"outliers":$outlierJson,"queries":${dict(slowestFirst.take(topK))},"ref_loaded":$refLoaded,"suspect":$suspect,"n":$n,"value":${ms(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed_total":${failed.size},"failed":$fs,$probeJson,"outliers_total":${outliers.size},"outliers":$outlierJson,"queries":${dict(slowestFirst.take(topK))},"ref_loaded":$refLoaded,"suspect":$suspect,"n":$n,"value":${ms(total)}}"""
     // shrink the courtesy per-query map until the line fits the window
     Iterator.iterate(25)(_ - 5).takeWhile(_ >= 0).map(assemble)
       .find(_.length <= lineBudget)

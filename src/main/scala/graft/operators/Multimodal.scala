@@ -332,6 +332,10 @@ object Multimodal {
             catch { case _: UnsupportedAudioFileException => bis.reset() }
           }
         }
+        // full walk missed: clear the stale hot reader so the next
+        // clip doesn't pay a guaranteed-failing hot attempt on top of
+        // the AudioSystem fallback
+        hot = null
         AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
       }
       def decodePcmWav(wav: Array[Byte]): (Int, Array[Short]) =
@@ -455,6 +459,19 @@ object Multimodal {
     }
   }
 
+  /** Per-partition GIF session whose reader is disposed on TASK
+    * COMPLETION (success, failure, or early termination alike) — an
+    * `iterator ++ cleanup` suffix runs only when the iterator fully
+    * drains, so a mid-partition decode failure or a downstream limit
+    * would leak the reader.
+    */
+  private def gifSession(): VideoCodec.Session = {
+    val codec = new VideoCodec.Session
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => codec.close()))
+    codec
+  }
+
   /** Deterministic video fixture from `documents`: each doc becomes a
     * REAL animated GIF of nf = (n_chars mod 6) + 2 frames, each
     * w = (n_chars mod 16) + 4 wide × 4 high, frame f's pixel i =
@@ -492,7 +509,7 @@ object Multimodal {
   def videoFrameStats(media: Dataset[MediaRow], everyK: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val codec = new VideoCodec.Session
+      val codec = gifSession()
       rows.flatMap { r =>
         codec.decodeGrayGifFrames(r.media).zipWithIndex.collect {
           case ((_, _, px), f) if f % everyK == 0 =>
@@ -503,7 +520,7 @@ object Multimodal {
             }
             VideoFrameRow(r.doc_id, f, px.length, sum, sumsq)
         }
-      } ++ { codec.close(); Iterator.empty }
+      }
     }.toDF()
   }
 
@@ -528,7 +545,7 @@ object Multimodal {
   def videoSceneCuts(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val codec = new VideoCodec.Session
+      val codec = gifSession()
       rows.map { r =>
         val frames = codec.decodeGrayGifFrames(r.media)
         var (cuts, maxDiff) = (0, 0L)
@@ -547,7 +564,7 @@ object Multimodal {
           f += 1
         }
         SceneCutRow(r.doc_id, frames.length, cuts, cuts + 1, maxDiff)
-      } ++ { codec.close(); Iterator.empty }
+      }
     }.toDF()
   }
 

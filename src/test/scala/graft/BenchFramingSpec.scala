@@ -67,13 +67,15 @@ class BenchFramingSpec extends AnyFunSuite {
     assert(m.get("sf").asText == "/root/testdata/sf0.1")
   }
 
-  test("pathological failed list still yields valid JSON ending in value") {
+  test("pathological failed list is capped and the line still fits the window") {
     val l = line(fail = (1 to 40).map(i => f"q_failed_with_a_long_name_$i%02d"))
     val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
     assert(m.get("value").asDouble == 267.034)
     assert(l.endsWith("\"value\":267.034}"))
-    // per-query map shrinks to zero before headline fields are at risk
-    assert(m.get("failed").size == 40)
+    assert(l.length <= Bench.lineBudget, s"line ${l.length} chars")
+    // inline failed list is capped; the true count is disclosed
+    assert(m.get("failed").size == Bench.maxInlineFailed)
+    assert(m.get("failed_total").asInt == 40)
   }
 
   test("clean run (zero outliers, short run) keeps the courtesy top-25 map") {
