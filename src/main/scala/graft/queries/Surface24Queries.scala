@@ -132,6 +132,45 @@ object Surface24Queries {
         .select(col("n_days"), col("n_pairs"), col("slope"))
     }),
 
+    // DAY-OF-WEEK seasonal strength of the daily ingest series — the
+    // variance-explained effect size η² = SS_between/SS_total of the
+    // weekly profile, completing the feed-health family (e97/q124
+    // trend, q121 level shifts, q123 monotonicity, THIS periodicity):
+    // a feed whose volume is mostly weekday rhythm needs a seasonal
+    // forecast baseline, not a trend alarm. Distinct from q122's
+    // ANOVA F (a TEST on lineitem price groups): same decomposition
+    // algebra, but the judged number is the effect size over the
+    // CALENDAR profile. Integer sufficient statistics pivoted over
+    // the FIXED 7-dow domain into ONE row (no sum-order
+    // nondeterminism), a constant series yields NULL via the exact
+    // integer degeneracy test q_all·N = s_all².
+    "q125_seasonal_strength" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x"))
+        .select((dayofweek(col("d")) - 1).as("g"), col("x"))
+      val piv = daily.agg(
+        count(lit(1)).as("n_days"),
+        Seq(sum(col("x")).as("s_all"),
+          sum(col("x") * col("x")).as("q_all")) ++
+        (0 to 6).flatMap(g => Seq(
+          count(when(col("g") === g, 1)).as(s"n_$g"),
+          sum(when(col("g") === g, col("x")).otherwise(0L))
+            .as(s"s_$g"))): _*)
+      val between = (0 to 6).map(g =>
+        when(col(s"n_$g") === 0, lit(0.0))
+          .otherwise(col(s"s_$g").cast("double") * col(s"s_$g") /
+            col(s"n_$g"))).reduce(_ + _)
+      val corr = col("s_all").cast("double") * col("s_all") /
+        col("n_days")
+      piv.select(col("n_days"), col("s_all"), col("q_all"),
+        when(col("q_all") * col("n_days") ===
+            col("s_all") * col("s_all"), lit(null).cast("double"))
+          .otherwise(round((between - corr) /
+            (col("q_all").cast("double") - corr), 8))
+          .as("seasonal_eta2"))
+    }),
+
     // Language-ID confusion matrix: the judged e4_langid heuristic
     // audited against the labeled lang column — the classifier-eval
     // report a curation pipeline keeps for its router (which true
@@ -452,6 +491,32 @@ object Surface24Queries {
          FROM r, nd
          WHERE r.rn = (r.np + 1) // 2 OR r.rn = (r.np + 2) // 2
          GROUP BY nd.n_days, r.np""",
+
+    "q125_seasonal_strength" -> {
+      val profCols = (0 to 6).map(g =>
+        s"""CAST(count(*) FILTER (WHERE g = $g) AS BIGINT) AS n_$g,
+            CAST(COALESCE(SUM(x) FILTER (WHERE g = $g), 0) AS BIGINT)
+              AS s_$g""").mkString(",\n            ")
+      val between = (0 to 6).map(g =>
+        s"(CASE WHEN n_$g = 0 THEN 0.0 " +
+          s"ELSE CAST(s_$g AS DOUBLE) * s_$g / n_$g END)")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x
+                         FROM events GROUP BY 1),
+          g AS (SELECT dayofweek(d) AS g, x FROM daily),
+          p AS (SELECT count(*) AS n_days,
+            CAST(SUM(x) AS BIGINT) AS s_all,
+            CAST(SUM(x * x) AS BIGINT) AS q_all,
+            $profCols
+          FROM g)
+          SELECT n_days, s_all, q_all,
+            CASE WHEN q_all * n_days = s_all * s_all THEN NULL
+            ELSE round((($between) -
+                CAST(s_all AS DOUBLE) * s_all / n_days) /
+              (CAST(q_all AS DOUBLE) -
+                CAST(s_all AS DOUBLE) * s_all / n_days), 8) END
+              AS seasonal_eta2
+          FROM p""" },
 
     "e127_langid_confusion" ->
       s"""WITH det AS (${TextQueries.oracles("e4_langid")}),

@@ -193,6 +193,31 @@ class Surface24Spec extends SparkSpec {
       dMax.toDouble / (n * 100L)) < 1e-12)
   }
 
+  test("q125: seasonal eta2 matches a driver-side dow decomposition") {
+    val row = SparkEntry.queries("q125_seasonal_strength")(spark, dir)
+      .head()
+    val daily = graft.queries.Tables.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("d"))
+      .count().collect()
+      .map(r => ((r.getDate(0).toLocalDate.toEpochDay + 4) % 7 + 7) % 7 ->
+        r.getLong(1)) // epoch day 0 = Thursday = dow 4 (Sunday = 0)
+    val n = daily.length.toDouble
+    val s = daily.map(_._2).sum.toDouble
+    val q = daily.map(x => x._2.toDouble * x._2).sum
+    val by = daily.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val between = by.values.map { xs =>
+      val sg = xs.sum.toDouble
+      sg * sg / xs.length
+    }.sum - s * s / n
+    val total = q - s * s / n
+    assert(row.getAs[Long]("n_days") == daily.length)
+    assert(math.abs(row.getAs[Double]("seasonal_eta2") -
+      between / total) < 1e-7)
+    assert(row.getAs[Double]("seasonal_eta2") >= 0.0 &&
+      row.getAs[Double]("seasonal_eta2") <= 1.0)
+  }
+
   test("e126: span extents match a brute-force pair walk") {
     val got = SparkEntry.queries("e126_dup_spans")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
