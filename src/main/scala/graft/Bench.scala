@@ -49,8 +49,19 @@ object Bench {
 
   private[graft] def ms(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  /** Minimal JSON string escape: query names are [a-z0-9_] today, but
+    * sfDir comes from an env var — a quote/backslash/control char in a
+    * path must not render the ONE machine-read stdout line unparseable.
+    */
+  private[graft] def jstr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
   private[graft] def dict(m: Iterable[(String, Double)]): String =
-    m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    m.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
 
   /** Assemble the ONE stdout JSON line, truncation-proof.
     *
@@ -88,7 +99,7 @@ object Bench {
       .sortBy { case (_, f, _, rf, _) => -(f / math.max(rf, 1e-9)) }
       .take(maxInlineOutliers)
     val outlierJson = worst.map { case (nm, f, r2, rf, adj) =>
-      s"""{"name":"$nm","first":${ms(f)},"rerun":${ms(r2)},"ref":${ms(rf)},"adjudicated":$adj}"""
+      s"""{"name":${jstr(nm)},"first":${ms(f)},"rerun":${ms(r2)},"ref":${ms(rf)},"adjudicated":$adj}"""
     }.mkString("[", ",", "]")
     // the failed list is capped like the outliers (a mass failure —
     // e.g. a missing fixture dir breaking 30 queries — would otherwise
@@ -96,9 +107,9 @@ object Bench {
     // topK=0); failed_total discloses the true count and the full
     // list always goes to bench_detail.json
     val fs = failed.take(maxInlineFailed)
-      .map(k => "\"" + k + "\"").mkString("[", ",", "]")
+      .map(jstr).mkString("[", ",", "]")
     def assemble(topK: Int): String =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed_total":${failed.size},"failed":$fs,$probeJson,"outliers_total":${outliers.size},"outliers":$outlierJson,"queries":${dict(slowestFirst.take(topK))},"ref_loaded":$refLoaded,"suspect":$suspect,"n":$n,"value":${ms(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},"failed_total":${failed.size},"failed":$fs,$probeJson,"outliers_total":${outliers.size},"outliers":$outlierJson,"queries":${dict(slowestFirst.take(topK))},"ref_loaded":$refLoaded,"suspect":$suspect,"n":$n,"value":${ms(total)}}"""
     // shrink the courtesy per-query map until the line fits the window
     Iterator.iterate(25)(_ - 5).takeWhile(_ >= 0).map(assemble)
       .find(_.length <= lineBudget)
@@ -257,14 +268,14 @@ object Bench {
     val probeJson = s""""probes":{"n":${probes.size},"min":${ms(if (probes.isEmpty) 0 else probes.min)},"max":${ms(if (probes.isEmpty) 0 else probes.max)},"spread":${ms(probeSpread)}}"""
     // full, uncapped outlier disclosure goes to bench_detail.json only
     val fullOutlierJson = outliers.map { case (n, f, r2, rf, adj) =>
-      s"""{"name":"$n","first":${ms(f)},"rerun":${ms(r2)},"ref":${ms(rf)},"adjudicated":$adj}"""
+      s"""{"name":${jstr(n)},"first":${ms(f)},"rerun":${ms(r2)},"ref":${ms(rf)},"adjudicated":$adj}"""
     }.mkString("[", ",", "]")
     // failed queries are listed separately (and excluded from the
     // headline total) so a query that throws instantly can never
     // masquerade as a sub-second success
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val fs = failed.map(k => "\"" + k + "\"").mkString("[", ",", "]")
+    val fs = failed.map(jstr).mkString("[", ",", "]")
     val line = headlineJson(total, ok.size, sfDir,
       ok.toSeq.sortBy(-_._2), failed.toSeq,
       probeJson, outliers.toSeq, ref.size, suspect)
@@ -272,7 +283,7 @@ object Bench {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"total":${ms(total)},"n":${ok.size},$probeJson,"ref_loaded":${ref.size},"outliers":$fullOutlierJson,"suspect":$suspect,"queries":${dict(ok.toSeq.sortBy(_._1))},"failed":$fs,"sf":"$sfDir"}"""
+        s"""{"total":${ms(total)},"n":${ok.size},$probeJson,"ref_loaded":${ref.size},"outliers":$fullOutlierJson,"suspect":$suspect,"queries":${dict(ok.toSeq.sortBy(_._1))},"failed":$fs,"sf":${jstr(sfDir)}}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // silence any executor/shutdown logging that could land AFTER the

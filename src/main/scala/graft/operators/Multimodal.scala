@@ -321,15 +321,20 @@ object Multimodal {
       private var hot: AudioFileReader = null
 
       private def open(wav: Array[Byte]): AudioInputStream = {
-        val bis = new java.io.ByteArrayInputStream(wav)
+        // fresh stream per probe attempt: reset() rewinds to the last
+        // mark(), so a reader that marks mid-probe and violates the
+        // SPI position-restore contract would silently leave the NEXT
+        // reader probing mid-payload. A new ByteArrayInputStream is a
+        // position wrapper over the same array — no copy.
+        def bis() = new java.io.ByteArrayInputStream(wav)
         if (hot != null) {
-          try return hot.getAudioInputStream(bis)
-          catch { case _: UnsupportedAudioFileException => bis.reset() }
+          try return hot.getAudioInputStream(bis())
+          catch { case _: UnsupportedAudioFileException => () }
         }
         readers.foreach { r =>
           if (r ne hot) {
-            try { val s = r.getAudioInputStream(bis); hot = r; return s }
-            catch { case _: UnsupportedAudioFileException => bis.reset() }
+            try { val s = r.getAudioInputStream(bis()); hot = r; return s }
+            catch { case _: UnsupportedAudioFileException => () }
           }
         }
         // full walk missed: clear the stale hot reader so the next

@@ -62,7 +62,7 @@ object Surface24Queries {
     * AND oracle) — the span audit is about document pairs, not the
     * one header every doc carries.
     */
-  private val dupFpCap = 64
+  private[graft] val dupFpCap = 64
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -226,12 +226,19 @@ object Surface24Queries {
         .orderBy(col(s"cos_$m").desc, col("vec_id")).limit(10)
         .select(col("vec_id"))
       val full = top10(64)
-      dims.map { m =>
+      // the recall table is 3 rows: materialize it eagerly
+      // (localCheckpoint truncates lineage to those rows — the
+      // Dedup.scala pattern) so the corpus-sized scored cache can be
+      // dropped HERE instead of dragging in executor memory until LRU
+      // eviction across the rest of a 300-query bench process
+      val res = dims.map { m =>
         full.join(top10(m), Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("n_hit"))
           .select(lit(m.toLong).as("m_dims"), col("n_hit"),
             (col("n_hit").cast("double") / lit(10.0)).as("recall"))
-      }.reduce(_ unionAll _)
+      }.reduce(_ unionAll _).localCheckpoint(true)
+      scored.unpersist()
+      res
     }),
 
     // HELLINGER distance between per-source LANGUAGE profiles — the
@@ -353,7 +360,9 @@ object Surface24Queries {
       // ONE aggregation selects the sup deviation AND its first
       // argmax bucket: struct max orders (dev, −k) lexicographically,
       // so ties resolve to the smallest k — no second max/filter pass
-      cums.crossJoin(tot)
+      // 1-row result: materialize eagerly so the (tiny, but cached)
+      // bucket spine is unpersisted at query end instead of lingering
+      val res = cums.crossJoin(tot)
         .select(col("n_total"),
           struct(abs(lit(bN) * col("cum_nk") -
               (col("k") + 1) * col("n_total")).as("dev"),
@@ -364,6 +373,9 @@ object Surface24Queries {
           (-col("m.negk")).as("worst_bucket"),
           round(col("m.dev").cast("double") /
             (col("n_total") * lit(bN.toLong)), 8).as("ks_d"))
+        .localCheckpoint(true)
+      full.unpersist()
+      res
     }),
 
     "e126_dup_spans" -> ((s, dir) => {

@@ -78,6 +78,19 @@ class BenchFramingSpec extends AnyFunSuite {
     assert(m.get("failed_total").asInt == 40)
   }
 
+  test("quotes/backslashes/control chars in names and sfDir stay parseable") {
+    val evil = "/tmp/we\"ird\\dir\n"
+    val l = Bench.headlineJson(1.0, 2, evil,
+      Seq("q\"quote" -> 0.6, "q\\back" -> 0.4), Seq("f\"ail"),
+      probeJson, Seq(("o\"ut", 2.0, 0.5, 0.4, true)),
+      refLoaded = 2, suspect = false)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+    assert(m.get("sf").asText == evil)
+    assert(m.get("failed").get(0).asText == "f\"ail")
+    assert(m.get("outliers").get(0).get("name").asText == "o\"ut")
+    assert(m.get("queries").has("q\"quote") && m.get("queries").has("q\\back"))
+  }
+
   test("clean run (zero outliers, short run) keeps the courtesy top-25 map") {
     val l = Bench.headlineJson(250.9, 317, "/root/testdata/sf0.1",
       queries, Nil, probeJson, Nil, refLoaded = 317, suspect = false)

@@ -223,11 +223,21 @@ class Surface24Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
     // recount: chunk fingerprints per doc, then brute-force diagonals
-    val chunks = docs().map { case (id, _, text) =>
+    val rawChunks = docs().map { case (id, _, text) =>
       val tk = toks(Option(text).getOrElse(""))
       id -> tk.grouped(16).zipWithIndex
         .map { case (c, i) => (i.toLong, md5hex(c.mkString(" "))) }.toSeq
     }.filter(_._2.nonEmpty).toMap
+    // mirror the judged definition exactly: fingerprints whose GLOBAL
+    // multiplicity exceeds dupFpCap are excluded by both the engine
+    // and the oracle, so the recount must drop them too — otherwise a
+    // fixture regeneration producing a >cap fp would fail this test
+    // spuriously while both judged sides still agree
+    val fpMult = rawChunks.values.flatten.toSeq.groupBy(_._2)
+      .view.mapValues(_.size).toMap
+    val chunks = rawChunks.view.mapValues(_.filter { case (_, fp) =>
+      fpMult(fp) <= graft.queries.Surface24Queries.dupFpCap
+    }).filter(_._2.nonEmpty).toMap
     val expect = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
     for {
       a <- chunks.keys.toSeq.sorted
