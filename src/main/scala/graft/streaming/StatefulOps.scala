@@ -92,4 +92,42 @@ object StatefulOps {
       .transformWithState(new OrderedDeltaProcessor, TimeMode.None(),
         OutputMode.Append())
   }
+
+  case class KeyCount(key: String, cnt: Long)
+
+  /** Monotone per-key counter: one ValueState[Long] per key, each
+    * invocation adds the batch's rows and emits the NEW running total
+    * (ONE row per key per micro-batch, not per input row). Counts only
+    * grow, so an append-only sink's final image is `max(cnt)` per key —
+    * a replayed batch re-appends an already-emitted total and the max
+    * absorbs it, giving exactly-once totals without an update-mode
+    * sink. ONE state read + one write per key-invocation (absent
+    * ValueState.get() returns null, which unboxes to 0L — the
+    * absent-count semantics, no paired exists() probe).
+    */
+  class KeyCountProcessor extends StatefulProcessor[String, String, KeyCount] {
+    @transient private var n: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState("n", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[String],
+                                 timerValues: TimerValues): Iterator[KeyCount] = {
+      var add = 0L
+      while (rows.hasNext) { rows.next(); add += 1 }
+      val cur = n.get() + add
+      n.update(cur)
+      Iterator.single(KeyCount(key, cur))
+    }
+  }
+
+  /** Running per-key counts over a key stream. Requires the RocksDB
+    * state store provider (same contract as [[deltaStream]]).
+    */
+  def keyCountStream(ds: Dataset[String]): Dataset[KeyCount] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(identity)
+      .transformWithState(new KeyCountProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 }

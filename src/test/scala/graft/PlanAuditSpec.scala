@@ -97,15 +97,27 @@ class PlanAuditSpec extends SparkSpec {
       ("triangular pair join of the calendar-bounded daily frame " +
         "(the q123 shape) plus Rank.withGlobalRowNumber's broadcast " +
         "1-row total and the broadcast 1-row n_days scalar"),
-    "e129_matryoshka_recall" ->
-      "crossJoin against the broadcast 1-row query vector",
+    // e129_matryoshka_recall / e131_hash_uniformity: since the r15
+    // advice fix, both materialize their (3-row / 1-row) result via an
+    // eager localCheckpoint so the corpus-sized/staged cache can be
+    // unpersisted at query end; the returned lineage is therefore a
+    // materialized scan and their bounded nested-loop shapes (crossJoin
+    // vs the broadcast 1-row query vector; the 100-bucket triangular
+    // cumsum) execute at construction, outside this audit's plan — the
+    // shapes stay documented at the query definitions.
     "e130_hellinger_drift" ->
       ("pairwise non-equi join of the sources-sized language-profile " +
         "frame against its broadcast self (|sources| rows at any scale)"),
-    "e131_hash_uniformity" ->
-      ("triangular cumsum self-join of the FIXED 100-bucket spine " +
-        "(broadcast, 10k comparisons at any corpus scale) plus the " +
-        "broadcast 1-row total scalar")
+    "q126_runs_test" ->
+      ("triangular next-day struct-min and count-histogram cumsum " +
+        "joins over the calendar-bounded day spine (the q123 shape) " +
+        "plus broadcast 1-row median/total scalars"),
+    "e135_hubness" ->
+      ("corpus x broadcast FIXED 63-vector probe panel (bounded at " +
+        "any corpus scale, the e25 probe-set shape) plus the " +
+        "broadcast 1-row corpus-total scalar"),
+    "c41_stream_topk" ->
+      "crossJoin against the broadcast 1-row heavy-hitter total scalar"
   )
 
   /** Built once, shared by the nested-loop and window gates (plan
