@@ -89,13 +89,18 @@ object Surface25Queries {
       val cum = hist.as("a").join(broadcast(hist.as("b")),
           col("b.x") <= col("a.x"))
         .groupBy(col("a.x").as("x")).agg(sum(col("b.hn")).as("cum"))
+      // med (1 row) and signs (day-spine-sized) are each read by
+      // several downstream frames; materialize eagerly so the
+      // histogram triangle runs ONCE, not once per lazy reference
       val med = cum.crossJoin(broadcast(nd))
         .agg(min(when(col("cum") >= ldiv(col("n_days") + 1, 2L),
           col("x"))).as("med"))
+        .localCheckpoint(true)
       val signs = daily.crossJoin(broadcast(med))
         .where(col("x") =!= col("med"))
         .select(col("epd"),
           when(col("x") > col("med"), 1L).otherwise(0L).as("sgn"))
+        .localCheckpoint(true)
       val nx = signs.as("a").join(broadcast(signs.as("b")),
           col("b.epd") > col("a.epd"))
         .groupBy(col("a.epd"), col("a.sgn"))
@@ -132,8 +137,11 @@ object Surface25Queries {
         .agg(count(lit(1)).as("x"))
       val epd = datediff(col("d"), lit("1970-01-01").cast("date"))
         .cast("long")
+      // calendar-bounded (wk, dow, x) spine read by the complete-week
+      // filter AND the rank side: materialize so orders is scanned once
       val db = daily.select(ldiv(epd, 7L).as("wk"),
         pmod(epd, lit(7L)).as("dow"), col("x"))
+        .localCheckpoint(true)
       val fullWk = db.groupBy("wk").agg(count(lit(1)).as("ndw"))
         .where(col("ndw") === 7).select("wk")
       val r = db.join(fullWk, "wk")
@@ -200,8 +208,10 @@ object Surface25Queries {
         ev.where(col("event_type") === tpe)
           .groupBy(to_date(col("ts")).as("d"))
           .agg(count(lit(1)).as(out))
-      val dv = dailyOf("view", "x")
-      val dc = dailyOf("click", "y")
+      // each daily spine is read by SEVEN lag joins; materialize both
+      // (≤ days rows) so events is scanned once per series, not 7×
+      val dv = dailyOf("view", "x").localCheckpoint(true)
+      val dc = dailyOf("click", "y").localCheckpoint(true)
       val pairs = Seq(-3, -2, -1, 0, 1, 2, 3).map { k =>
         dv.as("a").join(dc.as("b"),
             col("b.d") === date_add(col("a.d"), k))
@@ -274,18 +284,34 @@ object Surface25Queries {
     // the plain left-to-right double fold the e2_topk_double oracle
     // already replays exactly.
     "e135_hubness" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vdot = (a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column) =>
+        call_function("vec_dot", a, b)
+      // self-norms hoisted OUT of the pair loop: each corpus row's
+      // ‖e‖ is computed once in the scan projection (not 63×), each
+      // probe's ‖q‖ once in the broadcast side; the per-pair work is
+      // ONE native vec_dot (bit-identical fold to Similarity.cosine,
+      // no per-pair zipped-array allocation). ×10 study: 18.3 → ~2 s.
       val emb = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vdot(col("embedding"), col("embedding"))).as("enorm"))
       val qs = broadcast(emb.where(col("vec_id").between(1, 63))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("enorm").as("qnorm")))
       val sc = emb.join(qs, col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          Similarity.cosine(col("embedding"), col("qe")).as("cos"))
+          (vdot(col("embedding"), col("qe")) /
+            (col("enorm") * col("qnorm"))).as("cos"))
       val top = sc.withColumn("rk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
         .where(col("rk") <= 10)
+      // the histogram (≤ 64 rows) feeds BOTH union branches; eager
+      // materialization keeps the corpus × 63 scoring pass at ONE run
       val hist = top.groupBy("vec_id").agg(count(lit(1)).as("k_occ"))
         .groupBy(col("k_occ").as("in_degree"))
         .agg(count(lit(1)).as("n_vecs"))
+        .localCheckpoint(true)
       val tot = broadcast(emb.agg(count(lit(1)).as("n_corpus")))
       val zero = hist.agg(sum(col("n_vecs")).as("n_hit"))
         .crossJoin(tot)
