@@ -327,7 +327,7 @@ object SimilarityQueries {
   /** 4-plane LSH bucket of `vec` as SQL (same plane-sign literals the
     * Spark operator bakes into its plan — Similarity.planeSigns).
     */
-  private def bucketSql4(vec: String): String = {
+  private[queries] def bucketSql4(vec: String): String = {
     val signs = Similarity.planeSigns(4, 64)
     def proj(j: Int) =
       s"""list_reduce(list_transform(generate_series(1, 64),

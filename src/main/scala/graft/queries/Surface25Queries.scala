@@ -54,6 +54,15 @@ import graft.streaming.StatefulOps
   *    one query; this measures neighbor CONCENTRATION across a panel.
   *    Probe panel is fixed-size, so the scoring join is corpus ×
   *    broadcast-63 at any scale.
+  *  - `e136_ann_mrr` — Mean Reciprocal Rank of the LSH-bucketed ANN
+  *    against exact nearest neighbors over the same 63-probe panel:
+  *    the rank-SENSITIVE retrieval grade (e24/e34 are recall@10 of
+  *    the single designated query vector). Reciprocal ranks summed as
+  *    a fixed 10-term expression over pivoted integer rank counts.
+  *  - `e137_topk_churn` — heavy-hitter head-set churn between the
+  *    feed's two halves (common/new/dropped keys + Jaccard): e59 is
+  *    the static head, e78/e130/e119 whole-distribution drift; this
+  *    is the "did the top-20 CHANGE" page a feed monitor fires on.
   *  - `c41_stream_topk` — e59's exact heavy hitters through the REAL
   *    micro-batch engine on transformWithState (judged on e59's batch
   *    oracle — the c12/c39, c33/c36 twin discipline): one monotone
@@ -320,6 +329,86 @@ object Surface25Queries {
       hist.select(col("in_degree"), col("n_vecs")).unionAll(zero)
     }),
 
+    // MRR of the LSH-bucketed ANN over the SAME 63-probe panel as
+    // e135 — the rank-SENSITIVE retrieval grade (e24 is recall@10 of
+    // the single designated query; MRR reports WHERE each probe's
+    // true nearest neighbor lands in the approximate list, panel-
+    // wide). Exact top-1 per probe via ONE struct-max aggregation
+    // over the hoisted-norm native-dot scoring pass (no window);
+    // approximate lists from the 4-plane LSH bucket equi-join (the
+    // e2_lsh_topk index shape). Reciprocal ranks are summed as a
+    // FIXED 10-term expression over pivoted integer rank counts —
+    // never a data-ordered double sum.
+    "e136_ann_mrr" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vdot = (a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column) =>
+        call_function("vec_dot", a, b)
+      val emb = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vdot(col("embedding"), col("embedding"))).as("enorm"),
+          Similarity.lshBucket(col("embedding"), 4, 64).as("bkt"))
+      val qs = broadcast(emb.where(col("vec_id").between(1, 63))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("enorm").as("qnorm"), col("bkt").as("qbkt")))
+      val cos = vdot(col("embedding"), col("qe")) /
+        (col("enorm") * col("qnorm"))
+      // exact nearest per probe: struct-max picks (max cos, then min
+      // vec_id) in one aggregation — no per-probe sort
+      val exact1 = emb.join(qs, col("vec_id") =!= col("qid"))
+        .select(col("qid"), struct(cos.as("cos"),
+          (-col("vec_id")).as("negv")).as("cv"))
+        .groupBy("qid").agg(max(col("cv")).as("m"))
+        .select(col("qid"), (-col("m.negv")).as("best_vid"))
+      val cand = emb.join(qs,
+          col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cos.as("cos"))
+      val ap = cand.withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rk") <= 10)
+      val mt = exact1.join(ap,
+        exact1("qid") === ap("qid") && col("best_vid") === col("vec_id"),
+        "left").select(exact1("qid"), col("rk"))
+      val aggs = count(lit(1)).as("n_probes") +:
+        count(col("rk")).as("n_found") +:
+        (1 to 10).map(r => sum(when(col("rk") === r, 1L).otherwise(0L))
+          .as(s"c_$r"))
+      val cs = mt.agg(aggs.head, aggs.tail: _*)
+      val mrrNum = (1 to 10).map(r =>
+        d(col(s"c_$r")) / lit(r.toDouble)).reduce(_ + _)
+      cs.select(col("n_probes"), col("n_found"), col("c_1").as("hits1"),
+        round(mrrNum / d(col("n_probes")), 8).as("mrr"))
+    }),
+
+    // Heavy-hitter CHURN between the feed's two halves — the head-set
+    // drift report a mixture monitor pages on (e59 is the STATIC head;
+    // e78/e130/e119 grade whole-distribution drift; this asks "did the
+    // top-20 keys CHANGE"). Two TakeOrdered top-20s (no windows, no
+    // global sort) off one counts pass, then a 20×20 outer join.
+    "e137_topk_churn" -> ((s, dir) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val ev = events(s, dir).select(col("user_id"), col("ts"))
+      val cnts = ev.groupBy(col("user_id"),
+          (col("ts") >= cut).as("h2")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // one events pass serves both halves
+      def topk(h2: Boolean) = cnts.where(col("h2") === h2)
+        .orderBy(col("cnt").desc, col("user_id")).limit(20)
+        .select(col("user_id"))
+      val a = topk(false).withColumn("in_a", lit(1L))
+      val b = topk(true).withColumn("in_b", lit(1L))
+      a.join(b, Seq("user_id"), "full_outer")
+        .agg(sum(coalesce(col("in_a"), lit(0L))).as("n_first"),
+          sum(coalesce(col("in_b"), lit(0L))).as("n_second"),
+          sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+            .otherwise(0L)).as("n_common"))
+        .select(col("n_first"), col("n_second"), col("n_common"),
+          (col("n_second") - col("n_common")).as("n_new"),
+          (col("n_first") - col("n_common")).as("n_dropped"),
+          round(d(col("n_common")) /
+            (d(col("n_first")) + d(col("n_second")) - d(col("n_common"))),
+            8).as("jaccard"))
+    }),
+
     // e59's heavy hitters through the real micro-batch engine on
     // transformWithState ([[StatefulOps.keyCountStream]]): monotone
     // per-key counters, append sink, final image = max(cnt) per key,
@@ -556,6 +645,75 @@ object Surface25Queries {
              AS n_vecs
          FROM tot"""
     },
+
+    "e136_ann_mrr" -> {
+      val dot = SimilarityQueries.foldDot("e.embedding", "q.qe")
+      val na = SimilarityQueries.foldDot("e.embedding", "e.embedding")
+      val nb = SimilarityQueries.foldDot("q.qe", "q.qe")
+      val cs = (1 to 10).map(r =>
+        s"CAST(SUM(CASE WHEN rk = $r THEN 1 ELSE 0 END) AS BIGINT) AS c_$r")
+        .mkString(", ")
+      val mrrNum = (1 to 10).map(r =>
+        s"CAST(c_$r AS DOUBLE) / $r.0").mkString(" + ")
+      s"""WITH qs AS (
+           SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id BETWEEN 1 AND 63),
+         sc AS (
+           SELECT q.qid, e.vec_id,
+             $dot / (sqrt($na) * sqrt($nb)) AS cos
+           FROM embeddings e, qs q
+           WHERE e.vec_id <> 0 AND e.vec_id <> q.qid),
+         ex AS (
+           SELECT qid, vec_id AS best_vid FROM (
+             SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, vec_id) AS rk FROM sc)
+           WHERE rk = 1),
+         bk AS (SELECT vec_id,
+             ${SimilarityQueries.bucketSql4("embedding")} AS bkt
+           FROM embeddings WHERE vec_id <> 0),
+         qb AS (SELECT vec_id AS qid,
+             ${SimilarityQueries.bucketSql4("embedding")} AS qbkt
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 63),
+         cand AS (
+           SELECT s.qid, s.vec_id, s.cos
+           FROM sc s
+           JOIN bk ON bk.vec_id = s.vec_id
+           JOIN qb ON qb.qid = s.qid AND bk.bkt = qb.qbkt),
+         ap AS (
+           SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             ORDER BY cos DESC, vec_id) AS rk FROM cand),
+         mt AS (
+           SELECT ex.qid, ap.rk FROM ex
+           LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.best_vid
+             AND ap.rk <= 10),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(count(rk) AS BIGINT) AS n_found, $cs FROM mt)
+         SELECT n_probes, n_found, c_1 AS hits1,
+           round(($mrrNum) / CAST(n_probes AS DOUBLE), 8) AS mrr
+         FROM agg"""
+    },
+
+    "e137_topk_churn" ->
+      """WITH cnts AS (
+           SELECT user_id, ts >= TIMESTAMP '2024-01-16' AS h2,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         a AS (SELECT user_id FROM cnts WHERE NOT h2
+           ORDER BY cnt DESC, user_id LIMIT 20),
+         b AS (SELECT user_id FROM cnts WHERE h2
+           ORDER BY cnt DESC, user_id LIMIT 20),
+         j AS (SELECT
+           CAST((SELECT count(*) FROM a) AS BIGINT) AS n_first,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_second,
+           CAST((SELECT count(*) FROM a JOIN b USING (user_id))
+             AS BIGINT) AS n_common)
+         SELECT n_first, n_second, n_common,
+           n_second - n_common AS n_new,
+           n_first - n_common AS n_dropped,
+           round(CAST(n_common AS DOUBLE) /
+             (CAST(n_first AS DOUBLE) + CAST(n_second AS DOUBLE) -
+              CAST(n_common AS DOUBLE)), 8) AS jaccard
+         FROM j""",
 
     // judged on the batch operator's oracle — the twin discipline
     "c41_stream_topk" -> Surface12Queries.oracles("e59_heavy_hitters"))

@@ -117,7 +117,11 @@ class PlanAuditSpec extends SparkSpec {
         "any corpus scale, the e25 probe-set shape) plus the " +
         "broadcast 1-row corpus-total scalar"),
     "c41_stream_topk" ->
-      "crossJoin against the broadcast 1-row heavy-hitter total scalar"
+      "crossJoin against the broadcast 1-row heavy-hitter total scalar",
+    "e136_ann_mrr" ->
+      ("exact-side scoring: corpus x broadcast FIXED 63-vector probe " +
+        "panel (the e135/e25 probe-set shape); the ANN side is an " +
+        "LSH-bucket equi-join")
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

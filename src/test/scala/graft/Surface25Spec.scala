@@ -200,6 +200,70 @@ class Surface25Spec extends SparkSpec {
     assert(rows.map { case (d, n) => d * n }.sum == 10L * probes.length)
   }
 
+  test("e136: MRR matches a brute-force exact-vs-LSH recount") {
+    val row = SparkEntry.queries("e136_ann_mrr")(spark, dir).head()
+    val emb = graft.queries.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .filter(_._1 != 0L)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // 4-plane LSH bucket with the SAME plane-sign matrix the operator
+    // bakes into its plan
+    val signs = graft.operators.Similarity.planeSigns(4, 64)
+    def bucket(v: Array[Float]): Long =
+      (0 until 4).map { j =>
+        val p = v.indices.map(i => v(i).toDouble * signs(j)(i)).sum
+        if (p >= 0) 1L << j else 0L
+      }.sum
+    val probes = emb.filter(e => e._1 >= 1 && e._1 <= 63)
+    val ranks = probes.flatMap { case (qid, qe) =>
+      val others = emb.filter(_._1 != qid)
+      val best = others.map { case (v, ve) => (v, cos(ve, qe)) }
+        .minBy { case (v, c) => (-c, v) }._1
+      val qb = bucket(qe)
+      val approx = others.filter(e => bucket(e._2) == qb)
+        .map { case (v, ve) => (v, cos(ve, qe)) }
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1)
+      val idx = approx.indexOf(best)
+      if (idx >= 0) Some(idx + 1) else None
+    }
+    assert(row.getAs[Long]("n_probes") == probes.length)
+    assert(row.getAs[Long]("n_found") == ranks.length)
+    assert(row.getAs[Long]("hits1") == ranks.count(_ == 1))
+    val mrr = (1 to 10).map(r =>
+      ranks.count(_ == r).toDouble / r).sum / probes.length
+    assert(math.abs(row.getAs[Double]("mrr") - mrr) < 1e-7)
+  }
+
+  test("e137: churn sets match a driver-side top-20 recount") {
+    val row = SparkEntry.queries("e137_topk_churn")(spark, dir).head()
+    val cut = java.time.Instant.parse("2024-01-16T00:00:00Z")
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select("user_id", "ts").collect()
+      .map(r => r.getLong(0) -> !r.getTimestamp(1).toInstant.isBefore(cut))
+    def top(h2: Boolean): Set[Long] =
+      ev.filter(_._2 == h2).groupBy(_._1).view.mapValues(_.length).toSeq
+        .sortBy { case (u, c) => (-c, u) }.take(20).map(_._1).toSet
+    val (a, b) = (top(false), top(true))
+    val common = (a intersect b).size.toLong
+    assert(row.getAs[Long]("n_first") == a.size)
+    assert(row.getAs[Long]("n_second") == b.size)
+    assert(row.getAs[Long]("n_common") == common)
+    assert(row.getAs[Long]("n_new") == b.size - common)
+    assert(row.getAs[Long]("n_dropped") == a.size - common)
+    assert(math.abs(row.getAs[Double]("jaccard") -
+      common.toDouble / (a.size + b.size - common)) < 1e-7)
+  }
+
   test("c41: streaming TWS heavy hitters equal the batch operator") {
     val got = SparkEntry.queries("c41_stream_topk")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
