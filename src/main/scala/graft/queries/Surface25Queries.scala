@@ -63,6 +63,11 @@ import graft.streaming.StatefulOps
   *    feed's two halves (common/new/dropped keys + Jaccard): e59 is
   *    the static head, e78/e130/e119 whole-distribution drift; this
   *    is the "did the top-20 CHANGE" page a feed monitor fires on.
+  *  - `e138_dup_census` — capture–recapture (Chapman) estimate of the
+  *    TOTAL near-dup pair population from the overlap of the two
+  *    judged detectors' catches (MinHash-LSH × SimHash multi-index):
+  *    the "how many dupes did both miss" census next to the
+  *    per-method recall audits.
   *  - `c41_stream_topk` — e59's exact heavy hitters through the REAL
   *    micro-batch engine on transformWithState (judged on e59's batch
   *    oracle — the c12/c39, c33/c36 twin discipline): one monotone
@@ -409,6 +414,38 @@ object Surface25Queries {
             8).as("jaccard"))
     }),
 
+    // Capture–recapture census of the near-dup pair population:
+    // MinHash-LSH (e1) and SimHash multi-index (e32) are two
+    // independent detectors over the same corpus; the Chapman
+    // estimator N̂ = (n1+1)(n2+1)/(m+1) − 1 turns their catch overlap
+    // into an estimate of the TOTAL pair population including what
+    // BOTH missed — the "how many dupes are still in the corpus"
+    // number a dedup QA pass reports (e24-style recalls grade one
+    // method against exact; this estimates the unseen mass, with the
+    // usual positive-correlation caveat making it a lower bound).
+    // Zero new derivations: both pair frames are the judged queries'
+    // own (the LSH side durably staged), the overlap an equi-join.
+    "e138_dup_census" -> ((s, dir) => {
+      val mh = DedupQueries.all("e1_minhash_pairs")(s, dir)
+        .select("id_a", "id_b")
+      val sh2 = Surface4Queries.simhashPairs(s, dir)
+        .select("id_a", "id_b")
+      val n1 = mh.agg(count(lit(1)).as("n_minhash"))
+      val n2 = sh2.agg(count(lit(1)).as("n_simhash"))
+      val m = mh.join(sh2, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_both"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+        .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+          round((d(col("n_minhash")) + lit(1.0)) *
+            (d(col("n_simhash")) + lit(1.0)) /
+            (d(col("n_both")) + lit(1.0)) - lit(1.0), 8)
+            .as("chapman_nhat"),
+          round(d(col("n_both")) / d(col("n_simhash")), 8)
+            .as("recall_minhash"),
+          round(d(col("n_both")) / d(col("n_minhash")), 8)
+            .as("recall_simhash"))
+    }),
+
     // e59's heavy hitters through the real micro-batch engine on
     // transformWithState ([[StatefulOps.keyCountStream]]): monotone
     // per-key counters, append sink, final image = max(cnt) per key,
@@ -714,6 +751,30 @@ object Surface25Queries {
              (CAST(n_first AS DOUBLE) + CAST(n_second AS DOUBLE) -
               CAST(n_common AS DOUBLE)), 8) AS jaccard
          FROM j""",
+
+    // both pair sets re-derived verbatim from the judged detectors'
+    // own oracle texts (nested CTEs, MATERIALIZED against DuckDB's
+    // exponential inlining of doubly-referenced chains)
+    "e138_dup_census" -> {
+      val mh = DedupQueries.oracles("e1_minhash_pairs")
+      val sh = Surface4Queries.oracles("e32_simhash_pairs")
+      s"""WITH mh AS MATERIALIZED ($mh),
+         shp AS MATERIALIZED (SELECT id_a, id_b FROM ($sh)),
+         c AS (SELECT
+           CAST((SELECT count(*) FROM mh) AS BIGINT) AS n_minhash,
+           CAST((SELECT count(*) FROM shp) AS BIGINT) AS n_simhash,
+           CAST((SELECT count(*) FROM mh JOIN shp USING (id_a, id_b))
+             AS BIGINT) AS n_both)
+         SELECT n_minhash, n_simhash, n_both,
+           round((CAST(n_minhash AS DOUBLE) + 1.0) *
+             (CAST(n_simhash AS DOUBLE) + 1.0) /
+             (CAST(n_both AS DOUBLE) + 1.0) - 1.0, 8) AS chapman_nhat,
+           round(CAST(n_both AS DOUBLE) / CAST(n_simhash AS DOUBLE), 8)
+             AS recall_minhash,
+           round(CAST(n_both AS DOUBLE) / CAST(n_minhash AS DOUBLE), 8)
+             AS recall_simhash
+         FROM c"""
+    },
 
     // judged on the batch operator's oracle — the twin discipline
     "c41_stream_topk" -> Surface12Queries.oracles("e59_heavy_hitters"))

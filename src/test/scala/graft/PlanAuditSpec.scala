@@ -121,7 +121,9 @@ class PlanAuditSpec extends SparkSpec {
     "e136_ann_mrr" ->
       ("exact-side scoring: corpus x broadcast FIXED 63-vector probe " +
         "panel (the e135/e25 probe-set shape); the ANN side is an " +
-        "LSH-bucket equi-join")
+        "LSH-bucket equi-join"),
+    "e138_dup_census" ->
+      "crossJoins of three broadcast 1-row pair-count scalars"
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

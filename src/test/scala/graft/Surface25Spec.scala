@@ -264,6 +264,24 @@ class Surface25Spec extends SparkSpec {
       common.toDouble / (a.size + b.size - common)) < 1e-7)
   }
 
+  test("e138: census counts are the judged frames' exact intersection") {
+    val row = SparkEntry.queries("e138_dup_census")(spark, dir).head()
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = pairs("e1_minhash_pairs")
+    val sh = pairs("e32_simhash_pairs")
+    val m = (mh intersect sh).size.toLong
+    assert(row.getAs[Long]("n_minhash") == mh.size)
+    assert(row.getAs[Long]("n_simhash") == sh.size)
+    assert(row.getAs[Long]("n_both") == m)
+    val chapman = (mh.size + 1.0) * (sh.size + 1.0) / (m + 1.0) - 1.0
+    assert(math.abs(row.getAs[Double]("chapman_nhat") - chapman) < 1e-6)
+    // the estimate can never fall below the union of the two catches
+    assert(chapman + 1e-9 >= (mh union sh).size)
+  }
+
   test("c41: streaming TWS heavy hitters equal the batch operator") {
     val got = SparkEntry.queries("c41_stream_topk")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
