@@ -303,8 +303,14 @@ object Surface12Queries {
     "e59_heavy_hitters" -> ((s, dir) =>
       HeavyHitters.exactHeavyHitters(
         t(s, dir, "documents"),
-        concat(col("lang"), lit("|"), col("source")), 64)
+        concat(col("lang"), lit("|"), col("source")), heavyHitterK)
         .orderBy(col("key"))))
+
+  /** e59's Misra–Gries k: the cnt·(k+1) > total gate constant, shared
+    * with the streaming twin (c41) and the oracle text so the three
+    * sites can never silently diverge.
+    */
+  private[queries] val heavyHitterK = 64
 
   val oracles: Map[String, String] = Map(
     "q95_unpivot" ->
@@ -406,9 +412,9 @@ object Surface12Queries {
          FROM documents d JOIN b USING (lang)
          GROUP BY 1, 2, 3""",
     "e59_heavy_hitters" ->
-      """SELECT lang || '|' || source AS key, CAST(count(*) AS BIGINT) AS cnt
+      s"""SELECT lang || '|' || source AS key, CAST(count(*) AS BIGINT) AS cnt
          FROM documents GROUP BY 1
-         HAVING count(*) * 65 > (SELECT count(*) FROM documents)""",
+         HAVING count(*) * ${heavyHitterK + 1} > (SELECT count(*) FROM documents)""",
     "e63_token_budget" ->
       """WITH d AS (
            SELECT doc_id, source,

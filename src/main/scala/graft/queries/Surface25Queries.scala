@@ -82,6 +82,50 @@ object Surface25Queries {
   private def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("double")
 
+  /** FIXED probe-panel bounds shared by e135/e136 AND their oracle
+    * texts (interpolated): vec_ids 1..63. The panel being fixed-SIZE
+    * at any corpus scale is what keeps both audits linear.
+    */
+  private val probeLo = 1
+  private val probeHi = 63
+
+  private def vdot(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+    call_function("vec_dot", a, b)
+
+  /** Corpus embeddings with the self-norm hoisted into the scan
+    * projection — ‖e‖ computed once per row, never once per probe
+    * pair (the e135 ×10 finding: 18.3 → 3.85 s).
+    */
+  private def normedEmb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vdot(col("embedding"), col("embedding"))).as("enorm"))
+  }
+
+  /** The broadcast probe panel off a [[normedEmb]] frame. Extra
+    * columns (e136's LSH bucket) are added INSIDE the broadcast hint
+    * so a projection above can never strip it.
+    */
+  private def probePanel(emb: DataFrame,
+      extra: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty)
+      : DataFrame = {
+    val base = emb.where(col("vec_id").between(probeLo, probeHi))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("enorm").as("qnorm"))
+    broadcast(extra.foldLeft(base) {
+      case (f, (n, c)) => f.withColumn(n, c)
+    })
+  }
+
+  /** Pairwise cosine over a [[normedEmb]] × [[probePanel]] join — one
+    * native dot per pair, bit-identical to `Similarity.cosine`'s
+    * left-to-right fold (which the oracle texts replay).
+    */
+  private def probeCos: org.apache.spark.sql.Column =
+    vdot(col("embedding"), col("qe")) / (col("enorm") * col("qnorm"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Runs test: daily order counts (integer, exact) vs their exact
@@ -129,7 +173,10 @@ object Surface25Queries {
         .crossJoin(broadcast(flips))
         .select(col("n_days"), col("med").as("median_cnt"),
           col("n1").as("n_above"), col("n2").as("n_below"),
-          (col("flips") + 1L).as("n_runs"),
+          // an empty sign sequence (every day AT the median) has 0
+          // runs, not flips+1 = 1 — mirrored in the oracle text
+          when(col("n1") + col("n2") > 0, col("flips") + 1L)
+            .otherwise(0L).as("n_runs"),
           round(when(col("n1") + col("n2") > 0,
             lit(1.0) + (lit(2.0) * a * b) / m), 8).as("mu_runs"),
           round(when(col("n1") + col("n2") > 1,
@@ -298,25 +345,10 @@ object Surface25Queries {
     // the plain left-to-right double fold the e2_topk_double oracle
     // already replays exactly.
     "e135_hubness" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val vdot = (a: org.apache.spark.sql.Column,
-                  b: org.apache.spark.sql.Column) =>
-        call_function("vec_dot", a, b)
-      // self-norms hoisted OUT of the pair loop: each corpus row's
-      // ‖e‖ is computed once in the scan projection (not 63×), each
-      // probe's ‖q‖ once in the broadcast side; the per-pair work is
-      // ONE native vec_dot (bit-identical fold to Similarity.cosine,
-      // no per-pair zipped-array allocation). ×10 study: 18.3 → ~2 s.
-      val emb = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("embedding"),
-          sqrt(vdot(col("embedding"), col("embedding"))).as("enorm"))
-      val qs = broadcast(emb.where(col("vec_id").between(1, 63))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("enorm").as("qnorm")))
+      val emb = normedEmb(s, dir)
+      val qs = probePanel(emb)
       val sc = emb.join(qs, col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          (vdot(col("embedding"), col("qe")) /
-            (col("enorm") * col("qnorm"))).as("cos"))
+        .select(col("qid"), col("vec_id"), probeCos.as("cos"))
       val top = sc.withColumn("rk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
         .where(col("rk") <= 10)
@@ -345,29 +377,20 @@ object Surface25Queries {
     // FIXED 10-term expression over pivoted integer rank counts —
     // never a data-ordered double sum.
     "e136_ann_mrr" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val vdot = (a: org.apache.spark.sql.Column,
-                  b: org.apache.spark.sql.Column) =>
-        call_function("vec_dot", a, b)
-      val emb = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("embedding"),
-          sqrt(vdot(col("embedding"), col("embedding"))).as("enorm"),
-          Similarity.lshBucket(col("embedding"), 4, 64).as("bkt"))
-      val qs = broadcast(emb.where(col("vec_id").between(1, 63))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("enorm").as("qnorm"), col("bkt").as("qbkt")))
-      val cos = vdot(col("embedding"), col("qe")) /
-        (col("enorm") * col("qnorm"))
+      val emb = normedEmb(s, dir)
+        .withColumn("bkt", Similarity.lshBucket(col("embedding"), 4, 64))
+      val qs = probePanel(emb,
+        Seq("qbkt" -> Similarity.lshBucket(col("qe"), 4, 64)))
       // exact nearest per probe: struct-max picks (max cos, then min
       // vec_id) in one aggregation — no per-probe sort
       val exact1 = emb.join(qs, col("vec_id") =!= col("qid"))
-        .select(col("qid"), struct(cos.as("cos"),
+        .select(col("qid"), struct(probeCos.as("cos"),
           (-col("vec_id")).as("negv")).as("cv"))
         .groupBy("qid").agg(max(col("cv")).as("m"))
         .select(col("qid"), (-col("m.negv")).as("best_vid"))
       val cand = emb.join(qs,
           col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), cos.as("cos"))
+        .select(col("qid"), col("vec_id"), probeCos.as("cos"))
       val ap = cand.withColumn("rk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
         .where(col("rk") <= 10)
@@ -478,7 +501,8 @@ object Surface25Queries {
       val fin = s.read.parquet(out)
         .groupBy("key").agg(max(col("cnt")).as("cnt"))
       fin.crossJoin(broadcast(fin.agg(sum(col("cnt")).as("n_total"))))
-        .where(col("cnt") * 65L > col("n_total"))
+        .where(col("cnt") * (Surface12Queries.heavyHitterK + 1L) >
+          col("n_total"))
         .select(col("key"), col("cnt"))
         .orderBy(col("key"))
     }))
@@ -513,7 +537,8 @@ object Surface25Queries {
          SELECT CAST(n_days AS BIGINT) AS n_days,
            CAST(med AS BIGINT) AS median_cnt,
            n1 AS n_above, n2 AS n_below,
-           CAST(flips + 1 AS BIGINT) AS n_runs,
+           CAST(CASE WHEN n1 + n2 > 0 THEN flips + 1 ELSE 0 END
+             AS BIGINT) AS n_runs,
            round(CASE WHEN n1 + n2 > 0 THEN
              1.0 + (2.0 * $a * $b) / $m END, 8) AS mu_runs,
            round(CASE WHEN n1 + n2 > 1 THEN
@@ -660,7 +685,7 @@ object Surface25Queries {
       val nb = SimilarityQueries.foldDot("q.qe", "q.qe")
       s"""WITH qs AS (
            SELECT vec_id AS qid, embedding AS qe FROM embeddings
-           WHERE vec_id BETWEEN 1 AND 63),
+           WHERE vec_id BETWEEN $probeLo AND $probeHi),
          sc AS (
            SELECT q.qid, e.vec_id,
              $dot / (sqrt($na) * sqrt($nb)) AS cos
@@ -694,7 +719,7 @@ object Surface25Queries {
         s"CAST(c_$r AS DOUBLE) / $r.0").mkString(" + ")
       s"""WITH qs AS (
            SELECT vec_id AS qid, embedding AS qe FROM embeddings
-           WHERE vec_id BETWEEN 1 AND 63),
+           WHERE vec_id BETWEEN $probeLo AND $probeHi),
          sc AS (
            SELECT q.qid, e.vec_id,
              $dot / (sqrt($na) * sqrt($nb)) AS cos
@@ -710,7 +735,7 @@ object Surface25Queries {
            FROM embeddings WHERE vec_id <> 0),
          qb AS (SELECT vec_id AS qid,
              ${SimilarityQueries.bucketSql4("embedding")} AS qbkt
-           FROM embeddings WHERE vec_id BETWEEN 1 AND 63),
+           FROM embeddings WHERE vec_id BETWEEN $probeLo AND $probeHi),
          cand AS (
            SELECT s.qid, s.vec_id, s.cos
            FROM sc s

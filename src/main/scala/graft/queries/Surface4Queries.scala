@@ -562,8 +562,12 @@ object Surface4Queries {
     * capture–recapture census re-reads it — the tokenize→hash→fold→
     * band pipeline runs once per JVM×sf, not once per consumer.
     */
-  private[queries] def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Stage.durableFrame(s, "simhash60-pairs", dir) {
+  private[queries] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // the build-side pin is released AFTER durableFrame's eager write
+    // (the e129/e131 discipline — a persist inside a staging thunk
+    // would otherwise outlive the build by the whole JVM)
+    var pinned: DataFrame = null
+    val res = Stage.durableFrame(s, "simhash60-pairs", dir) {
       graft.functions.GraftFunctions.register(s)
       val sh = t(s, dir, "documents")
         .select(col("doc_id"),
@@ -578,6 +582,7 @@ object Surface4Queries {
         posexplode(array(
           graft.operators.Dedup.simhash60Bands(col("simhash")): _*)))
         .persist()
+      pinned = banded
       val a = banded.as("a")
       val b = banded.as("b")
       a.join(b, col("a.pos") === col("b.pos") &&
@@ -589,6 +594,9 @@ object Surface4Queries {
         .where(col("hamming") <= 3)
         .distinct()
     }
+    if (pinned != null) pinned.unpersist()
+    res
+  }
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"

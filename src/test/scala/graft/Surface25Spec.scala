@@ -245,9 +245,13 @@ class Surface25Spec extends SparkSpec {
   }
 
   test("e137: churn sets match a driver-side top-20 recount") {
-    val row = SparkEntry.queries("e137_topk_churn")(spark, dir).head()
+    // sf0.01, not the suite's sf0.001: the smaller fixture has only
+    // 15 users, so both halves' "top-20" would be ALL users and the
+    // (cnt desc, user_id) cut/tie-break path would never be exercised
+    val dir01 = "/root/testdata/sf0.01"
+    val row = SparkEntry.queries("e137_topk_churn")(spark, dir01).head()
     val cut = java.time.Instant.parse("2024-01-16T00:00:00Z")
-    val ev = graft.queries.Tables.events(spark, dir)
+    val ev = graft.queries.Tables.events(spark, dir01)
       .select("user_id", "ts").collect()
       .map(r => r.getLong(0) -> !r.getTimestamp(1).toInstant.isBefore(cut))
     def top(h2: Boolean): Set[Long] =
@@ -255,6 +259,9 @@ class Surface25Spec extends SparkSpec {
         .sortBy { case (u, c) => (-c, u) }.take(20).map(_._1).toSet
     val (a, b) = (top(false), top(true))
     val common = (a intersect b).size.toLong
+    // the cut must BIND here (sf0.01 has ~150 users per half), or the
+    // recount proves nothing about the top-k selection
+    assert(a.size == 20 && b.size == 20, "top-20 cut did not bind")
     assert(row.getAs[Long]("n_first") == a.size)
     assert(row.getAs[Long]("n_second") == b.size)
     assert(row.getAs[Long]("n_common") == common)
