@@ -68,6 +68,11 @@ import graft.streaming.StatefulOps
   *    judged detectors' catches (MinHash-LSH × SimHash multi-index):
   *    the "how many dupes did both miss" census next to the
   *    per-method recall audits.
+  *  - `e139_anisotropy` — embedding-collapse audit (Ethayarajh 2019):
+  *    mean cosine of every vector to the corpus centroid + the
+  *    centroid's norm. e109 grades cluster structure, e27 coverage;
+  *    this is the global "are all my vectors pointing the same way"
+  *    screen that decides whether cosine thresholds mean anything.
   *  - `c41_stream_topk` — e59's exact heavy hitters through the REAL
   *    micro-batch engine on transformWithState (judged on e59's batch
   *    oracle — the c12/c39, c33/c36 twin discipline): one monotone
@@ -469,6 +474,49 @@ object Surface25Queries {
             .as("recall_simhash"))
     }),
 
+    // Embedding ANISOTROPY audit (the Ethayarajh 2019 "are all my
+    // vectors pointing the same way" collapse check — an anisotropic
+    // embedding column makes every cosine high and ANN/dedup
+    // thresholds meaningless): mean cosine of each vector to the
+    // corpus centroid, plus the centroid's norm. e109 grades CLUSTER
+    // structure against trained cells; e27 coverage/L2 per slice;
+    // this is the global collapse screen. Exactness recipe: per-dim
+    // centroid sums in fixed-point longs (order-independent), the
+    // 64-cell centroid assembled IN-PLAN via one sort_array'd
+    // collect_list row (no driver collect), per-row cosines on the
+    // shared left-to-right double fold, and the corpus mean over
+    // nano-quantized longs (the e109 summing discipline).
+    "e139_anisotropy" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+      val nF = broadcast(corpus.agg(count(lit(1)).as("n")))
+      val dimSums = corpus
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("pos"),
+          floor(col("v").cast("double") * lit(1e7)).cast("long").as("q"))
+        .groupBy("pos").agg(sum(col("q")).as("sq"))
+      // 1-row (mu, n) centroid frame, eagerly materialized so the
+      // corpus is scanned once for it (it feeds the scoring pass AND
+      // the report row)
+      val muRow = dimSums
+        .agg(sort_array(collect_list(struct(col("pos"), col("sq"))))
+          .as("ps"))
+        .crossJoin(nF)
+        .select(transform(col("ps"), p => p.getField("sq").cast("double")
+          / lit(1e7) / col("n").cast("double")).as("mu"), col("n"))
+        .localCheckpoint(true)
+      val cos = Similarity.cosine(col("embedding"), col("mu"))
+      val qsum = corpus.crossJoin(broadcast(muRow.select("mu")))
+        .select(floor(cos * lit(1e9)).cast("long").as("qc"))
+        .agg(sum(col("qc")).as("sqc"))
+      qsum.crossJoin(broadcast(muRow))
+        .select(col("n"),
+          round(sqrt(aggregate(transform(col("mu"), v => v * v),
+            lit(0.0), (acc, p) => acc + p)), 8).as("mu_norm"),
+          round(col("sqc").cast("double") / lit(1e9) /
+            col("n").cast("double"), 8).as("mean_cos_to_centroid"))
+    }),
+
     // e59's heavy hitters through the real micro-batch engine on
     // transformWithState ([[StatefulOps.keyCountStream]]): monotone
     // per-key counters, append sink, final image = max(cnt) per key,
@@ -799,6 +847,36 @@ object Surface25Queries {
            round(CAST(n_both AS DOUBLE) / CAST(n_minhash AS DOUBLE), 8)
              AS recall_simhash
          FROM c"""
+    },
+
+    "e139_anisotropy" -> {
+      def fold(body: String) =
+        s"""list_reduce(list_transform(generate_series(1, 64),
+            i -> $body), (acc, x) -> acc + x)"""
+      val dot = fold("CAST(e.embedding[i] AS DOUBLE) * m.mu[i]")
+      val na = fold(
+        "CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)")
+      val nb = fold("m.mu[i] * m.mu[i]")
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings
+           WHERE vec_id <> 0),
+         ds AS (SELECT g.i AS pos,
+             SUM(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 10000000.0)
+               AS BIGINT)) AS sq
+           FROM embeddings, generate_series(1, 64) AS g(i)
+           WHERE vec_id <> 0 GROUP BY 1),
+         mu AS (SELECT list(CAST(sq AS DOUBLE) / 10000000.0 /
+             CAST(n AS DOUBLE) ORDER BY pos) AS mu
+           FROM ds, nn),
+         qc AS (SELECT CAST(floor(($dot / (sqrt($na) * sqrt($nb))) *
+             1000000000.0) AS BIGINT) AS q
+           FROM embeddings e, mu m WHERE e.vec_id <> 0),
+         ag AS (SELECT CAST(SUM(q) AS BIGINT) AS sqc FROM qc)
+         SELECT CAST(nn.n AS BIGINT) AS n,
+           round(sqrt(list_reduce(list_transform(m.mu, v -> v * v),
+             (acc, x) -> acc + x)), 8) AS mu_norm,
+           round(CAST(ag.sqc AS DOUBLE) / 1000000000.0 /
+             CAST(nn.n AS DOUBLE), 8) AS mean_cos_to_centroid
+         FROM ag, mu m, nn"""
     },
 
     // judged on the batch operator's oracle — the twin discipline

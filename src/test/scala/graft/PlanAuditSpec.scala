@@ -123,7 +123,10 @@ class PlanAuditSpec extends SparkSpec {
         "panel (the e135/e25 probe-set shape); the ANN side is an " +
         "LSH-bucket equi-join"),
     "e138_dup_census" ->
-      "crossJoins of three broadcast 1-row pair-count scalars"
+      "crossJoins of three broadcast 1-row pair-count scalars",
+    "e139_anisotropy" ->
+      ("crossJoins against the broadcast 1-row (centroid, n) frame " +
+        "and the 1-row quantized-cosine sum")
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

@@ -289,6 +289,39 @@ class Surface25Spec extends SparkSpec {
     assert(chapman + 1e-9 >= (mh union sh).size)
   }
 
+  test("e139: anisotropy matches a driver-side centroid recount") {
+    val row = SparkEntry.queries("e139_anisotropy")(spark, dir).head()
+    val emb = graft.queries.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .filter(_._1 != 0L)
+    val n = emb.length
+    // centroid from the same fixed-point per-dim sums the plan uses
+    val mu = (0 until 64).map { i =>
+      emb.map(e => math.floor(e._2(i).toDouble * 1e7).toLong).sum
+        .toDouble / 1e7 / n
+    }.toArray
+    def cos(a: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        dot += a(i).toDouble * mu(i)
+        na += a(i).toDouble * a(i).toDouble
+        nb += mu(i) * mu(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val meanCos = emb.map(e =>
+      math.floor(cos(e._2) * 1e9).toLong).sum.toDouble / 1e9 / n
+    val muNorm = math.sqrt(mu.map(v => v * v).sum)
+    assert(row.getAs[Long]("n") == n)
+    assert(math.abs(row.getAs[Double]("mu_norm") - muNorm) < 1e-7)
+    assert(math.abs(row.getAs[Double]("mean_cos_to_centroid") - meanCos)
+      < 1e-7)
+    // a centroid cosine is bounded like any cosine
+    assert(meanCos >= -1.0 && meanCos <= 1.0)
+  }
+
   test("c41: streaming TWS heavy hitters equal the batch operator") {
     val got = SparkEntry.queries("c41_stream_topk")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
