@@ -23,6 +23,16 @@ object Surface12Queries {
   /** Random-projection sign matrix dimensions: 64-dim input → 8 output. */
   private val rpDims = 8
 
+  /** e62's safety-term set, shared with e142's Cochran-Q screen (one
+    * definition so the two queries can never drift apart). A real
+    * deployment swaps in a broadcast dim without changing plan shape.
+    */
+  private[queries] val blocklistTerms = Seq("spark", "stream", "vector", "window")
+
+  /** [[blocklistTerms]] as a DuckDB list literal for oracle texts. */
+  private[queries] val blocklistTermsSql =
+    blocklistTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // UNPIVOT / melt — the wide→long reshape every metrics pipeline
     // needs (one row per (group, measure)). The aggregation runs FIRST
@@ -248,7 +258,7 @@ object Surface12Queries {
     // blocked = false) because a filter that silently drops rows can't
     // be audited
     "e62_blocklist" -> ((s, dir) => {
-      val terms = Seq("spark", "stream", "vector", "window")
+      val terms = blocklistTerms
       t(s, dir, "documents")
         .select(col("doc_id"),
           array_sort(array_intersect(
@@ -431,12 +441,12 @@ object Surface12Queries {
          SELECT doc_id, source, n_tok, cum FROM c
          WHERE cum - n_tok < 600""",
     "e62_blocklist" ->
-      """WITH m AS (
+      s"""WITH m AS (
            SELECT doc_id,
                   list_sort(list_intersect(
                     list_distinct(list_filter(string_split_regex(
                       lower(text), '[^a-z0-9]+'), x -> x <> '')),
-                    ['spark', 'stream', 'vector', 'window'])) AS mm
+                    $blocklistTermsSql)) AS mm
            FROM documents)
          SELECT doc_id, COALESCE(array_to_string(mm, ','), '') AS matched,
                 len(mm) > 0 AS blocked,

@@ -64,44 +64,53 @@ object Surface24Queries {
     */
   private[graft] val dupFpCap = 64
 
+  /** Per-doc DSIR sufficient statistics — shared by e125 (the weight
+    * report) and e143 (the decile-gains audit of those weights):
+    * (doc_id, lang, w_num, w_den, nr, nt), where w_num/w_den are the
+    * exact integer count-weighted target/corpus frequency sums and
+    * nr/nt the corpus-wide bucket totals that normalize the final
+    * ratio. ONE corpus tokenize pass to per-(doc, bucket) counts,
+    * durably staged (the e118 token-histogram discipline): histogram,
+    * totals, and the per-doc weights are all re-aggregations of that
+    * frame — zero query-time corpus passes on fixture hits.
+    */
+  private[queries] def dsirDocWeights(s: SparkSession, dir: String): DataFrame = {
+    val docb = Stage.durableFrame(s, "dsir-docb64", dir) {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 1)
+      // word bigrams → md5 bucket (the established engine-portable
+      // hash: conv(md5-prefix) here, '0x'||substr(md5) in the oracle)
+      tk.select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat(element_at(col("tk"), i), lit(" "),
+              element_at(col("tk"), i + lit(1))))).as("bgr"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("bgr").cast("binary")), 1, 4), 16, 10)
+            .cast("long") % dsirBuckets).as("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(count(lit(1)).as("c"))
+    }
+    val hist = docb.groupBy("b").agg(sum(col("c")).as("n_raw"),
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("n_tgt"))
+    val tot = hist.agg(sum(col("n_raw")).as("nr"),
+      sum(col("n_tgt")).as("nt"))
+    docb.join(broadcast(hist), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c") * col("n_tgt")).as("w_num"),
+        sum(col("c") * col("n_raw")).as("w_den"))
+      .crossJoin(broadcast(tot))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "e125_dsir_weights" -> ((s, dir) => {
-      // ONE corpus tokenize pass to per-(doc, bucket) counts, durably
-      // staged (the e118 token-histogram discipline): histogram,
-      // totals, and the per-doc weights are all re-aggregations of
-      // this frame — zero query-time corpus passes on fixture hits
-      val docb = Stage.durableFrame(s, "dsir-docb64", dir) {
-        val tk = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            TextAnalysis.tokens(col("text")).as("tk"))
-          .where(size(col("tk")) > 1)
-        // word bigrams → md5 bucket (the established engine-portable
-        // hash: conv(md5-prefix) here, '0x'||substr(md5) in the oracle)
-        tk.select(col("doc_id"), col("lang"),
-            explode(transform(sequence(lit(1), size(col("tk")) - 1),
-              i => concat(element_at(col("tk"), i), lit(" "),
-                element_at(col("tk"), i + lit(1))))).as("bgr"))
-          .select(col("doc_id"), col("lang"),
-            (conv(substring(md5(col("bgr").cast("binary")), 1, 4), 16, 10)
-              .cast("long") % dsirBuckets).as("b"))
-          .groupBy("doc_id", "lang", "b")
-          .agg(count(lit(1)).as("c"))
-      }
-      val hist = docb.groupBy("b").agg(sum(col("c")).as("n_raw"),
-        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("n_tgt"))
-      val tot = hist.agg(sum(col("n_raw")).as("nr"),
-        sum(col("n_tgt")).as("nt"))
-      docb.join(broadcast(hist), "b")
-        .groupBy("doc_id")
-        .agg(sum(col("c") * col("n_tgt")).as("w_num"),
-          sum(col("c") * col("n_raw")).as("w_den"))
-        .crossJoin(broadcast(tot))
+    "e125_dsir_weights" -> ((s, dir) =>
+      dsirDocWeights(s, dir)
         .select(col("doc_id"), col("w_num"), col("w_den"),
           round(col("w_num").cast("double") * col("nr") /
             (col("w_den").cast("double") * col("nt")), 8)
-            .as("dsir_weight"))
-    }),
+            .as("dsir_weight"))),
 
     // THEIL–SEN robust slope of the daily ingest series — the
     // ESTIMATOR companion of q123's Mann–Kendall TEST (MK answers

@@ -1,0 +1,408 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantiles, Rank, TextAnalysis}
+
+/** Round-16 second wave — each entry sibling-checked against the
+  * existing 339-query surface before being added:
+  *
+  *  - `e140_langid_kappa` — Cohen's kappa of the judged e4_langid
+  *    detector against the labeled lang column: the CHANCE-CORRECTED
+  *    scalar grade of the router (e127 reports the full confusion
+  *    MATRIX; raw accuracy flatters a detector that just predicts the
+  *    majority class — kappa subtracts the agreement two independent
+  *    raters with these marginals would reach anyway). po and pe stay
+  *    exact integer rationals (N·agree, Σ row_tot·col_tot) until one
+  *    final double division.
+  *  - `e141_mcnemar_dedup` — McNemar's paired test of the two judged
+  *    near-dup detectors at DOC level: e138 estimates the total pair
+  *    population from catch overlap; this asks the other QA question —
+  *    do MinHash-LSH and SimHash flag the SAME documents, or is one
+  *    systematically catching docs the other misses? On paired binary
+  *    data the marginal comparison uses only the discordant cells:
+  *    χ² = (b−c)²/(b+c) over exact integer cell counts.
+  *  - `e142_cochran_q` — Cochran's Q across k=3 correlated binary
+  *    screens per document (e62's blocklist, the e4_repetition
+  *    distinct-ratio rule at 0.55, a short-doc floor at 40 tokens):
+  *    the k-screen generalization of e141's McNemar (k=2 Cochran IS
+  *    McNemar) — "do my curation screens reject at the same rate,
+  *    accounting for per-doc correlation". All three flags come off
+  *    ONE tokenize pass; Q is pure integer algebra with one final
+  *    double division.
+  *  - `e143_dsir_gains` — decile gains/lift audit of the e125 DSIR
+  *    weights against the target-domain label they estimate: rank
+  *    docs by weight, cut into 10 equal-frequency bins by exact rank
+  *    arithmetic, and report per-bin target rate, cumulative capture,
+  *    and lift — the selection-audit table a curation run reads
+  *    before committing to importance resampling (e125 computes the
+  *    weights; this grades their RANKING power). Zero new corpus
+  *    passes: weights re-aggregate the staged dsir-docb64 frame.
+  *  - `e144_temperature_mix` — temperature-based source mixing
+  *    (the multilingual-corpus sampling rule of mT5/XLM-R: sample
+  *    source s with probability ∝ c_s^α, α = 1/2, which upweights
+  *    small sources relative to proportional sampling): per source,
+  *    the proportional weight, the α=0.5 weight, and the effective
+  *    epochs over that source under a fixed token budget. e63 SELECTS
+  *    docs under per-source quotas; e35 samples by per-row weight;
+  *    this computes the corpus-level mixture ratios themselves. √c is
+  *    quantized to fixed-point longs before the cross-source sum (the
+  *    e109/e139 discipline), so the normalizing total is
+  *    order-independent in any engine at any parallelism.
+  *  - `e145_hits` — HITS hubs-and-authorities (Kleinberg) over the
+  *    bipartite user→item click graph (item = props.k): e71 ranks
+  *    pages by PageRank on the dup graph; HITS is the query-dependent
+  *    twin with two mutually-recursive scores — here two exact
+  *    unrolled iterations (h₀ = 1 ⇒ a₁ = in-weight ⇒ h₁ ⇒ a₂) with
+  *    integer sufficient statistics, normalized once at the end. Each
+  *    iteration is one equi-join + groupBy on the edge list (the
+  *    item-score side stays broadcast-small); at extreme scale the
+  *    integer scores widen to DECIMAL(38,0) without changing shape.
+  */
+object Surface26Queries {
+  import Tables._
+
+  private def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("double")
+
+  /** e142's three screens share these thresholds with the oracle text:
+    * repetition = distinct-ratio < 0.55 held as the exact integer
+    * cross-product compare 20·distinct < 11·total; short = n_tok < 40.
+    */
+  private val repNum = 11L
+  private val repDen = 20L
+  private val shortTok = 40L
+
+  /** e144's fixed token budget (the knob a mixture run fixes first). */
+  private val mixBudget = 100000L
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Cohen's kappa: confusion cells from the SAME single-pass
+    // detector derivation e127 audits; the matrix is ≤ |langs|² rows,
+    // so every downstream frame is broadcast-trivial. kappa =
+    // (N·agree − Σrt·ct) / (N² − Σrt·ct) — exact integers until the
+    // one division (N² ≈ 2.5e13 at ×100: comfortably BIGINT).
+    "e140_langid_kappa" -> ((s, dir) => {
+      val cm = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(TextQueries.all("e4_langid")(s, dir), "doc_id")
+        .groupBy("lang", "detected").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // ≤ |langs|² rows, read by 3 frames
+      val ag = cm.agg(sum(col("n")).as("n_docs"),
+        coalesce(sum(when(col("lang") === col("detected"), col("n"))),
+          lit(0L)).as("n_agree"))
+      val rt = cm.groupBy("lang").agg(sum(col("n")).as("rt"))
+      val ct = cm.groupBy("detected").agg(sum(col("n")).as("ct"))
+      val pe = rt.join(broadcast(ct), rt("lang") === ct("detected"))
+        .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).as("pe_num"))
+      ag.crossJoin(broadcast(pe))
+        .select(col("n_docs"), col("n_agree"), col("pe_num"),
+          round(d(col("n_agree")) / col("n_docs"), 8).as("po"),
+          round(d(col("pe_num")) / (d(col("n_docs")) * col("n_docs")), 8)
+            .as("pe"),
+          round((d(col("n_docs")) * col("n_agree") - col("pe_num")) /
+            (d(col("n_docs")) * col("n_docs") - col("pe_num")), 8)
+            .as("kappa"))
+    }),
+
+    // McNemar at doc level: a doc is "caught" by a detector when it
+    // appears in any of that detector's candidate pairs. Both pair
+    // frames are the judged detectors' own (the LSH side durably
+    // staged) — zero new derivations; flags land on the doc spine via
+    // two left joins, cells in one agg.
+    "e141_mcnemar_dedup" -> ((s, dir) => {
+      def caught(p: DataFrame, flag: String): DataFrame = p
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct().withColumn(flag, lit(1L))
+      val mh = caught(DedupQueries.all("e1_minhash_pairs")(s, dir)
+        .select("id_a", "id_b"), "f_mh")
+      val sh = caught(Surface4Queries.simhashPairs(s, dir)
+        .select("id_a", "id_b"), "f_sh")
+      val cells = t(s, dir, "documents").select(col("doc_id"))
+        .join(mh, Seq("doc_id"), "left").join(sh, Seq("doc_id"), "left")
+        .select(coalesce(col("f_mh"), lit(0L)).as("f_mh"),
+          coalesce(col("f_sh"), lit(0L)).as("f_sh"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_mh") * col("f_sh")).as("n_both"),
+          sum(col("f_mh") * (lit(1L) - col("f_sh"))).as("n_mh_only"),
+          sum((lit(1L) - col("f_mh")) * col("f_sh")).as("n_sh_only"))
+      cells.select(col("n_docs"), col("n_both"), col("n_mh_only"),
+        col("n_sh_only"),
+        (col("n_docs") - col("n_both") - col("n_mh_only") -
+          col("n_sh_only")).as("n_neither"),
+        round(when(col("n_mh_only") + col("n_sh_only") > 0,
+          (d(col("n_mh_only")) - col("n_sh_only")) *
+            (d(col("n_mh_only")) - col("n_sh_only")) /
+            (d(col("n_mh_only")) + col("n_sh_only"))), 8)
+          .as("mcnemar_chi2"))
+    }),
+
+    // Cochran's Q, k = 3: Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²).
+    // Docs where all screens agree (R_i ∈ {0, k}) contribute nothing
+    // to either side and are kept — dropping them would change T.
+    // ΣC² ≈ (3N)² at ×100 (≈ 2e14): BIGINT-safe.
+    "e142_cochran_q" -> ((s, dir) => {
+      val scr = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(
+          when(size(array_intersect(array_distinct(col("tk")),
+            lit(Surface12Queries.blocklistTerms.toArray))) > 0, 1L)
+            .otherwise(0L).as("s1"),
+          when(size(array_distinct(col("tk"))).cast("long") * repDen <
+            size(col("tk")).cast("long") * repNum, 1L)
+            .otherwise(0L).as("s2"),
+          when(size(col("tk")) < shortTok, 1L).otherwise(0L).as("s3"))
+        .withColumn("r", col("s1") + col("s2") + col("s3"))
+      val ag = scr.agg(count(lit(1)).as("n_docs"),
+        sum(col("s1")).as("c_blocklist"),
+        sum(col("s2")).as("c_repetition"),
+        sum(col("s3")).as("c_short"),
+        sum(col("r")).as("t_total"),
+        sum(col("r") * col("r")).as("sum_r2"))
+      val num = lit(3.0) * (d(col("c_blocklist")) * col("c_blocklist") +
+        d(col("c_repetition")) * col("c_repetition") +
+        d(col("c_short")) * col("c_short")) -
+        d(col("t_total")) * col("t_total")
+      val den = lit(3.0) * col("t_total") - d(col("sum_r2"))
+      ag.select(col("n_docs"), col("c_blocklist"), col("c_repetition"),
+        col("c_short"), col("t_total"), col("sum_r2"),
+        round(when(den =!= 0.0, lit(2.0) * num / den), 8).as("q_cochran"))
+    }),
+
+    // DSIR gains table: rank by the exact rational weight (nr/nt is
+    // constant across docs, so w_num/w_den orders identically to the
+    // full ratio — both engines divide the same integers, bit-equal
+    // IEEE), deciles by exact rank arithmetic, cumulative capture via
+    // a broadcast triangle over the 10-row per-decile frame (never an
+    // unpartitioned window).
+    "e143_dsir_gains" -> ((s, dir) => {
+      import Quantiles.ldiv
+      val w = Surface24Queries.dsirDocWeights(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (d(col("w_num")) / col("w_den")).as("wd"))
+      val dec = Rank.withGlobalRowNumber(w,
+          Seq(col("wd").desc, col("doc_id").asc))
+        .select(col("lang"), col("wd"),
+          ldiv((col("rn") - 1L) * 10L, col("n_total")).as("decile"))
+      val per = dec.groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          min(col("wd")).as("w_min"), max(col("wd")).as("w_max"))
+        .localCheckpoint(true) // 10 rows, read by the triangle + total
+      val tot = broadcast(per.agg(sum(col("n_en")).as("n_en_tot"),
+        sum(col("n_docs")).as("n_tot")))
+      val cum = per.as("a").join(broadcast(per.as("b")),
+          col("b.decile") <= col("a.decile"))
+        .groupBy(col("a.decile").as("decile"))
+        .agg(sum(col("b.n_en")).as("cum_en"))
+      per.join(broadcast(cum), "decile").crossJoin(tot)
+        .select(col("decile"), col("n_docs"), col("n_en"),
+          round(d(col("n_en")) / col("n_docs"), 8).as("en_rate"),
+          col("w_min"), col("w_max"), col("cum_en"),
+          round(d(col("cum_en")) / col("n_en_tot"), 8).as("capture"),
+          round(d(col("n_en")) * col("n_tot") /
+            (d(col("n_docs")) * col("n_en_tot")), 8).as("lift"))
+        .orderBy(col("decile"))
+    }),
+
+    // Temperature mixing: ONE narrow corpus pass to per-source token
+    // totals (a |sources|-row frame), √c quantized to micro-units so
+    // the normalizing sum is exact integer addition.
+    "e144_temperature_mix" -> ((s, dir) => {
+      val c = t(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n"))
+        .groupBy("source").agg(sum(col("n")).as("n_tok"))
+        .withColumn("qs",
+          floor(sqrt(d(col("n_tok"))) * lit(1e6)).cast("long"))
+        .localCheckpoint(true) // |sources| rows, read by total + report
+      val tot = broadcast(c.agg(sum(col("n_tok")).as("t_tok"),
+        sum(col("qs")).as("t_qs")))
+      c.crossJoin(tot)
+        .select(col("source"), col("n_tok"), col("qs"),
+          round(d(col("n_tok")) / col("t_tok"), 8).as("w_prop"),
+          round(d(col("qs")) / col("t_qs"), 8).as("w_temp"),
+          round(d(col("qs")) * mixBudget /
+            (d(col("t_qs")) * col("n_tok")), 8).as("epochs"))
+        .orderBy(col("source"))
+    }),
+
+    // HITS, two exact iterations. The edge list (user, item, weight)
+    // is the only corpus-sized frame; it is materialized once and
+    // reused by all three score joins. Item scores are |items| rows
+    // (broadcast); the user-score join shuffles edges on user_id once.
+    "e145_hits" -> ((s, dir) => {
+      val edges = events(s, dir)
+        .where(col("event_type") === "click")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .where(col("item").isNotNull)
+        .groupBy("user_id", "item").agg(count(lit(1)).as("w"))
+        .localCheckpoint(true) // E rows; feeds a1, h1, a2
+      val a1 = edges.groupBy("item").agg(sum(col("w")).as("a1"))
+      val h1 = edges.join(broadcast(a1), "item")
+        .groupBy("user_id").agg(sum(col("w") * col("a1")).as("h1"))
+      val a2 = edges.join(h1, "user_id")
+        .groupBy("item").agg(sum(col("w") * col("h1")).as("a2"))
+        .localCheckpoint(true) // |items| rows; read by total + report
+      val tot = broadcast(a2.agg(sum(col("a2")).as("t_a2")))
+      a2.join(broadcast(a1), "item").crossJoin(tot)
+        .select(col("item"), col("a1"), col("a2"),
+          round(d(col("a2")) / col("t_a2"), 8).as("auth_frac"))
+        .orderBy(col("a2").desc, col("item")).limit(10)
+    }))
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private def castD(x: String) = s"CAST($x AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+
+    "e140_langid_kappa" -> {
+      val det = TextQueries.oracles("e4_langid")
+      s"""WITH det AS MATERIALIZED ($det),
+         cm AS (SELECT d.lang, det.detected, count(*) AS n
+           FROM documents d JOIN det USING (doc_id) GROUP BY 1, 2),
+         ag AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n) FILTER (WHERE lang = detected), 0)
+             AS BIGINT) AS n_agree FROM cm),
+         rt AS (SELECT lang, SUM(n) AS rt FROM cm GROUP BY 1),
+         ct AS (SELECT detected, SUM(n) AS ct FROM cm GROUP BY 1),
+         pe AS (SELECT CAST(COALESCE(SUM(rt * ct), 0) AS BIGINT)
+           AS pe_num FROM rt JOIN ct ON ct.detected = rt.lang)
+         SELECT n_docs, n_agree, pe_num,
+           round(${castD("n_agree")} / n_docs, 8) AS po,
+           round(${castD("pe_num")} / (${castD("n_docs")} * n_docs), 8)
+             AS pe,
+           round((${castD("n_docs")} * n_agree - pe_num) /
+             (${castD("n_docs")} * n_docs - pe_num), 8) AS kappa
+         FROM ag, pe"""
+    },
+
+    "e141_mcnemar_dedup" -> {
+      val mh = DedupQueries.oracles("e1_minhash_pairs")
+      val sh = Surface4Queries.oracles("e32_simhash_pairs")
+      s"""WITH mh AS MATERIALIZED ($mh),
+         shp AS MATERIALIZED (SELECT id_a, id_b FROM ($sh)),
+         fm AS (SELECT DISTINCT doc_id FROM (
+           SELECT id_a AS doc_id FROM mh
+           UNION ALL SELECT id_b FROM mh)),
+         fs AS (SELECT DISTINCT doc_id FROM (
+           SELECT id_a AS doc_id FROM shp
+           UNION ALL SELECT id_b FROM shp)),
+         j AS (SELECT
+             CASE WHEN fm.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_mh,
+             CASE WHEN fs.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_sh
+           FROM documents d
+           LEFT JOIN fm ON fm.doc_id = d.doc_id
+           LEFT JOIN fs ON fs.doc_id = d.doc_id),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(f_mh * f_sh) AS BIGINT) AS n_both,
+             CAST(SUM(f_mh * (1 - f_sh)) AS BIGINT) AS n_mh_only,
+             CAST(SUM((1 - f_mh) * f_sh) AS BIGINT) AS n_sh_only
+           FROM j)
+         SELECT n_docs, n_both, n_mh_only, n_sh_only,
+           n_docs - n_both - n_mh_only - n_sh_only AS n_neither,
+           round(CASE WHEN n_mh_only + n_sh_only > 0 THEN
+             (${castD("n_mh_only")} - n_sh_only) *
+               (${castD("n_mh_only")} - n_sh_only) /
+               (${castD("n_mh_only")} + n_sh_only) END, 8)
+             AS mcnemar_chi2
+         FROM c"""
+    },
+
+    "e142_cochran_q" -> {
+      val num = s"3.0 * (${castD("c_blocklist")} * c_blocklist + " +
+        s"${castD("c_repetition")} * c_repetition + " +
+        s"${castD("c_short")} * c_short) - " +
+        s"${castD("t_total")} * t_total"
+      val den = s"3.0 * t_total - ${castD("sum_r2")}"
+      s"""WITH scr AS (SELECT
+           CASE WHEN len(list_intersect(list_distinct($tokensSql),
+             ${Surface12Queries.blocklistTermsSql})) > 0
+             THEN 1 ELSE 0 END AS s1,
+           CASE WHEN len(list_distinct($tokensSql)) * $repDen <
+             len($tokensSql) * $repNum THEN 1 ELSE 0 END AS s2,
+           CASE WHEN len($tokensSql) < $shortTok THEN 1 ELSE 0 END AS s3
+           FROM documents),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(s1) AS BIGINT) AS c_blocklist,
+             CAST(SUM(s2) AS BIGINT) AS c_repetition,
+             CAST(SUM(s3) AS BIGINT) AS c_short,
+             CAST(SUM(s1 + s2 + s3) AS BIGINT) AS t_total,
+             CAST(SUM((s1 + s2 + s3) * (s1 + s2 + s3)) AS BIGINT)
+               AS sum_r2
+           FROM scr)
+         SELECT n_docs, c_blocklist, c_repetition, c_short, t_total,
+           sum_r2,
+           round(CASE WHEN ($den) <> 0.0 THEN
+             2.0 * ($num) / ($den) END, 8) AS q_cochran
+         FROM ag"""
+    },
+
+    "e143_dsir_gains" -> {
+      val w = Surface24Queries.oracles("e125_dsir_weights")
+      s"""WITH w AS MATERIALIZED ($w),
+         r AS (SELECT d.lang, ${castD("w.w_num")} / w.w_den AS wd,
+             row_number() OVER (ORDER BY ${castD("w.w_num")} / w.w_den
+               DESC, w.doc_id) AS rn,
+             count(*) OVER () AS n_total
+           FROM w JOIN documents d USING (doc_id)),
+         dec AS (SELECT lang, wd, (rn - 1) * 10 // n_total AS decile
+           FROM r),
+         per AS (SELECT decile, count(*) AS n_docs,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+             min(wd) AS w_min, max(wd) AS w_max
+           FROM dec GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_en) AS BIGINT) AS n_en_tot,
+             CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM per),
+         cum AS (SELECT a.decile, SUM(b.n_en) AS cum_en
+           FROM per a JOIN per b ON b.decile <= a.decile GROUP BY 1)
+         SELECT CAST(p.decile AS BIGINT) AS decile,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_en AS BIGINT) AS n_en,
+           round(${castD("n_en")} / n_docs, 8) AS en_rate,
+           w_min, w_max, CAST(cum_en AS BIGINT) AS cum_en,
+           round(${castD("cum_en")} / n_en_tot, 8) AS capture,
+           round(${castD("n_en")} * n_tot /
+             (${castD("n_docs")} * n_en_tot), 8) AS lift
+         FROM per p JOIN cum ON cum.decile = p.decile, tot
+         ORDER BY decile"""
+    },
+
+    "e144_temperature_mix" ->
+      s"""WITH c AS (SELECT source,
+           CAST(SUM(len($tokensSql)) AS BIGINT) AS n_tok
+           FROM documents GROUP BY 1),
+         q AS (SELECT source, n_tok,
+             CAST(floor(sqrt(${castD("n_tok")}) * 1000000.0) AS BIGINT)
+               AS qs FROM c),
+         t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_tok,
+             CAST(SUM(qs) AS BIGINT) AS t_qs FROM q)
+         SELECT source, n_tok, qs,
+           round(${castD("n_tok")} / t_tok, 8) AS w_prop,
+           round(${castD("qs")} / t_qs, 8) AS w_temp,
+           round(${castD("qs")} * $mixBudget /
+             (${castD("t_qs")} * n_tok), 8) AS epochs
+         FROM q, t ORDER BY source""",
+
+    "e145_hits" ->
+      """WITH e AS (SELECT user_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+           CAST(count(*) AS BIGINT) AS w
+           FROM events WHERE event_type = 'click'
+             AND json_extract(props, '$.k') IS NOT NULL
+           GROUP BY 1, 2),
+         a1 AS (SELECT item, CAST(SUM(w) AS BIGINT) AS a1
+           FROM e GROUP BY 1),
+         h1 AS (SELECT user_id, CAST(SUM(w * a1) AS BIGINT) AS h1
+           FROM e JOIN a1 USING (item) GROUP BY 1),
+         a2 AS (SELECT item, CAST(SUM(w * h1) AS BIGINT) AS a2
+           FROM e JOIN h1 USING (user_id) GROUP BY 1),
+         t AS (SELECT CAST(SUM(a2) AS BIGINT) AS t_a2 FROM a2)
+         SELECT item, a1, a2,
+           round(CAST(a2 AS DOUBLE) / t_a2, 8) AS auth_frac
+         FROM a2 JOIN a1 USING (item), t
+         ORDER BY a2 DESC, item LIMIT 10""")
+}

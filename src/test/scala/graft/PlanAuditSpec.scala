@@ -126,7 +126,18 @@ class PlanAuditSpec extends SparkSpec {
       "crossJoins of three broadcast 1-row pair-count scalars",
     "e139_anisotropy" ->
       ("crossJoins against the broadcast 1-row (centroid, n) frame " +
-        "and the 1-row quantized-cosine sum")
+        "and the 1-row quantized-cosine sum"),
+    "e140_langid_kappa" ->
+      "crossJoin against the broadcast 1-row pe_num scalar",
+    "e143_dsir_gains" ->
+      ("broadcast triangular cumsum over the 10-row per-decile frame " +
+        "(eagerly materialized) plus the broadcast 1-row totals; " +
+        "Rank's own bounded shapes execute at construction behind the " +
+        "localCheckpoint"),
+    "e144_temperature_mix" ->
+      "crossJoin against the broadcast 1-row (t_tok, t_qs) totals",
+    "e145_hits" ->
+      "crossJoin against the broadcast 1-row authority-total scalar"
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

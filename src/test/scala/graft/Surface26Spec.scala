@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Invariants for the round-16 second wave (Surface26Queries): each
+  * judged statistic recounted driver-side from first principles at
+  * sf0.001 (screens and HITS from the raw tables; kappa/McNemar cell
+  * algebra from the judged detectors' own frames, whose derivations
+  * the oracle gate already grades).
+  */
+class Surface26Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def toks(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  private def docs(): Array[(Long, String, String, String)] =
+    graft.queries.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+
+  test("e140: kappa matches a driver-side confusion recount") {
+    val row = SparkEntry.queries("e140_langid_kappa")(spark, dir).head()
+    val det = SparkEntry.queries("e4_langid")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = docs().map(d => (d._3, det(d._1)))
+    val n = pairs.length.toLong
+    val agree = pairs.count(p => p._1 == p._2).toLong
+    val rt = pairs.groupBy(_._1).view.mapValues(_.length.toLong)
+    val ct = pairs.groupBy(_._2).view.mapValues(_.length.toLong)
+    val peNum = rt.map { case (l, r) => r * ct.getOrElse(l, 0L) }.sum
+    assert(row.getAs[Long]("n_docs") == n)
+    assert(row.getAs[Long]("n_agree") == agree)
+    assert(row.getAs[Long]("pe_num") == peNum)
+    assert(math.abs(row.getAs[Double]("kappa") -
+      (n.toDouble * agree - peNum) / (n.toDouble * n - peNum)) < 1e-7)
+  }
+
+  test("e141: McNemar cells match a driver-side flag recount") {
+    val row = SparkEntry.queries("e141_mcnemar_dedup")(spark, dir).head()
+    def ids(q: String): Set[Long] =
+      SparkEntry.queries(q)(spark, dir).select("id_a", "id_b").collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val mh = ids("e1_minhash_pairs")
+    val sh = ids("e32_simhash_pairs")
+    val all = docs().map(_._1)
+    val both = all.count(d => mh(d) && sh(d)).toLong
+    val mhOnly = all.count(d => mh(d) && !sh(d)).toLong
+    val shOnly = all.count(d => !mh(d) && sh(d)).toLong
+    assert(row.getAs[Long]("n_docs") == all.length)
+    assert(row.getAs[Long]("n_both") == both)
+    assert(row.getAs[Long]("n_mh_only") == mhOnly)
+    assert(row.getAs[Long]("n_sh_only") == shOnly)
+    assert(row.getAs[Long]("n_neither") ==
+      all.length - both - mhOnly - shOnly)
+    val (b, c) = (mhOnly.toDouble, shOnly.toDouble)
+    if (mhOnly + shOnly > 0)
+      assert(math.abs(row.getAs[Double]("mcnemar_chi2") -
+        (b - c) * (b - c) / (b + c)) < 1e-7)
+  }
+
+  test("e142: Cochran Q matches a first-principles screen recount") {
+    val row = SparkEntry.queries("e142_cochran_q")(spark, dir).head()
+    val terms = Set("spark", "stream", "vector", "window")
+    val rows = docs().map { d =>
+      val tk = toks(d._2)
+      val s1 = if (tk.exists(terms)) 1L else 0L
+      val s2 = if (tk.distinct.length * 20L < tk.length * 11L) 1L else 0L
+      val s3 = if (tk.length < 40) 1L else 0L
+      (s1, s2, s3)
+    }
+    val (c1, c2, c3) =
+      (rows.map(_._1).sum, rows.map(_._2).sum, rows.map(_._3).sum)
+    val t = c1 + c2 + c3
+    val sr2 = rows.map(r => { val s = r._1 + r._2 + r._3; s * s }).sum
+    assert(row.getAs[Long]("c_blocklist") == c1)
+    assert(row.getAs[Long]("c_repetition") == c2)
+    assert(row.getAs[Long]("c_short") == c3)
+    assert(row.getAs[Long]("t_total") == t)
+    assert(row.getAs[Long]("sum_r2") == sr2)
+    val num = 3.0 * (c1.toDouble * c1 + c2.toDouble * c2 +
+      c3.toDouble * c3) - t.toDouble * t
+    val den = 3.0 * t - sr2.toDouble
+    // the screens differ at this fixture, so the test exercises a
+    // real statistic, not the degenerate all-equal case
+    assert(den != 0.0)
+    assert(math.abs(row.getAs[Double]("q_cochran") - 2.0 * num / den)
+      < 1e-7)
+  }
+
+  test("e143: gains table matches a driver-side rank-and-cut recount") {
+    val out = SparkEntry.queries("e143_dsir_gains")(spark, dir)
+      .collect().map(r => r.getAs[Long]("decile") -> r).toMap
+    val w = SparkEntry.queries("e125_dsir_weights")(spark, dir)
+      .select("doc_id", "w_num", "w_den").collect()
+      .map(r => (r.getLong(0), r.getLong(1).toDouble / r.getLong(2)))
+    val lang = docs().map(d => d._1 -> d._3).toMap
+    val ranked = w.sortBy { case (id, wd) => (-wd, id) }
+    val n = ranked.length.toLong
+    val enTot = ranked.count(r => lang(r._1) == "en").toLong
+    val byDec = ranked.zipWithIndex.groupBy {
+      case (_, i) => i.toLong * 10 / n
+    }
+    assert(out.keySet == byDec.keySet)
+    var cum = 0L
+    (0L to 9L).filter(byDec.contains).foreach { dec =>
+      val grp = byDec(dec)
+      val en = grp.count { case ((id, _), _) => lang(id) == "en" }.toLong
+      cum += en
+      val row = out(dec)
+      assert(row.getAs[Long]("n_docs") == grp.length, s"decile $dec")
+      assert(row.getAs[Long]("n_en") == en, s"decile $dec")
+      assert(row.getAs[Long]("cum_en") == cum, s"decile $dec")
+      assert(math.abs(row.getAs[Double]("capture") -
+        cum.toDouble / enTot) < 1e-7)
+      assert(math.abs(row.getAs[Double]("lift") -
+        en.toDouble * n / (grp.length.toDouble * enTot)) < 1e-7)
+      assert(math.abs(row.getAs[Double]("w_min") -
+        grp.map(_._1._2).min) < 1e-12)
+      assert(math.abs(row.getAs[Double]("w_max") -
+        grp.map(_._1._2).max) < 1e-12)
+    }
+    assert(cum == enTot) // the last decile captures everything
+  }
+
+  test("e144: mixture weights match a token recount and sum to ~1") {
+    val rows = SparkEntry.queries("e144_temperature_mix")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val cnt = docs().groupBy(_._4).view
+      .mapValues(_.map(d => toks(d._2).length.toLong).sum).toMap
+    val qs = cnt.view.mapValues(c =>
+      math.floor(math.sqrt(c.toDouble) * 1e6).toLong).toMap
+    val (tTok, tQs) = (cnt.values.sum, qs.values.sum)
+    assert(rows.keySet == cnt.keySet)
+    cnt.foreach { case (src, c) =>
+      val row = rows(src)
+      assert(row.getAs[Long]("n_tok") == c, src)
+      assert(row.getAs[Long]("qs") == qs(src), src)
+      assert(math.abs(row.getAs[Double]("w_prop") -
+        c.toDouble / tTok) < 1e-7, src)
+      assert(math.abs(row.getAs[Double]("w_temp") -
+        qs(src).toDouble / tQs) < 1e-7, src)
+      assert(math.abs(row.getAs[Double]("epochs") -
+        qs(src).toDouble * 100000.0 / (tQs.toDouble * c)) < 1e-6, src)
+    }
+    // α = 0.5 upweights the smallest source relative to proportional
+    val smallest = cnt.minBy(_._2)._1
+    assert(rows(smallest).getAs[Double]("w_temp") >
+      rows(smallest).getAs[Double]("w_prop"))
+    assert(math.abs(rows.values.map(_.getAs[Double]("w_temp")).sum - 1.0)
+      < 1e-6)
+  }
+
+  test("e145: HITS scores match a driver-side two-iteration recount") {
+    val out = SparkEntry.queries("e145_hits")(spark, dir).collect()
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val edges = graft.queries.Tables.events(spark, dir)
+      .where(col("event_type") === "click")
+      .select("user_id", "props").collect()
+      .flatMap { r =>
+        kRe.findFirstMatchIn(r.getString(1))
+          .map(m => (r.getLong(0), m.group(1).toLong))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val a1 = edges.groupBy(_._1._2).view
+      .mapValues(_.values.sum).toMap
+    val h1 = edges.groupBy(_._1._1).view.mapValues(
+      _.map { case ((_, i), w) => w * a1(i) }.sum).toMap
+    val a2 = edges.groupBy(_._1._2).view.mapValues(
+      _.map { case ((u, _), w) => w * h1(u) }.sum).toMap
+    val tA2 = a2.values.sum
+    val top = a2.toSeq.sortBy { case (i, a) => (-a, i) }.take(10)
+    assert(out.length == top.length)
+    out.zip(top).foreach { case (row, (item, a)) =>
+      assert(row.getAs[Long]("item") == item)
+      assert(row.getAs[Long]("a1") == a1(item))
+      assert(row.getAs[Long]("a2") == a)
+      assert(math.abs(row.getAs[Double]("auth_frac") -
+        a.toDouble / tA2) < 1e-7)
+    }
+  }
+}
