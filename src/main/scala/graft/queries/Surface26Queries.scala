@@ -1,9 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.operators.{Quantiles, Rank, TextAnalysis}
+import graft.streaming.StatefulOps
 
 /** Round-16 second wave — each entry sibling-checked against the
   * existing 339-query surface before being added:
@@ -50,6 +53,17 @@ import graft.operators.{Quantiles, Rank, TextAnalysis}
   *    quantized to fixed-point longs before the cross-source sum (the
   *    e109/e139 discipline), so the normalizing total is
   *    order-independent in any engine at any parallelism.
+  *  - `e146_rrf_fusion` — reciprocal-rank fusion of the exact and
+  *    LSH retrieval legs (Cormack et al. 2009): the standard
+  *    hybrid-search list merge, score = Σ 1/(60 + rank) over however
+  *    many lists rank the candidate. e83 grades retrieve-then-RERANK
+  *    (score recomputation); RRF is the calibration-free rank-only
+  *    fusion. Both inputs are the judged queries' own 10-row frames.
+  *  - `c42_stream_mix` — e144 through the REAL micro-batch engine
+  *    (judged on e144's batch oracle, the c41 twin discipline):
+  *    per-source token totals as monotone KeySum state on
+  *    transformWithState, final counter image collapsed by
+  *    max(total), then the SAME mixReport algebra.
   *  - `e145_hits` — HITS hubs-and-authorities (Kleinberg) over the
   *    bipartite user→item click graph (item = props.k): e71 ranks
   *    pages by PageRank on the dup graph; HITS is the query-dependent
@@ -76,6 +90,45 @@ object Surface26Queries {
 
   /** e144's fixed token budget (the knob a mixture run fixes first). */
   private val mixBudget = 100000L
+
+  /** The α=0.5 mixture report off a (source, n_tok) frame — shared by
+    * e144 (batch counts) and c42 (the streaming counter image), so the
+    * judged algebra exists once per engine. √c is quantized to
+    * fixed-point longs BEFORE the cross-source sum: the normalizer is
+    * exact integer addition, order-independent at any parallelism.
+    */
+  private def mixReport(counts: DataFrame): DataFrame = {
+    val c = counts
+      .withColumn("qs", floor(sqrt(d(col("n_tok"))) * lit(1e6)).cast("long"))
+      .localCheckpoint(true) // |sources| rows, read by total + report
+    val tot = broadcast(c.agg(sum(col("n_tok")).as("t_tok"),
+      sum(col("qs")).as("t_qs")))
+    c.crossJoin(tot)
+      .select(col("source"), col("n_tok"), col("qs"),
+        round(d(col("n_tok")) / col("t_tok"), 8).as("w_prop"),
+        round(d(col("qs")) / col("t_qs"), 8).as("w_temp"),
+        round(d(col("qs")) * mixBudget /
+          (d(col("t_qs")) * col("n_tok")), 8).as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** RRF's standard rank-smoothing constant (Cormack et al. 2009). */
+  private val rrfK = 60.0
+
+  /** 1-based rank of each row of a TINY ordered frame (top-k lists) by
+    * (score desc, vec_id asc), via a broadcast triangular count — never
+    * an unpartitioned window. The frame is eagerly materialized (it is
+    * ≤ k rows) so the triangle reads a scan, not the scoring lineage.
+    */
+  private def rankTiny(df: DataFrame, rname: String): DataFrame = {
+    val x = df.localCheckpoint(true)
+    x.as("a").join(broadcast(x.as("b")),
+        col("b.cosine") > col("a.cosine") ||
+          (col("b.cosine") === col("a.cosine") &&
+            col("b.vec_id") < col("a.vec_id")), "left")
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg((count(col("b.vec_id")) + 1L).as(rname))
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -209,23 +262,10 @@ object Surface26Queries {
     // Temperature mixing: ONE narrow corpus pass to per-source token
     // totals (a |sources|-row frame), √c quantized to micro-units so
     // the normalizing sum is exact integer addition.
-    "e144_temperature_mix" -> ((s, dir) => {
-      val c = t(s, dir, "documents")
+    "e144_temperature_mix" -> ((s, dir) =>
+      mixReport(t(s, dir, "documents")
         .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n"))
-        .groupBy("source").agg(sum(col("n")).as("n_tok"))
-        .withColumn("qs",
-          floor(sqrt(d(col("n_tok"))) * lit(1e6)).cast("long"))
-        .localCheckpoint(true) // |sources| rows, read by total + report
-      val tot = broadcast(c.agg(sum(col("n_tok")).as("t_tok"),
-        sum(col("qs")).as("t_qs")))
-      c.crossJoin(tot)
-        .select(col("source"), col("n_tok"), col("qs"),
-          round(d(col("n_tok")) / col("t_tok"), 8).as("w_prop"),
-          round(d(col("qs")) / col("t_qs"), 8).as("w_temp"),
-          round(d(col("qs")) * mixBudget /
-            (d(col("t_qs")) * col("n_tok")), 8).as("epochs"))
-        .orderBy(col("source"))
-    }),
+        .groupBy("source").agg(sum(col("n")).as("n_tok")))),
 
     // HITS, two exact iterations. The edge list (user, item, weight)
     // is the only corpus-sized frame; it is materialized once and
@@ -250,12 +290,86 @@ object Surface26Queries {
         .select(col("item"), col("a1"), col("a2"),
           round(d(col("a2")) / col("t_a2"), 8).as("auth_frac"))
         .orderBy(col("a2").desc, col("item")).limit(10)
+    }),
+
+    // Reciprocal-rank fusion (Cormack et al. 2009) of the two judged
+    // retrieval legs — exact brute-force cosine and the LSH-bucketed
+    // ANN — over the same query vector: the standard hybrid-search
+    // list merge (score = Σ 1/(60 + rank), absent list contributes 0).
+    // Both inputs are the judged queries' own 10-row frames; ranks via
+    // the broadcast triangle, fusion a full outer join of two ≤10-row
+    // frames. e83 grades retrieve-then-RERANK; this is the
+    // rank-only FUSION that needs no score calibration between legs.
+    "e146_rrf_fusion" -> ((s, dir) => {
+      val ex = rankTiny(SimilarityQueries.all("e2_topk")(s, dir), "r_exact")
+      val an = rankTiny(SimilarityQueries.all("e2_lsh_topk")(s, dir), "r_ann")
+      ex.join(an, Seq("vec_id"), "full_outer")
+        .select(col("vec_id"), col("r_exact"), col("r_ann"),
+          round(coalesce(lit(1.0) / (lit(rrfK) + col("r_exact")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("r_ann")), lit(0.0)), 8)
+            .as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("vec_id")).limit(10)
+    }),
+
+    // e144's temperature mix through the REAL micro-batch engine (the
+    // c41 twin discipline, judged on e144's batch oracle): per-source
+    // token totals as monotone KeySum state on transformWithState —
+    // one ValueState[Long] per source, running totals appended per
+    // batch and collapsed by max(total) for exactly-once counts — then
+    // the SAME mixReport algebra on the final counter image. The
+    // mixture monitor a live feed runs continuously.
+    "c42_stream_mix" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("source").as("key"),
+        TextAnalysis.tokenCount(col("text")).as("w"), col("doc_id"))
+      val feed = Stage.durableChunkFeed("feed-c42", dir)(Seq(
+        docs.where(col("doc_id") % 2 === 0).select("key", "w"),
+        docs.where(col("doc_id") % 2 =!= 0).select("key", "w")))
+      val tmp = Stage.tempDir("graft-c42-").toString
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val schema = StructType(Seq(StructField("key", StringType),
+        StructField("w", LongType)))
+      RuntimeQueries.withStatePartitions(s, 8) {
+        Surface22Queries.withRocksDb(s) {
+          StatefulOps.keySumStream(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+              .parquet(feed).as[StatefulOps.KeyWeight])
+            .writeStream
+            .foreachBatch {
+              (batch: Dataset[StatefulOps.KeySum], _: Long) =>
+                batch.write.mode("append").parquet(out); ()
+            }
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(Trigger.AvailableNow).start()
+            .awaitTermination()
+        }
+      }
+      mixReport(s.read.parquet(out)
+        .groupBy("key").agg(max(col("total")).as("n_tok"))
+        .select(col("key").as("source"), col("n_tok")))
     }))
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   private def castD(x: String) = s"CAST($x AS DOUBLE)"
+
+  /** Shared by e144 and its streaming twin c42 (same judged frame). */
+  private val temperatureMixSql =
+    s"""WITH c AS (SELECT source,
+         CAST(SUM(len($tokensSql)) AS BIGINT) AS n_tok
+         FROM documents GROUP BY 1),
+       q AS (SELECT source, n_tok,
+           CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS qs FROM c),
+       t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_tok,
+           CAST(SUM(qs) AS BIGINT) AS t_qs FROM q)
+       SELECT source, n_tok, qs,
+         round(CAST(n_tok AS DOUBLE) / t_tok, 8) AS w_prop,
+         round(CAST(qs AS DOUBLE) / t_qs, 8) AS w_temp,
+         round(CAST(qs AS DOUBLE) * $mixBudget /
+           (CAST(t_qs AS DOUBLE) * n_tok), 8) AS epochs
+       FROM q, t ORDER BY source"""
 
   val oracles: Map[String, String] = Map(
 
@@ -371,21 +485,33 @@ object Surface26Queries {
          ORDER BY decile"""
     },
 
-    "e144_temperature_mix" ->
-      s"""WITH c AS (SELECT source,
-           CAST(SUM(len($tokensSql)) AS BIGINT) AS n_tok
-           FROM documents GROUP BY 1),
-         q AS (SELECT source, n_tok,
-             CAST(floor(sqrt(${castD("n_tok")}) * 1000000.0) AS BIGINT)
-               AS qs FROM c),
-         t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_tok,
-             CAST(SUM(qs) AS BIGINT) AS t_qs FROM q)
-         SELECT source, n_tok, qs,
-           round(${castD("n_tok")} / t_tok, 8) AS w_prop,
-           round(${castD("qs")} / t_qs, 8) AS w_temp,
-           round(${castD("qs")} * $mixBudget /
-             (${castD("t_qs")} * n_tok), 8) AS epochs
-         FROM q, t ORDER BY source""",
+    "e144_temperature_mix" -> temperatureMixSql,
+
+    // the twin discipline: the streaming counter image must reproduce
+    // the batch mixture report exactly
+    "c42_stream_mix" -> temperatureMixSql,
+
+    "e146_rrf_fusion" -> {
+      val ex = SimilarityQueries.oracles("e2_topk")
+      val an = SimilarityQueries.lshSql
+      def rank(src: String, rname: String) =
+        s"""SELECT a.vec_id, 1 + count(b.vec_id) AS $rname
+           FROM $src a LEFT JOIN $src b
+             ON b.cosine > a.cosine
+               OR (b.cosine = a.cosine AND b.vec_id < a.vec_id)
+           GROUP BY 1"""
+      s"""WITH ex AS MATERIALIZED ($ex),
+         an AS MATERIALIZED ($an),
+         re AS (${rank("ex", "r_exact")}),
+         ra AS (${rank("an", "r_ann")})
+         SELECT vec_id,
+           CAST(r_exact AS BIGINT) AS r_exact,
+           CAST(r_ann AS BIGINT) AS r_ann,
+           round(COALESCE(1.0 / ($rrfK + r_exact), 0.0) +
+             COALESCE(1.0 / ($rrfK + r_ann), 0.0), 8) AS rrf_score
+         FROM re FULL JOIN ra USING (vec_id)
+         ORDER BY rrf_score DESC, vec_id LIMIT 10"""
+    },
 
     "e145_hits" ->
       """WITH e AS (SELECT user_id,

@@ -130,4 +130,44 @@ object StatefulOps {
       .transformWithState(new KeyCountProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  case class KeyWeight(key: String, w: Long)
+  case class KeySum(key: String, total: Long)
+
+  /** Monotone per-key WEIGHTED accumulator — [[KeyCountProcessor]]'s
+    * shape with the batch's weight sum added instead of its row count
+    * (per-source token totals, byte totals, spend counters). Same
+    * exactly-once discipline: totals only grow, each key-invocation
+    * emits the new running total once, and an append sink's final
+    * image is `max(total)` per key. Nonnegative weights are the
+    * caller's contract — a negative weight would break the
+    * monotonicity the max-collapse relies on.
+    */
+  class KeySumProcessor
+      extends StatefulProcessor[String, KeyWeight, KeySum] {
+    @transient private var s: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      s = getHandle.getValueState("s", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyWeight],
+                                 timerValues: TimerValues): Iterator[KeySum] = {
+      var add = 0L
+      while (rows.hasNext) add += rows.next().w
+      val cur = s.get() + add
+      s.update(cur)
+      Iterator.single(KeySum(key, cur))
+    }
+  }
+
+  /** Running per-key weight totals over a (key, weight) stream.
+    * Requires the RocksDB state store provider (same contract as
+    * [[deltaStream]]).
+    */
+  def keySumStream(ds: Dataset[KeyWeight]): Dataset[KeySum] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new KeySumProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -137,7 +137,13 @@ class PlanAuditSpec extends SparkSpec {
     "e144_temperature_mix" ->
       "crossJoin against the broadcast 1-row (t_tok, t_qs) totals",
     "e145_hits" ->
-      "crossJoin against the broadcast 1-row authority-total scalar"
+      "crossJoin against the broadcast 1-row authority-total scalar",
+    "e146_rrf_fusion" ->
+      ("non-equi rank triangles over the two eagerly-materialized " +
+        "10-row top-k lists (broadcast both sides)"),
+    "c42_stream_mix" ->
+      ("mixReport's crossJoin against the broadcast 1-row " +
+        "(t_tok, t_qs) totals, over the |sources|-row counter image")
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

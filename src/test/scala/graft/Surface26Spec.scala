@@ -152,6 +152,38 @@ class Surface26Spec extends SparkSpec {
       < 1e-6)
   }
 
+  test("e146: RRF matches a driver-side rank-and-fuse recount") {
+    val out = SparkEntry.queries("e146_rrf_fusion")(spark, dir).collect()
+    def ranks(q: String): Map[Long, Long] =
+      SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, cos) => (-cos, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val ex = ranks("e2_topk"); val an = ranks("e2_lsh_topk")
+    val fused = (ex.keySet ++ an.keySet).toSeq.map { id =>
+      val s = ex.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        an.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(out.length == fused.length)
+    out.zip(fused).foreach { case (row, (id, s)) =>
+      assert(row.getAs[Long]("vec_id") == id)
+      assert(math.abs(row.getAs[Double]("rrf_score") - s) < 1e-7)
+      assert(Option(row.getAs[Any]("r_exact")).map(_.asInstanceOf[Long])
+        == ex.get(id))
+      assert(Option(row.getAs[Any]("r_ann")).map(_.asInstanceOf[Long])
+        == an.get(id))
+    }
+  }
+
+  test("c42: streaming mix image equals the batch e144 frame") {
+    val batch = SparkEntry.queries("e144_temperature_mix")(spark, dir)
+      .collect().map(_.toSeq)
+    val stream = SparkEntry.queries("c42_stream_mix")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("e145: HITS scores match a driver-side two-iteration recount") {
     val out = SparkEntry.queries("e145_hits")(spark, dir).collect()
     val kRe = """"k"\s*:\s*(\d+)""".r
