@@ -64,6 +64,24 @@ import graft.streaming.StatefulOps
   *    per-source token totals as monotone KeySum state on
   *    transformWithState, final counter image collapsed by
   *    max(total), then the SAME mixReport algebra.
+  *  - `e147_poisson_bootstrap` — Poisson(1) bootstrap SE of the corpus
+  *    mean token count (Chamandy et al.'s at-scale bootstrap: per-
+  *    replicate multinomial resampling needs the full sample in one
+  *    place, Poisson weights are iid per (replicate, row) and stream):
+  *    B=32 replicates in ONE pass over a broadcast replicate spine,
+  *    weights by inverse CDF over seeded md5 uniforms (the e89
+  *    discipline), replicate means micro-quantized before the
+  *    cross-replicate variance so nothing is row-order-dependent.
+  *    e30/e45/q113 report point statistics; this is the UNCERTAINTY
+  *    attached to one.
+  *  - `e148_power_iteration` — top principal component by two exact
+  *    unrolled power-iteration steps on the centered embedding
+  *    column, with λ₁ and the explained-variance share against the
+  *    exact trace: the DIRECTIONAL companion of e139 (anisotropy says
+  *    the vectors share a direction; this names the direction and how
+  *    much variance it owns — the spectral-collapse audit). Per-dim
+  *    accumulators micro-quantized to longs (order-independent), the
+  *    64-cell iterates assembled in-plan, three linear corpus passes.
   *  - `e145_hits` — HITS hubs-and-authorities (Kleinberg) over the
   *    bipartite user→item click graph (item = props.k): e71 ranks
   *    pages by PageRank on the dup graph; HITS is the query-dependent
@@ -114,6 +132,20 @@ object Surface26Queries {
 
   /** RRF's standard rank-smoothing constant (Cormack et al. 2009). */
   private val rrfK = 60.0
+
+  /** e147: Poisson(1) bootstrap — replicate count and the inverse-CDF
+    * thresholds (cumulative e⁻¹/k! as exact double literals; the SAME
+    * text is interpolated into the oracle, so both engines draw
+    * identical weights from identical hashed uniforms).
+    */
+  private val bootB = 32
+  private val poissonCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712")
+
+  /** 2⁵² as a double literal: 13 md5 hex chars → uniform in [0, 1). */
+  private val hashDen = "4503599627370496.0"
 
   /** 1-based rank of each row of a TINY ordered frame (top-k lists) by
     * (score desc, vec_id asc), via a broadcast triangular count — never
@@ -347,6 +379,137 @@ object Surface26Queries {
       mixReport(s.read.parquet(out)
         .groupBy("key").agg(max(col("total")).as("n_tok"))
         .select(col("key").as("source"), col("n_tok")))
+    }),
+
+    // Poisson bootstrap (Chamandy et al., the at-scale bootstrap:
+    // per-replicate multinomial resampling is impossible in one pass,
+    // but Poisson(1) weights per (replicate, row) are iid and give the
+    // same SE estimate): B=32 replicates of the corpus mean token
+    // count, weights drawn by inverse-CDF over a SEEDED md5 uniform
+    // (both engines hash the same string, compare against the same
+    // literal thresholds — the e89 seeded-mechanism discipline).
+    // Replicate means are exact-integer ratios; the cross-replicate
+    // SE runs over micro-quantized means so no double sum is
+    // row-order-dependent. ONE tokenize pass × a broadcast 32-row
+    // replicate spine, map-side-combinable per-replicate sums.
+    "e147_poisson_bootstrap" -> ((s, dir) => {
+      val xs = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("x"))
+      // replicate 0 carries weight 1 everywhere = the full sample, so
+      // ONE tokenize pass serves the point estimate AND all B
+      // replicates (33 groups, map-side combined)
+      val spine = broadcast(s.range(0, bootB + 1).select(col("id").as("b")))
+      val u = conv(substring(md5(concat(col("b").cast("string"), lit("#"),
+        col("doc_id").cast("string")).cast("binary")), 1, 13), 16, 10)
+        .cast("long").cast("double") / expr(hashDen)
+      val w = when(col("b") === 0, lit(1L)).otherwise(
+        poissonCdf.zipWithIndex.foldRight(lit(7L): org.apache.spark.sql.Column) {
+          case ((c, k), rest) => when(u < expr(c), k.toLong).otherwise(rest)
+        })
+      val byRep = xs.crossJoin(spine)
+        .select(col("b"), w.as("w"), col("x"))
+        .groupBy("b").agg(sum(col("w")).as("n_b"),
+          sum(col("w") * col("x")).as("s_b"))
+        .localCheckpoint(true) // B+1 rows, read by full + reps
+      val full = broadcast(byRep.where(col("b") === 0)
+        .select(col("n_b").as("n_docs"), col("s_b").as("sum_x")))
+      val reps = byRep.where(col("b") > 0)
+        .select(floor(d(col("s_b")) / col("n_b") * lit(1e6))
+          .cast("long").as("mq"))
+      reps.agg(count(lit(1)).as("b_reps"), sum(col("mq")).as("sum_m"),
+          sum(col("mq") * col("mq")).as("sum_m2"),
+          min(col("mq")).as("mq_min"), max(col("mq")).as("mq_max"))
+        .crossJoin(full)
+        .select(col("n_docs"), col("b_reps"),
+          round(d(col("sum_x")) / col("n_docs"), 8).as("mean_full"),
+          round(d(col("mq_min")) / lit(1e6), 8).as("m_min"),
+          round(d(col("mq_max")) / lit(1e6), 8).as("m_max"),
+          round(sqrt((d(col("b_reps")) * col("sum_m2") -
+              d(col("sum_m")) * col("sum_m")) /
+              (d(col("b_reps")) * (d(col("b_reps")) - lit(1.0)))) /
+            lit(1e6), 8).as("se_boot"))
+    }),
+
+    // PCA power iteration — the DIRECTIONAL companion of e139's
+    // anisotropy screen (e139 says "vectors share a direction"; this
+    // names it): two exact unrolled iterations of v ← Σ(x−μ)((x−μ)·v)
+    // from v₀ = 1⃗, per-dim accumulators micro-quantized to longs so
+    // every cross-row sum is order-independent, the 64-cell vectors
+    // assembled IN-PLAN (sort_array'd collect_list — no driver
+    // collect), λ₁ from the last un-normalized image's norm and the
+    // explained-variance share against the exact-quantized trace.
+    // Three linear corpus passes (dim sums; two scoring passes), all
+    // map-side-combinable on 64 keys.
+    "e148_power_iteration" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val corpus = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+      val nF = broadcast(corpus.agg(count(lit(1)).as("n")))
+      val xD = (i: org.apache.spark.sql.Column) => i.cast("double")
+      val dimSums = corpus
+        .select(posexplode(col("embedding")).as(Seq("p0", "v")))
+        .select(col("p0"),
+          floor(xD(col("v")) * lit(1e7)).cast("long").as("q"),
+          floor(xD(col("v")) * xD(col("v")) * lit(1e7)).cast("long").as("q2"))
+        .groupBy("p0").agg(sum(col("q")).as("sq"), sum(col("q2")).as("sq2"))
+      def foldSum(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0.0), (a, x) => a + x)
+      // 1-row frame: μ (array), per-dim Σx² (array), n, cv1 = μ·1⃗
+      val muRow = dimSums
+        .agg(sort_array(collect_list(struct(col("p0"), col("sq"),
+          col("sq2")))).as("ps"))
+        .crossJoin(nF)
+        .select(
+          transform(col("ps"), p => p.getField("sq").cast("double")
+            / lit(1e7) / col("n").cast("double")).as("mu"),
+          transform(col("ps"), p => p.getField("sq2").cast("double")
+            / lit(1e7)).as("sx2"),
+          col("n"))
+        .withColumn("cv", foldSum(col("mu")))
+        .localCheckpoint(true)
+      // one scoring pass: s = x·v − μ·v per row, then per-dim
+      // quantized Σ(x_j − μ_j)·s. vExpr(prev) gives the direction the
+      // pass scores against (1⃗ for iteration 1, v₁ for iteration 2).
+      def qPass(prev: DataFrame, sExpr: org.apache.spark.sql.Column): DataFrame =
+        corpus.crossJoin(broadcast(prev))
+          .select(col("embedding"), col("mu"), sExpr.as("s"))
+          .select(posexplode(transform(col("embedding"), (x, i) =>
+            floor((xD(x) - element_at(col("mu"), i + 1)) * col("s") *
+              lit(1e6)).cast("long"))).as(Seq("p0", "t")))
+          .groupBy("p0").agg(sum(col("t")).as("q"))
+      def assemble(qs: DataFrame, prev: DataFrame): DataFrame =
+        qs.agg(sort_array(collect_list(struct(col("p0"), col("q"))))
+            .as("ps"))
+          .crossJoin(broadcast(prev.drop("cv")))
+          .select(col("mu"), col("sx2"), col("n"),
+            transform(col("ps"), p => p.getField("q").cast("double")
+              / lit(1e6)).as("vq"))
+          .withColumn("nrm", sqrt(foldSum(transform(col("vq"),
+            x => x * x))))
+          .withColumn("v", transform(col("vq"), x => x / col("nrm")))
+          .withColumn("cv", foldSum(zip_with(col("mu"), col("v"),
+            (a, b) => a * b)))
+          .localCheckpoint(true)
+      val s1 = foldSum(transform(col("embedding"), x => xD(x))) - col("cv")
+      val v1Row = assemble(qPass(muRow, s1), muRow)
+      val s2 = Similarity.dot(col("embedding"), col("v")) - col("cv")
+      val q2 = qPass(v1Row, s2).localCheckpoint(true) // 64 rows, read 2×
+      val fin = q2
+        .agg(sort_array(collect_list(struct(col("p0"), col("q")))).as("ps"))
+        .crossJoin(broadcast(v1Row.select("mu", "sx2", "n")))
+        .select(col("n"),
+          sqrt(foldSum(transform(col("ps"), p =>
+            (p.getField("q").cast("double") / lit(1e6)) *
+              (p.getField("q").cast("double") / lit(1e6))))).as("nrm2"),
+          (foldSum(col("sx2")) - col("n").cast("double") *
+            foldSum(zip_with(col("mu"), col("mu"), (a, b) => a * b)))
+            .as("tr_num"))
+      q2.crossJoin(broadcast(fin))
+        .select((col("p0") + 1).cast("long").as("pos"),
+          col("q").as("loading_q"),
+          round((d(col("q")) / lit(1e6)) / col("nrm2"), 8).as("loading"),
+          round(col("nrm2") / (d(col("n")) - lit(1.0)), 8).as("lambda1"),
+          round(col("nrm2") / col("tr_num"), 8).as("explained_frac"))
+        .orderBy(col("pos"))
     }))
 
   private val tokensSql =
@@ -511,6 +674,97 @@ object Surface26Queries {
              COALESCE(1.0 / ($rrfK + r_ann), 0.0), 8) AS rrf_score
          FROM re FULL JOIN ra USING (vec_id)
          ORDER BY rrf_score DESC, vec_id LIMIT 10"""
+    },
+
+    "e147_poisson_bootstrap" -> {
+      val u = "CAST('0x' || substr(md5(CAST(b AS VARCHAR) || '#' || " +
+        "CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) / " + hashDen
+      val w = "CASE " + poissonCdf.zipWithIndex.map { case (c, k) =>
+        s"WHEN u < $c THEN $k" }.mkString(" ") + " ELSE 7 END"
+      s"""WITH xs AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS x
+           FROM documents),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(x) AS BIGINT) AS sum_x FROM xs),
+         rw AS (SELECT b, x, $w AS w
+           FROM (SELECT x, b, $u AS u
+                 FROM xs, generate_series(1, $bootB) AS g(b))),
+         reps AS (SELECT b, CAST(floor(CAST(SUM(w * x) AS DOUBLE) /
+             SUM(w) * 1000000.0) AS BIGINT) AS mq
+           FROM rw GROUP BY 1),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS b_reps,
+             CAST(SUM(mq) AS BIGINT) AS sum_m,
+             CAST(SUM(mq * mq) AS BIGINT) AS sum_m2,
+             CAST(min(mq) AS BIGINT) AS mq_min,
+             CAST(max(mq) AS BIGINT) AS mq_max
+           FROM reps)
+         SELECT n_docs, b_reps,
+           round(CAST(sum_x AS DOUBLE) / n_docs, 8) AS mean_full,
+           round(CAST(mq_min AS DOUBLE) / 1000000.0, 8) AS m_min,
+           round(CAST(mq_max AS DOUBLE) / 1000000.0, 8) AS m_max,
+           round(sqrt((CAST(b_reps AS DOUBLE) * sum_m2 -
+               CAST(sum_m AS DOUBLE) * sum_m) /
+               (CAST(b_reps AS DOUBLE) * (CAST(b_reps AS DOUBLE) - 1.0))) /
+             1000000.0, 8) AS se_boot
+         FROM ag, f"""
+    },
+
+    "e148_power_iteration" -> {
+      def foldD(body: String) =
+        s"""list_reduce(list_transform(generate_series(1, 64),
+            fi -> $body), (acc, x) -> acc + x)"""
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings
+           WHERE vec_id <> 0),
+         ds AS (SELECT g.i AS pos,
+             SUM(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 10000000.0)
+               AS BIGINT)) AS sq,
+             SUM(CAST(floor(CAST(embedding[g.i] AS DOUBLE) *
+               CAST(embedding[g.i] AS DOUBLE) * 10000000.0)
+               AS BIGINT)) AS sq2
+           FROM embeddings, generate_series(1, 64) AS g(i)
+           WHERE vec_id <> 0 GROUP BY 1),
+         mu AS (SELECT n,
+             list(CAST(sq AS DOUBLE) / 10000000.0 / CAST(n AS DOUBLE)
+               ORDER BY pos) AS mu,
+             list(CAST(sq2 AS DOUBLE) / 10000000.0 ORDER BY pos) AS sx2
+           FROM ds, nn GROUP BY n),
+         c1 AS (SELECT n, mu, sx2, ${foldD("m.mu[fi]")} AS cv
+           FROM mu m),
+         q1 AS (SELECT g.i AS pos,
+             SUM(CAST(floor((CAST(e.embedding[g.i] AS DOUBLE) -
+               m.mu[g.i]) *
+               (${foldD("CAST(e.embedding[fi] AS DOUBLE)")} - m.cv) *
+               1000000.0) AS BIGINT)) AS q
+           FROM embeddings e, c1 m, generate_series(1, 64) AS g(i)
+           WHERE e.vec_id <> 0 GROUP BY 1),
+         v1 AS (SELECT list(CAST(q AS DOUBLE) / 1000000.0 ORDER BY pos)
+             AS vq FROM q1),
+         vn AS (SELECT vq, sqrt(${foldD("v.vq[fi] * v.vq[fi]")}) AS nrm
+           FROM v1 v),
+         vv AS (SELECT list_transform(vq, x -> x / nrm) AS v FROM vn),
+         c2 AS (SELECT m.n, m.mu, m.sx2, v.v,
+             ${foldD("m.mu[fi] * v.v[fi]")} AS cv
+           FROM mu m, vv v),
+         q2 AS (SELECT g.i AS pos,
+             SUM(CAST(floor((CAST(e.embedding[g.i] AS DOUBLE) -
+               m.mu[g.i]) *
+               (${foldD("CAST(e.embedding[fi] AS DOUBLE) * m.v[fi]")} -
+                 m.cv) * 1000000.0) AS BIGINT)) AS q
+           FROM embeddings e, c2 m, generate_series(1, 64) AS g(i)
+           WHERE e.vec_id <> 0 GROUP BY 1),
+         v2 AS (SELECT list(CAST(q AS DOUBLE) / 1000000.0 ORDER BY pos)
+             AS vq2 FROM q2),
+         fin AS (SELECT m.n,
+             sqrt(${foldD("w.vq2[fi] * w.vq2[fi]")}) AS nrm2,
+             (${foldD("m.sx2[fi]")} - CAST(m.n AS DOUBLE) *
+               ${foldD("m.mu[fi] * m.mu[fi]")}) AS tr_num
+           FROM mu m, v2 w)
+         SELECT CAST(q2.pos AS BIGINT) AS pos,
+           CAST(q2.q AS BIGINT) AS loading_q,
+           round((CAST(q2.q AS DOUBLE) / 1000000.0) / f.nrm2, 8)
+             AS loading,
+           round(f.nrm2 / (CAST(f.n AS DOUBLE) - 1.0), 8) AS lambda1,
+           round(f.nrm2 / f.tr_num, 8) AS explained_frac
+         FROM q2, fin f ORDER BY pos"""
     },
 
     "e145_hits" ->

@@ -143,7 +143,13 @@ class PlanAuditSpec extends SparkSpec {
         "10-row top-k lists (broadcast both sides)"),
     "c42_stream_mix" ->
       ("mixReport's crossJoin against the broadcast 1-row " +
-        "(t_tok, t_qs) totals, over the |sources|-row counter image")
+        "(t_tok, t_qs) totals, over the |sources|-row counter image"),
+    "e147_poisson_bootstrap" ->
+      ("corpus x broadcast FIXED 32-row replicate spine (the e57 " +
+        "spine shape) plus the broadcast 1-row full-sample totals"),
+    "e148_power_iteration" ->
+      ("crossJoins against the broadcast 1-row (mu, n) / v-iterate " +
+        "frames and the 1-row lambda/trace summary")
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

@@ -184,6 +184,91 @@ class Surface26Spec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("e147: bootstrap SE matches a driver-side Poisson recount") {
+    val row = SparkEntry.queries("e147_poisson_bootstrap")(spark, dir)
+      .head()
+    val cdf = Array(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(b: Long, id: Long): Long = {
+      val hex = md.digest(s"$b#$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+      val k = cdf.indexWhere(u < _)
+      if (k < 0) 7L else k.toLong
+    }
+    val xs = docs().map(d => (d._1, toks(d._2).length.toLong))
+    val mqs = (1L to 32L).map { b =>
+      val (sw, swx) = xs.foldLeft((0L, 0L)) { case ((a, c), (id, x)) =>
+        val w = weight(b, id); (a + w, c + w * x)
+      }
+      math.floor(swx.toDouble / sw * 1e6).toLong
+    }
+    val bd = 32.0
+    val se = math.sqrt((bd * mqs.map(m => m * m).sum -
+      mqs.sum.toDouble * mqs.sum) / (bd * (bd - 1.0))) / 1e6
+    assert(row.getAs[Long]("n_docs") == xs.length)
+    assert(row.getAs[Long]("b_reps") == 32L)
+    assert(math.abs(row.getAs[Double]("mean_full") -
+      xs.map(_._2).sum.toDouble / xs.length) < 1e-7)
+    assert(math.abs(row.getAs[Double]("m_min") - mqs.min / 1e6) < 1e-7)
+    assert(math.abs(row.getAs[Double]("m_max") - mqs.max / 1e6) < 1e-7)
+    assert(math.abs(row.getAs[Double]("se_boot") - se) < 1e-7)
+    // a degenerate draw (all weights equal) would make SE exactly 0
+    assert(row.getAs[Double]("se_boot") > 0.0)
+  }
+
+  test("e148: PC1 matches a driver-side power-iteration recount") {
+    val out = SparkEntry.queries("e148_power_iteration")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("pos"))
+    val emb = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("vec_id") =!= 0).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = emb.length
+    val dim = 64
+    val sq = Array.tabulate(dim)(j =>
+      emb.map(x => math.floor(x(j).toDouble * 1e7).toLong).sum)
+    val sq2 = Array.tabulate(dim)(j => emb.map(x =>
+      math.floor(x(j).toDouble * x(j).toDouble * 1e7).toLong).sum)
+    val mu = sq.map(_.toDouble / 1e7 / n)
+    def pass(v: Array[Double], cv: Double): Array[Long] = {
+      val q = new Array[Long](dim)
+      emb.foreach { x =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += x(j).toDouble * v(j); j += 1 }
+        s -= cv
+        j = 0
+        while (j < dim) {
+          q(j) += math.floor((x(j).toDouble - mu(j)) * s * 1e6).toLong
+          j += 1
+        }
+      }
+      q
+    }
+    val q1 = pass(Array.fill(dim)(1.0), mu.sum)
+    val n1 = math.sqrt(q1.map(q => (q / 1e6) * (q / 1e6)).sum)
+    val v1 = q1.map(q => q / 1e6 / n1)
+    val q2 = pass(v1, mu.zip(v1).map(p => p._1 * p._2).sum)
+    val nrm2 = math.sqrt(q2.map(q => (q / 1e6) * (q / 1e6)).sum)
+    val trNum = sq2.map(_.toDouble / 1e7).sum -
+      n.toDouble * mu.map(m => m * m).sum
+    out.zipWithIndex.foreach { case (row, j) =>
+      assert(row.getAs[Long]("pos") == j + 1)
+      assert(row.getAs[Long]("loading_q") == q2(j), s"pos ${j + 1}")
+      assert(math.abs(row.getAs[Double]("loading") -
+        q2(j) / 1e6 / nrm2) < 1e-6, s"pos ${j + 1}")
+    }
+    assert(math.abs(out.head.getAs[Double]("lambda1") -
+      nrm2 / (n - 1.0)) < 1e-6)
+    assert(math.abs(out.head.getAs[Double]("explained_frac") -
+      nrm2 / trNum) < 1e-6)
+    // PC1 must explain a nontrivial, strictly partial share
+    val ex = out.head.getAs[Double]("explained_frac")
+    assert(ex > 0.0 && ex < 1.0)
+  }
+
   test("e145: HITS scores match a driver-side two-iteration recount") {
     val out = SparkEntry.queries("e145_hits")(spark, dir).collect()
     val kRe = """"k"\s*:\s*(\d+)""".r
