@@ -64,6 +64,15 @@ import graft.streaming.StatefulOps
   *    per-source token totals as monotone KeySum state on
   *    transformWithState, final counter image collapsed by
   *    max(total), then the SAME mixReport algebra.
+  *  - `e149_modularity` — Newman modularity of the near-dup graph
+  *    under the SOURCE partition (within-source vs cross-source
+  *    duplication concentration; e29 reports per-source RATES, this
+  *    is the graph-level grade). Exact integer Σ(4·m·m_c − D_c²) over
+  *    one division by 4m²; zero corpus passes off the staged pairs.
+  *  - `e150_assortativity` — Newman degree assortativity of the same
+  *    graph (Pearson of endpoint degrees over the 2m orientation
+  *    list): hubs-duplicate-hubs vs template-plus-copies shape, next
+  *    to e47's triangle census. Three exact integer moments.
   *  - `e147_poisson_bootstrap` — Poisson(1) bootstrap SE of the corpus
   *    mean token count (Chamandy et al.'s at-scale bootstrap: per-
   *    replicate multinomial resampling needs the full sample in one
@@ -381,6 +390,72 @@ object Surface26Queries {
         .select(col("key").as("source"), col("n_tok")))
     }),
 
+    // Newman modularity of the near-dup graph under the SOURCE
+    // partition: are duplicate edges concentrated within sources
+    // (mirror/boilerplate duplication) or spread across them
+    // (syndication)? Q = Σ_c (m_c/m − (D_c/2m)²), held as the exact
+    // integer Σ_c (4·m·m_c − D_c²) over one final division by 4m².
+    // Zero corpus passes: the edge list is the judged detector's own
+    // staged frame; degrees and within-counts are pair-frame re-aggs.
+    // e29 reports per-source dup RATES; this is the graph-level
+    // within-vs-across concentration grade.
+    "e149_modularity" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val lab = DedupQueries.all("e1_minhash_pairs")(s, dir)
+        .select("id_a", "id_b")
+        .join(src.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(src.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("sa.source").as("src_a"), col("sb.source").as("src_b"))
+        .localCheckpoint(true) // pair-frame sized; read by 3 re-aggs
+      val m = broadcast(lab.agg(count(lit(1)).as("n_edges")))
+      val dsum = lab
+        .select(explode(array(col("src_a"), col("src_b"))).as("src"))
+        .groupBy("src").agg(count(lit(1)).as("dc"))
+      val within = lab.where(col("src_a") === col("src_b"))
+        .groupBy(col("src_a").as("src")).agg(count(lit(1)).as("mc"))
+      dsum.join(within, Seq("src"), "left")
+        .select(col("dc"), coalesce(col("mc"), lit(0L)).as("mc"))
+        .crossJoin(m)
+        .agg(max(col("n_edges")).as("n_edges"),
+          sum(col("mc")).as("n_within"),
+          sum(lit(4L) * col("n_edges") * col("mc") -
+            col("dc") * col("dc")).as("q_num"))
+        .select(col("n_edges"), col("n_within"), col("q_num"),
+          round(d(col("q_num")) /
+            (lit(4.0) * d(col("n_edges")) * col("n_edges")), 8)
+            .as("modularity"))
+    }),
+
+    // Degree assortativity of the near-dup graph (Newman's r: the
+    // Pearson correlation of endpoint degrees over edge orientations):
+    // positive r = hub docs duplicate each other (a boilerplate core),
+    // negative = hubs attach to leaves (template + one-off copies) —
+    // the graph-shape diagnostic next to e47's triangle census. Exact
+    // integer moments over the 2m orientation list; by symmetry
+    // Σx = Σy and Σx² = Σy², so three sums suffice.
+    "e150_assortativity" -> ((s, dir) => {
+      val pairs = DedupQueries.all("e1_minhash_pairs")(s, dir)
+        .select("id_a", "id_b").localCheckpoint(true) // staged-frame read
+      val deg = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val o = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val xy = o
+        .join(deg.select(col("id").as("u"), col("deg").as("dx")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dy")), "v")
+        .agg(count(lit(1)).as("n_orientations"),
+          sum(col("dx")).as("sx"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dx") * col("dy")).as("sxy"))
+      val den = d(col("n_orientations")) * col("sxx") -
+        d(col("sx")) * col("sx")
+      xy.select(col("n_orientations"), col("sx"), col("sxx"), col("sxy"),
+        round(when(den =!= 0.0,
+          (d(col("n_orientations")) * col("sxy") -
+            d(col("sx")) * col("sx")) / den), 8).as("assortativity"))
+    }),
+
     // Poisson bootstrap (Chamandy et al., the at-scale bootstrap:
     // per-replicate multinomial resampling is impossible in one pass,
     // but Poisson(1) weights per (replicate, row) are iid and give the
@@ -674,6 +749,55 @@ object Surface26Queries {
              COALESCE(1.0 / ($rrfK + r_ann), 0.0), 8) AS rrf_score
          FROM re FULL JOIN ra USING (vec_id)
          ORDER BY rrf_score DESC, vec_id LIMIT 10"""
+    },
+
+    "e149_modularity" -> {
+      val mh = DedupQueries.oracles("e1_minhash_pairs")
+      s"""WITH mh AS MATERIALIZED ($mh),
+         lab AS (SELECT sa.source AS src_a, sb.source AS src_b
+           FROM mh JOIN documents sa ON sa.doc_id = mh.id_a
+           JOIN documents sb ON sb.doc_id = mh.id_b),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM lab),
+         dsum AS (SELECT src, count(*) AS dc FROM (
+             SELECT src_a AS src FROM lab
+             UNION ALL SELECT src_b FROM lab) GROUP BY 1),
+         w AS (SELECT src_a AS src, count(*) AS mc FROM lab
+           WHERE src_a = src_b GROUP BY 1),
+         c AS (SELECT CAST(max(n_edges) AS BIGINT) AS n_edges,
+             CAST(SUM(COALESCE(mc, 0)) AS BIGINT) AS n_within,
+             CAST(SUM(4 * n_edges * COALESCE(mc, 0) - dc * dc)
+               AS BIGINT) AS q_num
+           FROM dsum LEFT JOIN w USING (src), m)
+         SELECT n_edges, n_within, q_num,
+           round(CAST(q_num AS DOUBLE) /
+             (4.0 * CAST(n_edges AS DOUBLE) * n_edges), 8) AS modularity
+         FROM c"""
+    },
+
+    "e150_assortativity" -> {
+      val mh = DedupQueries.oracles("e1_minhash_pairs")
+      val den = "CAST(n_orientations AS DOUBLE) * sxx - " +
+        "CAST(sx AS DOUBLE) * sx"
+      s"""WITH mh AS MATERIALIZED ($mh),
+         deg AS (SELECT id, count(*) AS deg FROM (
+             SELECT id_a AS id FROM mh
+             UNION ALL SELECT id_b FROM mh) GROUP BY 1),
+         o AS (SELECT id_a AS u, id_b AS v FROM mh
+           UNION ALL SELECT id_b, id_a FROM mh),
+         xy AS (SELECT du.deg AS dx, dv.deg AS dy
+           FROM o JOIN deg du ON du.id = o.u
+           JOIN deg dv ON dv.id = o.v),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_orientations,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+           FROM xy)
+         SELECT n_orientations, sx, sxx, sxy,
+           round(CASE WHEN ($den) <> 0.0 THEN
+             (CAST(n_orientations AS DOUBLE) * sxy -
+               CAST(sx AS DOUBLE) * sx) / ($den) END, 8)
+             AS assortativity
+         FROM ag"""
     },
 
     "e147_poisson_bootstrap" -> {

@@ -149,7 +149,9 @@ class PlanAuditSpec extends SparkSpec {
         "spine shape) plus the broadcast 1-row full-sample totals"),
     "e148_power_iteration" ->
       ("crossJoins against the broadcast 1-row (mu, n) / v-iterate " +
-        "frames and the 1-row lambda/trace summary")
+        "frames and the 1-row lambda/trace summary"),
+    "e149_modularity" ->
+      "crossJoin against the broadcast 1-row edge-count scalar"
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

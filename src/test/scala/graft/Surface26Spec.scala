@@ -184,6 +184,46 @@ class Surface26Spec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("e149/e150: graph statistics match driver-side edge recounts") {
+    val pairs = SparkEntry.queries("e1_minhash_pairs")(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = docs().map(d => d._1 -> d._4).toMap
+    val m = pairs.length.toLong
+    // modularity under the source partition
+    val ends = pairs.flatMap(p => Seq(src(p._1), src(p._2)))
+    val dc = ends.groupBy(identity).view.mapValues(_.length.toLong)
+    val mc = pairs.filter(p => src(p._1) == src(p._2))
+      .groupBy(p => src(p._1)).view.mapValues(_.length.toLong)
+    val qNum = dc.map { case (c, d0) =>
+      4L * m * mc.getOrElse(c, 0L) - d0 * d0 }.sum
+    val row = SparkEntry.queries("e149_modularity")(spark, dir).head()
+    assert(row.getAs[Long]("n_edges") == m)
+    assert(row.getAs[Long]("n_within") == mc.values.sum)
+    assert(row.getAs[Long]("q_num") == qNum)
+    assert(math.abs(row.getAs[Double]("modularity") -
+      qNum.toDouble / (4.0 * m * m)) < 1e-7)
+    // degree assortativity over orientations
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    val or2 = pairs.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+    val (sx, sxx, sxy) = or2.foldLeft((0L, 0L, 0L)) {
+      case ((a, b, c), (u, v)) =>
+        val (dx, dy) = (deg(u), deg(v))
+        (a + dx, b + dx * dx, c + dx * dy)
+    }
+    val n = or2.length.toLong
+    val row2 = SparkEntry.queries("e150_assortativity")(spark, dir).head()
+    assert(row2.getAs[Long]("n_orientations") == n)
+    assert(row2.getAs[Long]("sx") == sx)
+    assert(row2.getAs[Long]("sxx") == sxx)
+    assert(row2.getAs[Long]("sxy") == sxy)
+    val den = n.toDouble * sxx - sx.toDouble * sx
+    assert(den != 0.0) // the fixture graph is not degree-regular
+    assert(math.abs(row2.getAs[Double]("assortativity") -
+      (n.toDouble * sxy - sx.toDouble * sx) / den) < 1e-7)
+  }
+
   test("e147: bootstrap SE matches a driver-side Poisson recount") {
     val row = SparkEntry.queries("e147_poisson_bootstrap")(spark, dir)
       .head()
