@@ -64,6 +64,12 @@ import graft.streaming.StatefulOps
   *    per-source token totals as monotone KeySum state on
   *    transformWithState, final counter image collapsed by
   *    max(total), then the SAME mixReport algebra.
+  *  - `e151_binary_recall` — recall@10 of SIGN-binarized embeddings
+  *    ranked by Hamming distance against exact cosine: the
+  *    sign-quantization member of the compression-audit family
+  *    (e67/e69 PQ, e129 matryoshka, e18 scalar quantization) — the
+  *    "can I store 1 bit/dim" question answered with a measured
+  *    recall and the Hamming radius of the retrieved set.
   *  - `e149_modularity` — Newman modularity of the near-dup graph
   *    under the SOURCE partition (within-source vs cross-source
   *    duplication concentration; e29 reports per-source RATES, this
@@ -456,6 +462,34 @@ object Surface26Queries {
             d(col("sx")) * col("sx")) / den), 8).as("assortativity"))
     }),
 
+    // Binary-embedding recall audit: rank by Hamming distance over
+    // per-dim SIGN bits (the 32×-compression "binary embeddings"
+    // storage trick) and grade recall@10 against exact cosine — the
+    // sign-quantization member of the compression-audit family (e67/
+    // e69 grade product quantization, e129 matryoshka truncation, e18
+    // scalar quantization). One corpus pass for the Hamming ranking
+    // (TakeOrdered, no global sort), the exact side is the judged
+    // e2_topk frame, the verdict a 10×10 semi-join.
+    "e151_binary_recall" -> ((s, dir) => {
+      val ham = aggregate(zip_with(col("embedding"), col("qe"),
+        (a, b) => when((a >= 0) =!= (b >= 0), lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+      val approx = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+        .crossJoin(SimilarityQueries.queryVec(s, dir))
+        .select(col("vec_id"), ham.as("ham"))
+        .orderBy(col("ham").asc, col("vec_id")).limit(10)
+        .localCheckpoint(true) // 10 rows, read by the hit join + radius
+      val hits = SimilarityQueries.all("e2_topk")(s, dir)
+        .select("vec_id")
+        .join(approx, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      hits.crossJoin(broadcast(approx.agg(max(col("ham"))
+          .as("ham_radius"))))
+        .select(col("n_hit"),
+          (d(col("n_hit")) / lit(10.0)).as("recall"),
+          col("ham_radius"))
+    }),
+
     // Poisson bootstrap (Chamandy et al., the at-scale bootstrap:
     // per-replicate multinomial resampling is impossible in one pass,
     // but Poisson(1) weights per (replicate, row) are iid and give the
@@ -798,6 +832,24 @@ object Surface26Queries {
                CAST(sx AS DOUBLE) * sx) / ($den) END, 8)
              AS assortativity
          FROM ag"""
+    },
+
+    "e151_binary_recall" -> {
+      val ex = SimilarityQueries.oracles("e2_topk")
+      val ham = """list_reduce(list_transform(generate_series(1, 64),
+          fi -> CASE WHEN (e.embedding[fi] >= 0) <> (q.qe[fi] >= 0)
+            THEN 1 ELSE 0 END), (acc, x) -> acc + x)"""
+      s"""WITH ex AS MATERIALIZED ($ex),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ap AS (SELECT e.vec_id, CAST($ham AS BIGINT) AS ham
+           FROM embeddings e, q WHERE e.vec_id <> 0
+           ORDER BY ham, e.vec_id LIMIT 10),
+         h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+           FROM ex WHERE vec_id IN (SELECT vec_id FROM ap)),
+         r AS (SELECT CAST(max(ham) AS BIGINT) AS ham_radius FROM ap)
+         SELECT n_hit, CAST(n_hit AS DOUBLE) / 10.0 AS recall,
+           ham_radius
+         FROM h, r"""
     },
 
     "e147_poisson_bootstrap" -> {

@@ -151,7 +151,10 @@ class PlanAuditSpec extends SparkSpec {
       ("crossJoins against the broadcast 1-row (mu, n) / v-iterate " +
         "frames and the 1-row lambda/trace summary"),
     "e149_modularity" ->
-      "crossJoin against the broadcast 1-row edge-count scalar"
+      "crossJoin against the broadcast 1-row edge-count scalar",
+    "e151_binary_recall" ->
+      ("crossJoins against the broadcast 1-row query vector and the " +
+        "1-row Hamming-radius scalar")
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

@@ -184,6 +184,27 @@ class Surface26Spec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("e151: binary recall matches a driver-side Hamming recount") {
+    val row = SparkEntry.queries("e151_binary_recall")(spark, dir).head()
+    val emb = graft.queries.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = emb.find(_._1 == 0L).get._2
+    val corpus = emb.filter(_._1 != 0L)
+    val approx = corpus.map { case (id, x) =>
+      id -> x.zip(q).count { case (a, b) => (a >= 0) != (b >= 0) }.toLong
+    }.sortBy { case (id, h) => (h, id) }.take(10)
+    val exact = SparkEntry.queries("e2_topk")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val hits = approx.count(p => exact(p._1)).toLong
+    assert(row.getAs[Long]("n_hit") == hits)
+    assert(math.abs(row.getAs[Double]("recall") - hits / 10.0) < 1e-9)
+    assert(row.getAs[Long]("ham_radius") == approx.map(_._2).max)
+    // sign quantization must lose SOME neighbors here but not all —
+    // a 0 or 10 recall would mean the audit is degenerate
+    assert(hits > 0 && hits < 10)
+  }
+
   test("e149/e150: graph statistics match driver-side edge recounts") {
     val pairs = SparkEntry.queries("e1_minhash_pairs")(spark, dir)
       .select("id_a", "id_b").collect()
