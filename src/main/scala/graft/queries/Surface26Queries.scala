@@ -64,6 +64,17 @@ import graft.streaming.StatefulOps
   *    per-source token totals as monotone KeySum state on
   *    transformWithState, final counter image collapsed by
   *    max(total), then the SAME mixReport algebra.
+  *  - `e152_rbo` — rank-biased overlap (Webber et al. 2010) between
+  *    the exact and sign-binarized top-10 rankings: the top-weighted
+  *    list-agreement measure. e151 grades the binary leg by SET
+  *    recall; RBO adds position sensitivity; e136/e146 grade/fuse
+  *    other legs. Geometric prefix weights ride both plans as
+  *    identical double literals (never engine-local pow()).
+  *  - `e153_neyman_alloc` — Neyman optimal allocation of a fixed
+  *    sample budget across language strata (n_h ∝ N_h·S_h, the
+  *    variance-minimizing survey design): the principled upgrade of
+  *    e53's proportional stratified sample. Exact integer moments per
+  *    stratum, fixed-point normalizer, integer floor allocation.
   *  - `e151_binary_recall` — recall@10 of SIGN-binarized embeddings
   *    ranked by Hamming distance against exact cosine: the
   *    sign-quantization member of the compression-audit family
@@ -161,6 +172,31 @@ object Surface26Queries {
 
   /** 2⁵² as a double literal: 13 md5 hex chars → uniform in [0, 1). */
   private val hashDen = "4503599627370496.0"
+
+  /** e152: RBO geometric prefix weights (1−p)·p^(d−1) at p = 0.9,
+    * materialized as doubles ONCE here and interpolated into the
+    * oracle via [[java.lang.Double.toString]] round-trip literals —
+    * never recomputed with pow(), whose libm may differ per engine.
+    */
+  private val rboWeights: IndexedSeq[Double] =
+    (0 until 10).map(k => 0.1 * math.pow(0.9, k))
+
+  /** e153: the fixed sample budget Neyman allocation distributes. */
+  private val allocBudget = 100L
+
+  /** The sign-binarized Hamming top-10 — e151's ranking leg, shared
+    * with e152's position-sensitive agreement audit: one corpus pass,
+    * 64-term integer fold per row, TakeOrdered (no global sort).
+    */
+  private def binaryTop10(s: SparkSession, dir: String): DataFrame = {
+    val ham = aggregate(zip_with(col("embedding"), col("qe"),
+      (a, b) => when((a >= 0) =!= (b >= 0), lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+      .crossJoin(SimilarityQueries.queryVec(s, dir))
+      .select(col("vec_id"), ham.as("ham"))
+      .orderBy(col("ham").asc, col("vec_id")).limit(10)
+  }
 
   /** 1-based rank of each row of a TINY ordered frame (top-k lists) by
     * (score desc, vec_id asc), via a broadcast triangular count — never
@@ -462,6 +498,70 @@ object Surface26Queries {
             d(col("sx")) * col("sx")) / den), 8).as("assortativity"))
     }),
 
+    // Rank-biased overlap (Webber et al. 2010) between the exact and
+    // sign-binarized top-10 rankings: the TOP-WEIGHTED list-agreement
+    // measure (Kendall/Spearman weight all positions equally;
+    // retrieval cares about the head). Truncated prefix form:
+    // RBO@10 = (1−p)·Σ_d p^(d−1)·|top_d ∩ top_d|/d with p = 0.9 — the
+    // geometric weights ride both plans as the SAME double literals,
+    // and each prefix overlap is a conditional count over the ≤10-row
+    // joined rank frame. e151 grades the binary leg by set recall;
+    // this adds POSITION sensitivity (a list with the right members
+    // in the wrong order scores lower). The LSH leg is not used here:
+    // at the judged scales its bucket misses the exact head entirely
+    // (e24's finding), which would make the statistic degenerate.
+    "e152_rbo" -> ((s, dir) => {
+      val ex = rankTiny(SimilarityQueries.all("e2_topk")(s, dir), "rx")
+      val ap = binaryTop10(s, dir).localCheckpoint(true)
+      val an = ap.as("a").join(broadcast(ap.as("b")),
+          col("b.ham") < col("a.ham") ||
+            (col("b.ham") === col("a.ham") &&
+              col("b.vec_id") < col("a.vec_id")), "left")
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg((count(col("b.vec_id")) + 1L).as("ra"))
+      val j = ex.join(an, Seq("vec_id"))
+      val xs = (1 to 10).map(dd => coalesce(sum(when(col("rx") <= dd &&
+        col("ra") <= dd, 1L).otherwise(0L)), lit(0L)).as(s"x_$dd"))
+      val agg = j.agg(count(lit(1)).as("n_common"), xs: _*)
+      val rbo = (1 to 10).map(dd =>
+          lit(rboWeights(dd - 1)) * d(col(s"x_$dd")) / lit(dd.toDouble))
+        .reduce(_ + _)
+      agg.select(col("n_common"),
+        round(d(col("x_10")) / lit(10.0), 8).as("a10"),
+        round(rbo, 8).as("rbo_trunc"))
+    }),
+
+    // Neyman optimal allocation of a fixed sample budget across the
+    // language strata (survey sampling: n_h ∝ N_h·S_h, minimizing the
+    // stratified-mean variance): the principled version of e53's
+    // proportional stratified sample — strata with more internal
+    // variance get more budget. Per-stratum S_h from exact integer
+    // moments; N_h·S_h quantized to micro-units before the
+    // cross-stratum normalizer (the e144 discipline); integer floor
+    // allocation so the judged counts are exact.
+    "e153_neyman_alloc" -> ((s, dir) => {
+      import Quantiles.ldiv
+      val st = t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("x"))
+        .groupBy("lang").agg(count(lit(1)).as("n_h"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+        .where(col("n_h") > 1)
+        .select(col("lang"), col("n_h"),
+          sqrt((d(col("n_h")) * col("sxx") - d(col("sx")) * col("sx")) /
+            (d(col("n_h")) * (d(col("n_h")) - lit(1.0)))).as("s_h"))
+        .select(col("lang"), col("n_h"), col("s_h"),
+          floor(d(col("n_h")) * col("s_h") * lit(1e6)).cast("long")
+            .as("qw"))
+        .localCheckpoint(true) // |langs| rows, read by total + report
+      val tot = broadcast(st.agg(sum(col("qw")).as("t_qw")))
+      st.crossJoin(tot)
+        .select(col("lang"), col("n_h"), round(col("s_h"), 8).as("s_h"),
+          col("qw"),
+          round(d(col("qw")) / col("t_qw"), 8).as("share"),
+          ldiv(col("qw") * allocBudget, col("t_qw")).as("n_alloc"))
+        .orderBy(col("lang"))
+    }),
+
     // Binary-embedding recall audit: rank by Hamming distance over
     // per-dim SIGN bits (the 32×-compression "binary embeddings"
     // storage trick) and grade recall@10 against exact cosine — the
@@ -471,13 +571,7 @@ object Surface26Queries {
     // (TakeOrdered, no global sort), the exact side is the judged
     // e2_topk frame, the verdict a 10×10 semi-join.
     "e151_binary_recall" -> ((s, dir) => {
-      val ham = aggregate(zip_with(col("embedding"), col("qe"),
-        (a, b) => when((a >= 0) =!= (b >= 0), lit(1L)).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc + x)
-      val approx = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
-        .crossJoin(SimilarityQueries.queryVec(s, dir))
-        .select(col("vec_id"), ham.as("ham"))
-        .orderBy(col("ham").asc, col("vec_id")).limit(10)
+      val approx = binaryTop10(s, dir)
         .localCheckpoint(true) // 10 rows, read by the hit join + radius
       val hits = SimilarityQueries.all("e2_topk")(s, dir)
         .select("vec_id")
@@ -626,6 +720,24 @@ object Surface26Queries {
 
   private def castD(x: String) = s"CAST($x AS DOUBLE)"
 
+  /** The sign-bit Hamming fold — [[binaryTop10]]'s oracle twin,
+    * shared by e151 and e152 (expects `e`/`q` relation aliases).
+    */
+  private val binHamSql =
+    """list_reduce(list_transform(generate_series(1, 64),
+        fi -> CASE WHEN (e.embedding[fi] >= 0) <> (q.qe[fi] >= 0)
+          THEN 1 ELSE 0 END), (acc, x) -> acc + x)"""
+
+  /** Rank over a tiny top-k CTE by (cosine desc, vec_id) — the oracle
+    * twin of [[rankTiny]], shared by e146 and e152.
+    */
+  private def rankSql(src: String, rname: String) =
+    s"""SELECT a.vec_id, 1 + count(b.vec_id) AS $rname
+       FROM $src a LEFT JOIN $src b
+         ON b.cosine > a.cosine
+           OR (b.cosine = a.cosine AND b.vec_id < a.vec_id)
+       GROUP BY 1"""
+
   /** Shared by e144 and its streaming twin c42 (same judged frame). */
   private val temperatureMixSql =
     s"""WITH c AS (SELECT source,
@@ -766,16 +878,10 @@ object Surface26Queries {
     "e146_rrf_fusion" -> {
       val ex = SimilarityQueries.oracles("e2_topk")
       val an = SimilarityQueries.lshSql
-      def rank(src: String, rname: String) =
-        s"""SELECT a.vec_id, 1 + count(b.vec_id) AS $rname
-           FROM $src a LEFT JOIN $src b
-             ON b.cosine > a.cosine
-               OR (b.cosine = a.cosine AND b.vec_id < a.vec_id)
-           GROUP BY 1"""
       s"""WITH ex AS MATERIALIZED ($ex),
          an AS MATERIALIZED ($an),
-         re AS (${rank("ex", "r_exact")}),
-         ra AS (${rank("an", "r_ann")})
+         re AS (${rankSql("ex", "r_exact")}),
+         ra AS (${rankSql("an", "r_ann")})
          SELECT vec_id,
            CAST(r_exact AS BIGINT) AS r_exact,
            CAST(r_ann AS BIGINT) AS r_ann,
@@ -834,14 +940,59 @@ object Surface26Queries {
          FROM ag"""
     },
 
-    "e151_binary_recall" -> {
+    "e152_rbo" -> {
       val ex = SimilarityQueries.oracles("e2_topk")
-      val ham = """list_reduce(list_transform(generate_series(1, 64),
-          fi -> CASE WHEN (e.embedding[fi] >= 0) <> (q.qe[fi] >= 0)
-            THEN 1 ELSE 0 END), (acc, x) -> acc + x)"""
+      val cells = (1 to 10).map(dd =>
+        s"CAST(COALESCE(SUM(CASE WHEN rx <= $dd AND ra <= $dd " +
+          s"THEN 1 ELSE 0 END), 0) AS BIGINT) AS x_$dd").mkString(", ")
+      val terms = (1 to 10).map(dd =>
+        s"${java.lang.Double.toString(rboWeights(dd - 1))} * " +
+          s"CAST(x_$dd AS DOUBLE) / $dd.0").mkString(" + ")
       s"""WITH ex AS MATERIALIZED ($ex),
          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         ap AS (SELECT e.vec_id, CAST($ham AS BIGINT) AS ham
+         ap AS MATERIALIZED (SELECT e.vec_id, CAST($binHamSql AS BIGINT)
+             AS ham
+           FROM embeddings e, q WHERE e.vec_id <> 0
+           ORDER BY ham, e.vec_id LIMIT 10),
+         re AS (${rankSql("ex", "rx")}),
+         ra AS (SELECT a.vec_id, 1 + count(b.vec_id) AS ra
+           FROM ap a LEFT JOIN ap b
+             ON b.ham < a.ham
+               OR (b.ham = a.ham AND b.vec_id < a.vec_id)
+           GROUP BY 1),
+         j AS (SELECT re.vec_id, rx, ra FROM re JOIN ra USING (vec_id)),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_common, $cells
+           FROM j)
+         SELECT n_common,
+           round(CAST(x_10 AS DOUBLE) / 10.0, 8) AS a10,
+           round($terms, 8) AS rbo_trunc
+         FROM ag"""
+    },
+
+    "e153_neyman_alloc" ->
+      s"""WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+           CAST(SUM(len($tokensSql)) AS BIGINT) AS sx,
+           CAST(SUM(CAST(len($tokensSql) AS BIGINT) * len($tokensSql))
+             AS BIGINT) AS sxx
+           FROM documents GROUP BY 1 HAVING count(*) > 1),
+         q AS (SELECT lang, n_h,
+             sqrt((CAST(n_h AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+               (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0)))
+               AS s_h FROM st),
+         w AS (SELECT lang, n_h, s_h,
+             CAST(floor(CAST(n_h AS DOUBLE) * s_h * 1000000.0) AS BIGINT)
+               AS qw FROM q),
+         t AS (SELECT CAST(SUM(qw) AS BIGINT) AS t_qw FROM w)
+         SELECT lang, n_h, round(s_h, 8) AS s_h, qw,
+           round(CAST(qw AS DOUBLE) / t_qw, 8) AS share,
+           CAST(qw * $allocBudget // t_qw AS BIGINT) AS n_alloc
+         FROM w, t ORDER BY lang""",
+
+    "e151_binary_recall" -> {
+      val ex = SimilarityQueries.oracles("e2_topk")
+      s"""WITH ex AS MATERIALIZED ($ex),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ap AS (SELECT e.vec_id, CAST($binHamSql AS BIGINT) AS ham
            FROM embeddings e, q WHERE e.vec_id <> 0
            ORDER BY ham, e.vec_id LIMIT 10),
          h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit

@@ -154,7 +154,12 @@ class PlanAuditSpec extends SparkSpec {
       "crossJoin against the broadcast 1-row edge-count scalar",
     "e151_binary_recall" ->
       ("crossJoins against the broadcast 1-row query vector and the " +
-        "1-row Hamming-radius scalar")
+        "1-row Hamming-radius scalar"),
+    "e152_rbo" ->
+      ("non-equi rank triangles over the two eagerly-materialized " +
+        "10-row top-k lists plus the broadcast 1-row query vector"),
+    "e153_neyman_alloc" ->
+      "crossJoin against the broadcast 1-row weight-total scalar"
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

@@ -184,6 +184,51 @@ class Surface26Spec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("e152/e153: RBO and Neyman allocation match driver recounts") {
+    // e152: recompute both rankings and the truncated RBO
+    val emb = graft.queries.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = emb.find(_._1 == 0L).get._2
+    val ex = SparkEntry.queries("e2_topk")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    val ap = emb.filter(_._1 != 0L).map { case (id, x) =>
+      id -> x.zip(q).count { case (a, b) => (a >= 0) != (b >= 0) }
+    }.sortBy { case (id, h) => (h, id) }.take(10).map(_._1)
+    val rx = ex.zipWithIndex.toMap
+    val ra = ap.zipWithIndex.toMap
+    val common = rx.keySet intersect ra.keySet
+    val rbo = (1 to 10).map { dd =>
+      val x = common.count(id => rx(id) < dd && ra(id) < dd)
+      0.1 * math.pow(0.9, dd - 1) * x / dd
+    }.sum
+    val row = SparkEntry.queries("e152_rbo")(spark, dir).head()
+    assert(row.getAs[Long]("n_common") == common.size)
+    assert(math.abs(row.getAs[Double]("rbo_trunc") - rbo) < 1e-7)
+    assert(common.nonEmpty) // degenerate-agreement guard
+    // e153: recompute the allocation from raw token counts
+    val byLang = docs().groupBy(_._3).view
+      .mapValues(_.map(d0 => toks(d0._2).length.toLong)).toMap
+      .filter(_._2.length > 1)
+    val qw = byLang.map { case (l, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val sh = math.sqrt((n.toDouble * sxx - sx.toDouble * sx) /
+        (n.toDouble * (n.toDouble - 1.0)))
+      l -> math.floor(n.toDouble * sh * 1e6).toLong
+    }
+    val tQw = qw.values.sum
+    val rows = SparkEntry.queries("e153_neyman_alloc")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(rows.keySet == qw.keySet)
+    qw.foreach { case (l, w) =>
+      assert(rows(l).getAs[Long]("qw") == w, l)
+      assert(rows(l).getAs[Long]("n_alloc") == w * 100 / tQw, l)
+    }
+    // floor allocation never exceeds the budget
+    assert(rows.values.map(_.getAs[Long]("n_alloc")).sum <= 100L)
+  }
+
   test("e151: binary recall matches a driver-side Hamming recount") {
     val row = SparkEntry.queries("e151_binary_recall")(spark, dir).head()
     val emb = graft.queries.Tables.t(spark, dir, "embeddings")
