@@ -64,6 +64,13 @@ import graft.streaming.StatefulOps
   *    per-source token totals as monotone KeySum state on
   *    transformWithState, final counter image collapsed by
   *    max(total), then the SAME mixReport algebra.
+  *  - `e154_mmr_diversify` — maximal marginal relevance (Carbonell &
+  *    Goldstein 1998): greedy diversified top-3 from the exact top-10
+  *    pool, each step argmax of λ·rel − (1−λ)·max-sim-to-selected —
+  *    the redundancy-avoiding re-selection a RAG stack runs on its
+  *    retrieval head (e83 RERANKS by a second score; MMR trades
+  *    relevance against diversity). Three unrolled steps over ≤10-row
+  *    frames, all tiny and constant at any corpus scale.
   *  - `e152_rbo` — rank-biased overlap (Webber et al. 2010) between
   *    the exact and sign-binarized top-10 rankings: the top-weighted
   *    list-agreement measure. e151 grades the binary leg by SET
@@ -531,6 +538,54 @@ object Surface26Queries {
         round(rbo, 8).as("rbo_trunc"))
     }),
 
+    // Maximal marginal relevance (Carbonell & Goldstein 1998): greedy
+    // diversified top-3 from the exact top-10 pool — each step picks
+    // argmax of λ·rel − (1−λ)·max sim-to-already-selected, the
+    // standard redundancy-avoiding re-selection every RAG/search
+    // stack runs on its head. Three unrolled steps over ≤10-row
+    // frames (pool relevance is the judged e2_topk leg; pairwise sims
+    // one 90-row triangle); selection ties break by vec_id via the
+    // e55 max_by total-order discipline.
+    "e154_mmr_diversify" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val lambdaW = lit(0.7); val divW = lit(0.3)
+      val pool = SimilarityQueries.all("e2_topk")(s, dir)
+        .join(t(s, dir, "embeddings"), "vec_id")
+        .select(col("vec_id"), col("cosine").as("rel"), col("embedding"))
+        .localCheckpoint(true) // 10 rows, read by sims + 3 steps
+      val sims = pool.as("a").join(broadcast(pool.as("b")),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("d"), col("b.vec_id").as("s"),
+          Similarity.cosine(col("a.embedding"), col("b.embedding"))
+            .as("sim"))
+        .localCheckpoint(true) // 90 rows, read by steps 2-3
+      def pick(cand: DataFrame, score: org.apache.spark.sql.Column,
+               step: Int): DataFrame =
+        cand.agg(max_by(struct(col("vec_id"), score.as("mmr")),
+            struct(score, lit(0L) - col("vec_id"))).as("w"))
+          .select(lit(step.toLong).as("step"), col("w.vec_id").as("vec_id"),
+            round(col("w.mmr"), 8).as("mmr_score"))
+          .localCheckpoint(true) // 1 row, read by later steps + union
+      val s1 = pick(pool, col("rel"), 1)
+      val c2 = pool.join(broadcast(s1.select(col("vec_id").as("sel1"))),
+          col("vec_id") =!= col("sel1"))
+        .join(sims, col("vec_id") === col("d") && col("s") === col("sel1"))
+      val s2 = pick(c2, lambdaW * col("rel") - divW * col("sim"), 2)
+      val c3 = pool
+        .join(broadcast(s1.select(col("vec_id").as("sel1"))),
+          col("vec_id") =!= col("sel1"))
+        .join(broadcast(s2.select(col("vec_id").as("sel2"))),
+          col("vec_id") =!= col("sel2"))
+        .join(sims.as("m1"),
+          col("vec_id") === col("m1.d") && col("m1.s") === col("sel1"))
+        .join(sims.as("m2"),
+          col("vec_id") === col("m2.d") && col("m2.s") === col("sel2"))
+        .select(col("vec_id"), col("rel"),
+          greatest(col("m1.sim"), col("m2.sim")).as("maxsim"))
+      val s3 = pick(c3, lambdaW * col("rel") - divW * col("maxsim"), 3)
+      s1.unionAll(s2).unionAll(s3).orderBy(col("step"))
+    }),
+
     // Neyman optimal allocation of a fixed sample budget across the
     // language strata (survey sampling: n_h ∝ N_h·S_h, minimizing the
     // stratified-mean variance): the principled version of e53's
@@ -967,6 +1022,45 @@ object Surface26Queries {
            round(CAST(x_10 AS DOUBLE) / 10.0, 8) AS a10,
            round($terms, 8) AS rbo_trunc
          FROM ag"""
+    },
+
+    "e154_mmr_diversify" -> {
+      import SimilarityQueries.foldDot
+      val ex = SimilarityQueries.oracles("e2_topk")
+      def cos(a: String, b: String) =
+        s"""${foldDot(s"$a.embedding", s"$b.embedding")} /
+           (sqrt(${foldDot(s"$a.embedding", s"$a.embedding")}) *
+            sqrt(${foldDot(s"$b.embedding", s"$b.embedding")}))"""
+      s"""WITH ex AS MATERIALIZED ($ex),
+         pool AS MATERIALIZED (SELECT ex.vec_id, ex.cosine AS rel,
+             e.embedding
+           FROM ex JOIN embeddings e USING (vec_id)),
+         sims AS MATERIALIZED (SELECT a.vec_id AS d, b.vec_id AS s,
+             ${cos("a", "b")} AS sim
+           FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         s1 AS (SELECT CAST(1 AS BIGINT) AS step, vec_id,
+             round(rel, 8) AS mmr_score
+           FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+         s2 AS (SELECT CAST(2 AS BIGINT) AS step, p.vec_id,
+             round(0.7 * p.rel - 0.3 * m.sim, 8) AS mmr_score
+           FROM pool p, s1
+           JOIN sims m ON TRUE
+           WHERE p.vec_id <> s1.vec_id
+             AND m.d = p.vec_id AND m.s = s1.vec_id
+           ORDER BY 0.7 * p.rel - 0.3 * m.sim DESC, p.vec_id LIMIT 1),
+         s3 AS (SELECT CAST(3 AS BIGINT) AS step, p.vec_id,
+             round(0.7 * p.rel - 0.3 * GREATEST(m1.sim, m2.sim), 8)
+               AS mmr_score
+           FROM pool p, s1, s2
+           JOIN sims m1 ON TRUE
+           JOIN sims m2 ON TRUE
+           WHERE p.vec_id <> s1.vec_id AND p.vec_id <> s2.vec_id
+             AND m1.d = p.vec_id AND m1.s = s1.vec_id
+             AND m2.d = p.vec_id AND m2.s = s2.vec_id
+           ORDER BY 0.7 * p.rel - 0.3 * GREATEST(m1.sim, m2.sim) DESC,
+             p.vec_id LIMIT 1)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         UNION ALL SELECT * FROM s3 ORDER BY step"""
     },
 
     "e153_neyman_alloc" ->

@@ -160,6 +160,11 @@ class PlanAuditSpec extends SparkSpec {
         "10-row top-k lists plus the broadcast 1-row query vector"),
     "e153_neyman_alloc" ->
       "crossJoin against the broadcast 1-row weight-total scalar"
+    // e154_mmr_diversify: every greedy step is a localCheckpointed
+    // 1-row frame, so its bounded shapes (the 10-row pairwise-sim
+    // triangle, exclusion joins vs 1-row selections) execute at
+    // construction and the returned plan is a union of materialized
+    // scans — outside this audit's plan, same as e129/e131.
   )
 
   /** Built once, shared by the nested-loop and window gates (plan

@@ -184,6 +184,47 @@ class Surface26Spec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("e154: MMR selection matches a driver-side greedy recount") {
+    val out = SparkEntry.queries("e154_mmr_diversify")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("step"))
+    val ex = SparkEntry.queries("e2_topk")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val emb = graft.queries.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d0 += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var selected = List.empty[Long]
+    val picks = (1 to 3).map { _ =>
+      val cand = ex.keys.filterNot(selected.contains).map { id =>
+        val div = selected.map(s => cos(emb(id), emb(s)))
+          .foldLeft(Double.NegativeInfinity)(math.max)
+        val score = if (selected.isEmpty) ex(id)
+          else 0.7 * ex(id) - 0.3 * div
+        (id, score)
+      }
+      val best = cand.minBy { case (id, s0) => (-s0, id) }
+      selected = selected :+ best._1
+      best
+    }
+    out.zip(picks).zipWithIndex.foreach { case ((row, (id, s0)), i) =>
+      assert(row.getAs[Long]("step") == i + 1)
+      assert(row.getAs[Long]("vec_id") == id, s"step ${i + 1}")
+      assert(math.abs(row.getAs[Double]("mmr_score") - s0) < 1e-7)
+    }
+    // diversification must have changed the order vs pure relevance
+    val byRel = ex.toSeq.sortBy { case (id, r) => (-r, id) }
+      .take(3).map(_._1)
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq != byRel)
+  }
+
   test("e152/e153: RBO and Neyman allocation match driver recounts") {
     // e152: recompute both rankings and the truncated RBO
     val emb = graft.queries.Tables.t(spark, dir, "embeddings")
