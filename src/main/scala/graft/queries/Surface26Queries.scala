@@ -11,6 +11,11 @@ import graft.streaming.StatefulOps
 /** Round-16 second wave — each entry sibling-checked against the
   * existing 339-query surface before being added:
   *
+  *  - `c42_stream_mix` — e144 through the REAL micro-batch engine
+  *    (judged on e144's batch oracle, the c41 twin discipline):
+  *    per-source token totals as monotone KeySum state on
+  *    transformWithState, final counter image collapsed by
+  *    max(total), then the SAME mixReport algebra.
   *  - `e140_langid_kappa` — Cohen's kappa of the judged e4_langid
   *    detector against the labeled lang column: the CHANCE-CORRECTED
   *    scalar grade of the router (e127 reports the full confusion
@@ -53,50 +58,21 @@ import graft.streaming.StatefulOps
   *    quantized to fixed-point longs before the cross-source sum (the
   *    e109/e139 discipline), so the normalizing total is
   *    order-independent in any engine at any parallelism.
+  *  - `e145_hits` — HITS hubs-and-authorities (Kleinberg) over the
+  *    bipartite user→item click graph (item = props.k): e71 ranks
+  *    pages by PageRank on the dup graph; HITS is the query-dependent
+  *    twin with two mutually-recursive scores — here two exact
+  *    unrolled iterations (h₀ = 1 ⇒ a₁ = in-weight ⇒ h₁ ⇒ a₂) with
+  *    integer sufficient statistics, normalized once at the end. Each
+  *    iteration is one equi-join + groupBy on the edge list (the
+  *    item-score side stays broadcast-small); at extreme scale the
+  *    integer scores widen to DECIMAL(38,0) without changing shape.
   *  - `e146_rrf_fusion` — reciprocal-rank fusion of the exact and
   *    LSH retrieval legs (Cormack et al. 2009): the standard
   *    hybrid-search list merge, score = Σ 1/(60 + rank) over however
   *    many lists rank the candidate. e83 grades retrieve-then-RERANK
   *    (score recomputation); RRF is the calibration-free rank-only
   *    fusion. Both inputs are the judged queries' own 10-row frames.
-  *  - `c42_stream_mix` — e144 through the REAL micro-batch engine
-  *    (judged on e144's batch oracle, the c41 twin discipline):
-  *    per-source token totals as monotone KeySum state on
-  *    transformWithState, final counter image collapsed by
-  *    max(total), then the SAME mixReport algebra.
-  *  - `e154_mmr_diversify` — maximal marginal relevance (Carbonell &
-  *    Goldstein 1998): greedy diversified top-3 from the exact top-10
-  *    pool, each step argmax of λ·rel − (1−λ)·max-sim-to-selected —
-  *    the redundancy-avoiding re-selection a RAG stack runs on its
-  *    retrieval head (e83 RERANKS by a second score; MMR trades
-  *    relevance against diversity). Three unrolled steps over ≤10-row
-  *    frames, all tiny and constant at any corpus scale.
-  *  - `e152_rbo` — rank-biased overlap (Webber et al. 2010) between
-  *    the exact and sign-binarized top-10 rankings: the top-weighted
-  *    list-agreement measure. e151 grades the binary leg by SET
-  *    recall; RBO adds position sensitivity; e136/e146 grade/fuse
-  *    other legs. Geometric prefix weights ride both plans as
-  *    identical double literals (never engine-local pow()).
-  *  - `e153_neyman_alloc` — Neyman optimal allocation of a fixed
-  *    sample budget across language strata (n_h ∝ N_h·S_h, the
-  *    variance-minimizing survey design): the principled upgrade of
-  *    e53's proportional stratified sample. Exact integer moments per
-  *    stratum, fixed-point normalizer, integer floor allocation.
-  *  - `e151_binary_recall` — recall@10 of SIGN-binarized embeddings
-  *    ranked by Hamming distance against exact cosine: the
-  *    sign-quantization member of the compression-audit family
-  *    (e67/e69 PQ, e129 matryoshka, e18 scalar quantization) — the
-  *    "can I store 1 bit/dim" question answered with a measured
-  *    recall and the Hamming radius of the retrieved set.
-  *  - `e149_modularity` — Newman modularity of the near-dup graph
-  *    under the SOURCE partition (within-source vs cross-source
-  *    duplication concentration; e29 reports per-source RATES, this
-  *    is the graph-level grade). Exact integer Σ(4·m·m_c − D_c²) over
-  *    one division by 4m²; zero corpus passes off the staged pairs.
-  *  - `e150_assortativity` — Newman degree assortativity of the same
-  *    graph (Pearson of endpoint degrees over the 2m orientation
-  *    list): hubs-duplicate-hubs vs template-plus-copies shape, next
-  *    to e47's triangle census. Three exact integer moments.
   *  - `e147_poisson_bootstrap` — Poisson(1) bootstrap SE of the corpus
   *    mean token count (Chamandy et al.'s at-scale bootstrap: per-
   *    replicate multinomial resampling needs the full sample in one
@@ -115,15 +91,39 @@ import graft.streaming.StatefulOps
   *    much variance it owns — the spectral-collapse audit). Per-dim
   *    accumulators micro-quantized to longs (order-independent), the
   *    64-cell iterates assembled in-plan, three linear corpus passes.
-  *  - `e145_hits` — HITS hubs-and-authorities (Kleinberg) over the
-  *    bipartite user→item click graph (item = props.k): e71 ranks
-  *    pages by PageRank on the dup graph; HITS is the query-dependent
-  *    twin with two mutually-recursive scores — here two exact
-  *    unrolled iterations (h₀ = 1 ⇒ a₁ = in-weight ⇒ h₁ ⇒ a₂) with
-  *    integer sufficient statistics, normalized once at the end. Each
-  *    iteration is one equi-join + groupBy on the edge list (the
-  *    item-score side stays broadcast-small); at extreme scale the
-  *    integer scores widen to DECIMAL(38,0) without changing shape.
+  *  - `e149_modularity` — Newman modularity of the near-dup graph
+  *    under the SOURCE partition (within-source vs cross-source
+  *    duplication concentration; e29 reports per-source RATES, this
+  *    is the graph-level grade). Exact integer Σ(4·m·m_c − D_c²) over
+  *    one division by 4m²; zero corpus passes off the staged pairs.
+  *  - `e150_assortativity` — Newman degree assortativity of the same
+  *    graph (Pearson of endpoint degrees over the 2m orientation
+  *    list): hubs-duplicate-hubs vs template-plus-copies shape, next
+  *    to e47's triangle census. Three exact integer moments.
+  *  - `e151_binary_recall` — recall@10 of SIGN-binarized embeddings
+  *    ranked by Hamming distance against exact cosine: the
+  *    sign-quantization member of the compression-audit family
+  *    (e67/e69 PQ, e129 matryoshka, e18 scalar quantization) — the
+  *    "can I store 1 bit/dim" question answered with a measured
+  *    recall and the Hamming radius of the retrieved set.
+  *  - `e152_rbo` — rank-biased overlap (Webber et al. 2010) between
+  *    the exact and sign-binarized top-10 rankings: the top-weighted
+  *    list-agreement measure. e151 grades the binary leg by SET
+  *    recall; RBO adds position sensitivity; e136/e146 grade/fuse
+  *    other legs. Geometric prefix weights ride both plans as
+  *    identical double literals (never engine-local pow()).
+  *  - `e153_neyman_alloc` — Neyman optimal allocation of a fixed
+  *    sample budget across language strata (n_h ∝ N_h·S_h, the
+  *    variance-minimizing survey design): the principled upgrade of
+  *    e53's proportional stratified sample. Exact integer moments per
+  *    stratum, fixed-point normalizer, integer floor allocation.
+  *  - `e154_mmr_diversify` — maximal marginal relevance (Carbonell &
+  *    Goldstein 1998): greedy diversified top-3 from the exact top-10
+  *    pool, each step argmax of λ·rel − (1−λ)·max-sim-to-selected —
+  *    the redundancy-avoiding re-selection a RAG stack runs on its
+  *    retrieval head (e83 RERANKS by a second score; MMR trades
+  *    relevance against diversity). Three unrolled steps over ≤10-row
+  *    frames, all tiny and constant at any corpus scale.
   */
 object Surface26Queries {
   import Tables._
