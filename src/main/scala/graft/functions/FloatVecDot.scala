@@ -103,11 +103,17 @@ object GraftFunctions {
         s"simhash_fold(hashes, bits): bits must be an int literal, got $other")
     })
 
+  private val vshInfo = new ExpressionInfo(
+    classOf[FloatVecSignHamming].getName, "vec_sign_ham")
+
   /** Post-hoc registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_dot"), info,
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_sign_ham"), vshInfo,
+      (exprs: Seq[Expression]) => FloatVecSignHamming(exprs.head, exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash_fold"), shInfo, simhashBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
@@ -124,6 +130,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sign_ham"),
+      new ExpressionInfo(classOf[FloatVecSignHamming].getName,
+        "vec_sign_ham"),
+      (exprs: Seq[Expression]) =>
+        FloatVecSignHamming(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("simhash_fold"),
       new ExpressionInfo(classOf[SimHashFold].getName, "simhash_fold"),

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.BinaryExpression
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: Hamming distance between the SIGN bits
+  * of two float-array columns (the number of dimensions whose signs
+  * disagree) — the scoring kernel of binary-embedding retrieval
+  * (e151/e152), where vectors are stored at 1 bit/dim and ranked by
+  * sign disagreement.
+  *
+  * Same (b)-tier extension rationale as [[FloatVecDot]]: the
+  * `aggregate(zip_with(...))` higher-order form allocates a zipped
+  * intermediate array per row and dispatches a lambda per element;
+  * this generated loop reads the unsafe array data directly and stays
+  * inside whole-stage codegen. The result is an exact integer count,
+  * so it is trivially bit-equal to the fold form (`(a >= 0) != (b >=
+  * 0)` per element, matching the oracle's CASE WHEN text).
+  *
+  * Registered as SQL function `vec_sign_ham` via [[GraftExtensions]]
+  * or post-hoc with [[GraftFunctions.register]].
+  */
+case class FloatVecSignHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_sign_ham requires two array<float> arguments, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_sign_ham"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      if ((x.getFloat(i) >= 0f) != (y.getFloat(i) >= 0f)) h += 1L
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $h = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (($a.getFloat($i) >= 0f) != ($b.getFloat($i) >= 0f)) $h++;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecSignHamming =
+    copy(left = newLeft, right = newRight)
+}

@@ -192,16 +192,19 @@ object Surface26Queries {
   private val allocBudget = 100L
 
   /** The sign-binarized Hamming top-10 — e151's ranking leg, shared
-    * with e152's position-sensitive agreement audit: one corpus pass,
-    * 64-term integer fold per row, TakeOrdered (no global sort).
+    * with e152's position-sensitive agreement audit: one corpus pass
+    * scored by the native `vec_sign_ham` codegen expression (exact
+    * integer count — bit-equal to the higher-order fold it replaced,
+    * without the per-row zipped-array allocation), TakeOrdered (no
+    * global sort).
     */
   private def binaryTop10(s: SparkSession, dir: String): DataFrame = {
-    val ham = aggregate(zip_with(col("embedding"), col("qe"),
-      (a, b) => when((a >= 0) =!= (b >= 0), lit(1L)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "embeddings").where(col("vec_id") =!= 0)
       .crossJoin(SimilarityQueries.queryVec(s, dir))
-      .select(col("vec_id"), ham.as("ham"))
+      .select(col("vec_id"),
+        call_function("vec_sign_ham", col("embedding"), col("qe"))
+          .as("ham"))
       .orderBy(col("ham").asc, col("vec_id")).limit(10)
   }
 

@@ -75,6 +75,31 @@ class OperatorsSpec extends SparkSpec {
     assert(viaSql === (1.0 + 4.0 + 9.0 + 16.0))
   }
 
+  test("native vec_sign_ham equals the sign-disagreement fold (E2)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = vecDf(
+      1L -> Seq(0.31f, -0.45f, 0.12f, 0.09f),
+      2L -> Seq(-0.11f, 0.41f, 0.33f, -0.27f),
+      3L -> Seq(0f, -0f, 1f, -1f)) // signed zeros: 0f >= 0 AND -0f >= 0
+    val pairs = df.crossJoin(df.select(col("embedding").as("e2")))
+    val both = pairs.select(
+      aggregate(zip_with(col("embedding"), col("e2"), (a, b) =>
+        when((a >= 0) =!= (b >= 0), lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x).as("fold"),
+      call_function("vec_sign_ham", col("embedding"), col("e2"))
+        .as("native"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (f, n) => assert(f === n) }
+    // known value: rows 1 (+,−,+,+) vs 2 (−,+,+,−) disagree on 3 signs
+    val d12 = df.where(col("vec_id") === 1L)
+      .crossJoin(df.where(col("vec_id") === 2L)
+        .select(col("embedding").as("e2")))
+      .select(call_function("vec_sign_ham", col("embedding"), col("e2")))
+      .as[Long].head()
+    assert(d12 === 3L)
+  }
+
   test("ivfTopK probes only the query's cell with exact cosine inside (E2)") {
     // two clear clusters around (1,0) and (0,1)
     val corpus = vecDf(
