@@ -424,7 +424,7 @@ object Surface24Queries {
     * of [[SimilarityQueries.doubleCosineSql]]'s 64-dim fold, same
     * left-to-right summation as `Similarity.cosine` over a slice.
     */
-  private def foldDotM(a: String, b: String, m: Int) =
+  private[queries] def foldDotM(a: String, b: String, m: Int) =
     s"""list_reduce(list_transform(generate_series(1, $m),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
         (acc, x) -> acc + x)"""

@@ -117,6 +117,18 @@ import graft.streaming.StatefulOps
   *    variance-minimizing survey design): the principled upgrade of
   *    e53's proportional stratified sample. Exact integer moments per
   *    stratum, fixed-point normalizer, integer floor allocation.
+  *  - `e155_kendall_w` — Kendall's coefficient of concordance
+  *    (tie-corrected) across the engine's THREE retrieval scorers
+  *    (exact cosine, sign-Hamming, 32-dim matryoshka prefix) over the
+  *    retrieval head: e114 correlates two rankings, W grades m at
+  *    once. Average ranks integral as s = 2r (the q127 discipline),
+  *    exact integer deviation/tie sums, one division.
+  *  - `e156_texttiling` — TextTiling-style WITHIN-document topic-shift
+  *    segmentation (Hearst 1997, exact-arithmetic form): adjacent
+  *    20-token blocks, boundary where distinct-token Jaccard < 0.1
+  *    held as an integer cross-product compare, cohesion as a pooled
+  *    ratio of sums. Fully narrow — blocks, overlaps, and the rollup
+  *    ride one projection; zero shuffles before the report.
   *  - `e154_mmr_diversify` — maximal marginal relevance (Carbonell &
   *    Goldstein 1998): greedy diversified top-3 from the exact top-10
   *    pool, each step argmax of λ·rel − (1−λ)·max-sim-to-selected —
@@ -587,6 +599,111 @@ object Surface26Queries {
           greatest(col("m1.sim"), col("m2.sim")).as("maxsim"))
       val s3 = pick(c3, lambdaW * col("rel") - divW * col("maxsim"), 3)
       s1.unionAll(s2).unionAll(s3).orderBy(col("step"))
+    }),
+
+    // TextTiling-style topic-shift segmentation (Hearst 1997,
+    // simplified to an exact-arithmetic form): per document, adjacent
+    // 20-token blocks compared by distinct-token Jaccard; a boundary
+    // fires where inter·10 < union (the 0.1 threshold held as an
+    // exact integer cross-product compare). The WITHIN-document
+    // structure operator the text family lacked (e14 chunks by size,
+    // e61/e66 find cross-doc repeats; this finds topic seams inside
+    // one doc). Fully narrow: blocks, pair overlaps, and the rollup
+    // all ride ONE projection over the tokens array — no explode, no
+    // shuffle until the final doc-keyed report. Cohesion is the
+    // pooled Σinter/Σunion (ratio of sums, not mean of ratios — exact
+    // integers, order-free).
+    "e156_texttiling" -> ((s, dir) => {
+      import Quantiles.ldiv
+      val W = 20
+      val blocks = transform(
+        sequence(lit(1L),
+          ldiv(size(col("tk")).cast("long") - 1L, lit(W.toLong)) + 1L),
+        i => array_distinct(slice(col("tk"),
+          ((i - 1L) * W + 1L).cast("int"), lit(W))))
+      // sequence(1, 0) DESCENDS in Spark, so a single-block doc must
+      // short-circuit to an empty pair list explicitly
+      val pairs = when(size(col("blocks")) > 1, transform(
+        sequence(lit(1), size(col("blocks")) - 1),
+        i => struct(
+          size(array_intersect(element_at(col("blocks"), i),
+            element_at(col("blocks"), i + 1))).cast("long").as("i"),
+          size(array_union(element_at(col("blocks"), i),
+            element_at(col("blocks"), i + 1))).cast("long").as("u"))))
+        .otherwise(array().cast("array<struct<i:bigint,u:bigint>>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("doc_id"), blocks.as("blocks"))
+        .select(col("doc_id"),
+          size(col("blocks")).cast("long").as("n_blocks"),
+          pairs.as("ps"))
+        .select(col("doc_id"), col("n_blocks"),
+          size(col("ps")).cast("long").as("n_pairs"),
+          aggregate(col("ps"), lit(0L), (a, p) => a + p.getField("i"))
+            .as("sum_inter"),
+          aggregate(col("ps"), lit(0L), (a, p) => a + p.getField("u"))
+            .as("sum_union"),
+          aggregate(col("ps"), lit(0L), (a, p) =>
+            a + when(p.getField("i") * 10L < p.getField("u"), 1L)
+              .otherwise(0L)).as("n_boundaries"))
+        .withColumn("pooled_jacc",
+          round(when(col("sum_union") > 0,
+            d(col("sum_inter")) / col("sum_union")), 8))
+    }),
+
+    // Kendall's W (coefficient of concordance, tie-corrected): do the
+    // engine's THREE retrieval scorers — exact cosine, sign-Hamming,
+    // and the 32-dim matryoshka prefix — agree on how to order the
+    // retrieval head? e114 correlates TWO rankings; W grades m
+    // rankers at once (W = 12S/(m²(n³−n) − mΣT)). Average ranks stay
+    // integral as s = 2r (the q127 discipline), so the deviation sum
+    // and tie terms are exact integers with ONE final division. All
+    // frames ≤ 10 rows after the pool join.
+    "e155_kendall_w" -> ((s, dir) => {
+      import graft.operators.Similarity
+      graft.functions.GraftFunctions.register(s)
+      val pool = SimilarityQueries.all("e2_topk")(s, dir)
+        .join(t(s, dir, "embeddings"), "vec_id")
+        .crossJoin(SimilarityQueries.queryVec(s, dir))
+        .select(col("vec_id"), col("cosine").as("rel"),
+          call_function("vec_sign_ham", col("embedding"), col("qe"))
+            .as("ham"),
+          Similarity.cosine(slice(col("embedding"), 1, 32),
+            slice(col("qe"), 1, 32)).as("cos32"))
+        .localCheckpoint(true) // 10 rows; read by 3 triangles + ties
+      // s = 2·(average rank) = 2·below + t + 1, t = tied incl. self
+      def srank(score: String, desc: Boolean): DataFrame = {
+        val better = if (desc) col(s"b.$score") > col(s"a.$score")
+          else col(s"b.$score") < col(s"a.$score")
+        pool.as("a").crossJoin(broadcast(pool.as("b")))
+          .groupBy(col("a.vec_id").as("vec_id"))
+          .agg((lit(2L) * sum(when(better, 1L).otherwise(0L)) +
+            sum(when(col(s"b.$score") === col(s"a.$score"), 1L)
+              .otherwise(0L)) + lit(1L)).as(s"s_$score"))
+      }
+      def tieTerm(score: String): DataFrame =
+        pool.groupBy(col(score)).agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+            lit(0L)).as(s"t_$score"))
+      val nF = broadcast(pool.agg(count(lit(1)).as("n")))
+      val dev = srank("rel", desc = true)
+        .join(srank("ham", desc = false), "vec_id")
+        .join(srank("cos32", desc = true), "vec_id")
+        .select((col("s_rel") + col("s_ham") + col("s_cos32")).as("sr"))
+        .crossJoin(nF)
+        .agg(sum((col("sr") - lit(3L) * (col("n") + 1L)) *
+          (col("sr") - lit(3L) * (col("n") + 1L))).as("sr_dev2"))
+      val ties = tieTerm("rel").crossJoin(broadcast(tieTerm("ham")))
+        .crossJoin(broadcast(tieTerm("cos32")))
+        .select((col("t_rel") + col("t_ham") + col("t_cos32"))
+          .as("tie_term"))
+      nF.crossJoin(broadcast(dev)).crossJoin(broadcast(ties))
+        .select(col("n").as("n_items"), lit(3L).as("m_rankers"),
+          col("sr_dev2"), col("tie_term"),
+          round(lit(3.0) * col("sr_dev2") /
+            (lit(9.0) * (d(col("n")) * col("n") * col("n") - col("n")) -
+              lit(3.0) * col("tie_term")), 8).as("w"))
     }),
 
     // Neyman optimal allocation of a fixed sample budget across the
@@ -1064,6 +1181,79 @@ object Surface26Queries {
              p.vec_id LIMIT 1)
          SELECT * FROM s1 UNION ALL SELECT * FROM s2
          UNION ALL SELECT * FROM s3 ORDER BY step"""
+    },
+
+    "e156_texttiling" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents
+           WHERE len($tokensSql) > 0),
+         bl AS (SELECT doc_id,
+             CAST((len(tk) - 1) // 20 + 1 AS BIGINT) AS n_blocks,
+             list_transform(generate_series(1,
+                 CAST((len(tk) - 1) // 20 + 1 AS BIGINT)),
+               i -> list_distinct(tk[(i - 1) * 20 + 1 : i * 20]))
+               AS blocks
+           FROM tk),
+         pr AS (SELECT doc_id, n_blocks,
+             list_transform(generate_series(1, n_blocks - 1),
+               i -> struct_pack(
+                 i := len(list_intersect(blocks[i], blocks[i + 1])),
+                 u := len(list_distinct(blocks[i] || blocks[i + 1]))))
+               AS ps
+           FROM bl),
+         pe AS (SELECT doc_id, unnest(ps) AS p FROM pr),
+         sums AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS np,
+             CAST(SUM(p.i) AS BIGINT) AS si,
+             CAST(SUM(p.u) AS BIGINT) AS su,
+             CAST(SUM(CASE WHEN p.i * 10 < p.u THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb
+           FROM pe GROUP BY 1)
+         SELECT pr.doc_id, n_blocks,
+           CAST(COALESCE(np, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(si, 0) AS BIGINT) AS sum_inter,
+           CAST(COALESCE(su, 0) AS BIGINT) AS sum_union,
+           CAST(COALESCE(nb, 0) AS BIGINT) AS n_boundaries,
+           round(CASE WHEN COALESCE(su, 0) > 0 THEN
+             CAST(si AS DOUBLE) / su END, 8) AS pooled_jacc
+         FROM pr LEFT JOIN sums USING (doc_id)""",
+
+    "e155_kendall_w" -> {
+      val ex = SimilarityQueries.oracles("e2_topk")
+      val cos32 =
+        s"""${Surface24Queries.foldDotM("e.embedding", "q.qe", 32)} /
+           (sqrt(${Surface24Queries.foldDotM("e.embedding", "e.embedding", 32)}) *
+            sqrt(${Surface24Queries.foldDotM("q.qe", "q.qe", 32)}))"""
+      def srank(score: String, op: String) =
+        s"""SELECT a.vec_id,
+           2 * SUM(CASE WHEN b.$score $op a.$score THEN 1 ELSE 0 END) +
+           SUM(CASE WHEN b.$score = a.$score THEN 1 ELSE 0 END) + 1
+             AS s_$score
+           FROM pool a, pool b GROUP BY 1"""
+      def tie(score: String) =
+        s"""SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT)
+             AS t_$score
+           FROM (SELECT count(*) AS t FROM pool GROUP BY $score)"""
+      s"""WITH ex AS MATERIALIZED ($ex),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         pool AS MATERIALIZED (SELECT ex.vec_id, ex.cosine AS rel,
+             CAST($binHamSql AS BIGINT) AS ham, $cos32 AS cos32
+           FROM ex JOIN embeddings e USING (vec_id), q),
+         r1 AS (${srank("rel", ">")}),
+         r2 AS (${srank("ham", "<")}),
+         r3 AS (${srank("cos32", ">")}),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pool),
+         dev AS (SELECT CAST(SUM(
+             (s_rel + s_ham + s_cos32 - 3 * (n + 1)) *
+             (s_rel + s_ham + s_cos32 - 3 * (n + 1))) AS BIGINT)
+               AS sr_dev2
+           FROM r1 JOIN r2 USING (vec_id) JOIN r3 USING (vec_id), nn),
+         t1 AS (${tie("rel")}), t2 AS (${tie("ham")}),
+         t3 AS (${tie("cos32")})
+         SELECT n AS n_items, CAST(3 AS BIGINT) AS m_rankers, sr_dev2,
+           CAST(t_rel + t_ham + t_cos32 AS BIGINT) AS tie_term,
+           round(3.0 * sr_dev2 /
+             (9.0 * (CAST(n AS DOUBLE) * n * n - n) -
+               3.0 * (t_rel + t_ham + t_cos32)), 8) AS w
+         FROM nn, dev, t1, t2, t3"""
     },
 
     "e153_neyman_alloc" ->

@@ -159,7 +159,10 @@ class PlanAuditSpec extends SparkSpec {
       ("non-equi rank triangles over the two eagerly-materialized " +
         "10-row top-k lists plus the broadcast 1-row query vector"),
     "e153_neyman_alloc" ->
-      "crossJoin against the broadcast 1-row weight-total scalar"
+      "crossJoin against the broadcast 1-row weight-total scalar",
+    "e155_kendall_w" ->
+      ("10x10 rank triangles over the eagerly-materialized pool plus " +
+        "crossJoins of broadcast 1-row scalars (n, deviation, ties)")
     // e154_mmr_diversify: every greedy step is a localCheckpointed
     // 1-row frame, so its bounded shapes (the 10-row pairwise-sim
     // triangle, exclusion joins vs 1-row selections) execute at

@@ -270,6 +270,79 @@ class Surface26Spec extends SparkSpec {
     assert(rows.values.map(_.getAs[Long]("n_alloc")).sum <= 100L)
   }
 
+  test("e155: Kendall W matches a driver-side three-ranker recount") {
+    val row = SparkEntry.queries("e155_kendall_w")(spark, dir).head()
+    val emb = graft.queries.Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = emb(0L)
+    def cosPrefix(x: Array[Float], m: Int): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) {
+        d0 += x(i).toDouble * q(i).toDouble
+        na += x(i).toDouble * x(i).toDouble
+        nb += q(i).toDouble * q(i).toDouble; i += 1
+      }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pool = SparkEntry.queries("e2_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .map { case (id, rel) =>
+        val x = emb(id)
+        val ham = x.zip(q).count { case (a, b) => (a >= 0) != (b >= 0) }
+        (id, rel, ham.toLong, cosPrefix(x, 32))
+      }
+    // s = 2*below + tied(incl self) + 1, per ranker, "better" first
+    def sranks[T](score: ((Long, Double, Long, Double)) => T,
+                  better: (T, T) => Boolean): Map[Long, Long] =
+      pool.map { p =>
+        val v = score(p)
+        p._1 -> (2L * pool.count(o => better(score(o), v)) +
+          pool.count(o => score(o) == v) + 1L)
+      }.toMap
+    val s1 = sranks(_._2, (a: Double, b: Double) => a > b)
+    val s2 = sranks(_._3, (a: Long, b: Long) => a < b)
+    val s3 = sranks(_._4, (a: Double, b: Double) => a > b)
+    val n = pool.length.toLong
+    val dev = pool.map { p =>
+      val sr = s1(p._1) + s2(p._1) + s3(p._1) - 3L * (n + 1L)
+      sr * sr
+    }.sum
+    def tie[T](score: ((Long, Double, Long, Double)) => T): Long =
+      pool.groupBy(score).values.map(_.length.toLong)
+        .map(t => t * t * t - t).sum
+    val tt = tie(_._2) + tie(_._3) + tie(_._4)
+    assert(row.getAs[Long]("n_items") == n)
+    assert(row.getAs[Long]("sr_dev2") == dev)
+    assert(row.getAs[Long]("tie_term") == tt)
+    val w = 3.0 * dev / (9.0 * (n.toDouble * n * n - n) - 3.0 * tt)
+    assert(math.abs(row.getAs[Double]("w") - w) < 1e-7)
+    assert(w > 0.0 && w < 1.0) // real partial agreement, not degenerate
+    assert(tt > 0L) // the integer Hamming ranker must produce ties
+  }
+
+  test("e156: segmentation matches a driver-side block recount") {
+    val rows = SparkEntry.queries("e156_texttiling")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    var boundaries = 0L
+    docs().filter(d => toks(d._2).nonEmpty).foreach { d0 =>
+      val tk = toks(d0._2)
+      val blocks = tk.grouped(20).map(_.distinct.toSet).toArray
+      val pairs = blocks.sliding(2).filter(_.length == 2).map { w =>
+        ((w(0) intersect w(1)).size.toLong, (w(0) union w(1)).size.toLong)
+      }.toArray
+      val row = rows(d0._1)
+      assert(row.getAs[Long]("n_blocks") == blocks.length, d0._1)
+      assert(row.getAs[Long]("n_pairs") == pairs.length, d0._1)
+      assert(row.getAs[Long]("sum_inter") == pairs.map(_._1).sum, d0._1)
+      assert(row.getAs[Long]("sum_union") == pairs.map(_._2).sum, d0._1)
+      val nb = pairs.count(p => p._1 * 10 < p._2).toLong
+      assert(row.getAs[Long]("n_boundaries") == nb, d0._1)
+      boundaries += nb
+    }
+    assert(boundaries > 0L) // the corpus has real topic seams
+  }
+
   test("e151: binary recall matches a driver-side Hamming recount") {
     val row = SparkEntry.queries("e151_binary_recall")(spark, dir).head()
     val emb = graft.queries.Tables.t(spark, dir, "embeddings")
