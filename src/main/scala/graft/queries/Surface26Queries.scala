@@ -601,6 +601,95 @@ object Surface26Queries {
       s1.unionAll(s2).unionAll(s3).orderBy(col("step"))
     }),
 
+    // Wilcoxon signed-rank test — the PAIRED two-sample member the
+    // nonparametric battery lacked (e104 Mann–Whitney assumes
+    // independent samples; q127 Friedman needs k blocked treatments;
+    // this pairs the two daily event series BY DAY and tests whether
+    // their per-day difference is centered at zero). Zero diffs drop
+    // (classical); |d| average ranks stay integral as s = 2r via the
+    // histogram triangle (the q126 calendar-bounded shape); W⁺, the
+    // null moments, and the tie correction are exact integers with
+    // one closed-form z.
+    "e157_wilcoxon" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def dailyOf(tpe: String, out: String) =
+        ev.where(col("event_type") === tpe)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as(out))
+      val paired = dailyOf("view", "x").join(dailyOf("click", "y"), "d")
+        .select((col("x") - col("y")).as("diff"))
+        .where(col("diff") =!= 0)
+        .select(abs(col("diff")).as("absd"),
+          when(col("diff") > 0, 1L).otherwise(0L).as("pos"))
+      val h = paired.groupBy("absd")
+        .agg(count(lit(1)).as("t"), sum(col("pos")).as("npos"))
+        .localCheckpoint(true) // |distinct diffs| rows, read by triangle
+      val ranked = h.as("a").join(broadcast(h.as("b")),
+          col("b.absd") < col("a.absd"), "left")
+        .groupBy(col("a.absd"), col("a.t"), col("a.npos"))
+        .agg(coalesce(sum(col("b.t")), lit(0L)).as("below"))
+        .select(col("t"), col("npos"),
+          (lit(2L) * col("below") + col("t") + 1L).as("s2r"))
+      val ag = ranked.agg(sum(col("t")).as("n_pairs"),
+        sum(col("npos") * col("s2r")).as("s2_wplus"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
+      val nD = d(col("n_pairs"))
+      val mu2 = nD * (nD + lit(1.0)) / lit(2.0)
+      val var2 = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) /
+        lit(6.0) - d(col("tie_term")) / lit(12.0)
+      ag.select(col("n_pairs"), col("s2_wplus"), col("tie_term"),
+        round(mu2, 8).as("mu2_null"),
+        round(var2, 8).as("var2_null"),
+        round(when(var2 > 0.0, (d(col("s2_wplus")) - mu2) / sqrt(var2)),
+          8).as("z"))
+    }),
+
+    // Per-class classifier report of the langid router — precision,
+    // recall, F1, and Matthews correlation per TRUE language, the
+    // standard multi-class evaluation page (e127 publishes the raw
+    // confusion MATRIX; e140 one chance-corrected scalar; this is the
+    // per-class operating report). All cells exact integers off the
+    // same single-pass detector derivation; F1 in the 2TP/(2TP+FP+FN)
+    // rational form; MCC's four marginal factors multiply as doubles
+    // in fixed order (N⁴ exceeds BIGINT at extreme scale).
+    "e158_classifier_report" -> ((s, dir) => {
+      val cm = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(TextQueries.all("e4_langid")(s, dir), "doc_id")
+        .groupBy("lang", "detected").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // ≤ |langs|² rows, read by 4 frames
+      val nF = broadcast(cm.agg(sum(col("n")).as("n_total")))
+      val rt = cm.groupBy("lang").agg(sum(col("n")).as("row_tot"))
+      val diag = cm.where(col("lang") === col("detected"))
+        .select(col("lang"), col("n").as("tp"))
+      val ct = cm.groupBy("detected").agg(sum(col("n")).as("col_tot"))
+      val cls = rt.join(broadcast(diag), Seq("lang"), "left")
+        .join(broadcast(ct), rt("lang") === ct("detected"), "left")
+        .crossJoin(nF)
+        .select(col("lang"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          (coalesce(col("col_tot"), lit(0L)) -
+            coalesce(col("tp"), lit(0L))).as("fp"),
+          (col("row_tot") - coalesce(col("tp"), lit(0L))).as("fn"),
+          (col("n_total") - col("row_tot") -
+            coalesce(col("col_tot"), lit(0L)) +
+            coalesce(col("tp"), lit(0L))).as("tn"))
+      val mccDen = sqrt(d(col("tp") + col("fp")) * (col("tp") + col("fn")) *
+        (col("tn") + col("fp")) * (col("tn") + col("fn")))
+      cls.select(col("lang"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(when(col("tp") + col("fp") > 0,
+            d(col("tp")) / (col("tp") + col("fp"))), 8).as("precision"),
+          round(when(col("tp") + col("fn") > 0,
+            d(col("tp")) / (col("tp") + col("fn"))), 8).as("recall"),
+          round(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            lit(2.0) * col("tp") /
+              (lit(2L) * col("tp") + col("fp") + col("fn"))), 8)
+            .as("f1"),
+          round(when(mccDen > 0.0,
+            (d(col("tp")) * col("tn") - d(col("fp")) * col("fn")) /
+              mccDen), 8).as("mcc"))
+        .orderBy(col("lang"))
+    }),
+
     // TextTiling-style topic-shift segmentation (Hearst 1997,
     // simplified to an exact-arithmetic form): per document, adjacent
     // 20-token blocks compared by distinct-token Jaccard; a boundary
@@ -1181,6 +1270,72 @@ object Surface26Queries {
              p.vec_id LIMIT 1)
          SELECT * FROM s1 UNION ALL SELECT * FROM s2
          UNION ALL SELECT * FROM s3 ORDER BY step"""
+    },
+
+    "e157_wilcoxon" -> {
+      val nD = "CAST(n_pairs AS DOUBLE)"
+      val mu2 = s"$nD * ($nD + 1.0) / 2.0"
+      val var2 = s"$nD * ($nD + 1.0) * (2.0 * $nD + 1.0) / 6.0 - " +
+        "CAST(tie_term AS DOUBLE) / 12.0"
+      s"""WITH dv AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         dc AS (SELECT CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (SELECT abs(x - y) AS absd,
+             CASE WHEN x - y > 0 THEN 1 ELSE 0 END AS pos
+           FROM dv JOIN dc USING (d) WHERE x <> y),
+         h AS (SELECT absd, count(*) AS t, SUM(pos) AS npos
+           FROM p GROUP BY 1),
+         r AS (SELECT a.t, a.npos,
+             2 * COALESCE(SUM(b.t), 0) + a.t + 1 AS s2r
+           FROM h a LEFT JOIN h b ON b.absd < a.absd
+           GROUP BY a.absd, a.t, a.npos),
+         ag AS (SELECT CAST(SUM(t) AS BIGINT) AS n_pairs,
+             CAST(SUM(npos * s2r) AS BIGINT) AS s2_wplus,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+           FROM r)
+         SELECT n_pairs, s2_wplus, tie_term,
+           round($mu2, 8) AS mu2_null,
+           round($var2, 8) AS var2_null,
+           round(CASE WHEN ($var2) > 0.0 THEN
+             (CAST(s2_wplus AS DOUBLE) - $mu2) / sqrt($var2) END, 8)
+             AS z
+         FROM ag"""
+    },
+
+    "e158_classifier_report" -> {
+      val det = TextQueries.oracles("e4_langid")
+      val mccDen = "sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * " +
+        "(tn + fp) * (tn + fn))"
+      s"""WITH det AS MATERIALIZED ($det),
+         cm AS (SELECT d.lang, det.detected, count(*) AS n
+           FROM documents d JOIN det USING (doc_id) GROUP BY 1, 2),
+         nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cm),
+         rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_tot
+           FROM cm GROUP BY 1),
+         dg AS (SELECT lang, CAST(n AS BIGINT) AS tp FROM cm
+           WHERE lang = detected),
+         ct AS (SELECT detected, CAST(SUM(n) AS BIGINT) AS col_tot
+           FROM cm GROUP BY 1),
+         cls AS (SELECT rt.lang,
+             COALESCE(tp, 0) AS tp,
+             COALESCE(col_tot, 0) - COALESCE(tp, 0) AS fp,
+             row_tot - COALESCE(tp, 0) AS fn,
+             n_total - row_tot - COALESCE(col_tot, 0) + COALESCE(tp, 0)
+               AS tn
+           FROM rt LEFT JOIN dg USING (lang)
+           LEFT JOIN ct ON ct.detected = rt.lang, nt)
+         SELECT lang, tp, fp, fn, tn,
+           round(CASE WHEN tp + fp > 0 THEN
+             CAST(tp AS DOUBLE) / (tp + fp) END, 8) AS precision,
+           round(CASE WHEN tp + fn > 0 THEN
+             CAST(tp AS DOUBLE) / (tp + fn) END, 8) AS recall,
+           round(CASE WHEN 2 * tp + fp + fn > 0 THEN
+             2.0 * tp / (2 * tp + fp + fn) END, 8) AS f1,
+           round(CASE WHEN ($mccDen) > 0.0 THEN
+             (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) /
+               ($mccDen) END, 8) AS mcc
+         FROM cls ORDER BY lang"""
     },
 
     "e156_texttiling" ->

@@ -162,7 +162,12 @@ class PlanAuditSpec extends SparkSpec {
       "crossJoin against the broadcast 1-row weight-total scalar",
     "e155_kendall_w" ->
       ("10x10 rank triangles over the eagerly-materialized pool plus " +
-        "crossJoins of broadcast 1-row scalars (n, deviation, ties)")
+        "crossJoins of broadcast 1-row scalars (n, deviation, ties)"),
+    "e157_wilcoxon" ->
+      ("|distinct diffs| histogram triangle over the calendar-bounded " +
+        "daily-pair frame (the q126 shape)"),
+    "e158_classifier_report" ->
+      "crossJoin against the broadcast 1-row confusion-total scalar"
     // e154_mmr_diversify: every greedy step is a localCheckpointed
     // 1-row frame, so its bounded shapes (the 10-row pairwise-sim
     // triangle, exclusion joins vs 1-row selections) execute at

@@ -343,6 +343,61 @@ class Surface26Spec extends SparkSpec {
     assert(boundaries > 0L) // the corpus has real topic seams
   }
 
+  test("e157: signed-rank statistic matches a driver-side recount") {
+    val row = SparkEntry.queries("e157_wilcoxon")(spark, dir).head()
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.to_date(col("ts")).as("d"),
+        col("event_type")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)))
+    def daily(t0: String) = ev.filter(_._2 == t0).groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val (dv, dc) = (daily("view"), daily("click"))
+    val diffs = (dv.keySet intersect dc.keySet).toSeq
+      .map(d0 => dv(d0) - dc(d0)).filter(_ != 0L)
+    val n = diffs.length.toLong
+    def s2r(a: Long): Long =
+      2L * diffs.count(x => math.abs(x) < math.abs(a)) +
+        diffs.count(x => math.abs(x) == math.abs(a)) + 1L
+    val wplus2 = diffs.filter(_ > 0).map(s2r).sum
+    val tie = diffs.groupBy(math.abs).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum
+    assert(row.getAs[Long]("n_pairs") == n)
+    assert(row.getAs[Long]("s2_wplus") == wplus2)
+    assert(row.getAs[Long]("tie_term") == tie)
+    val nD = n.toDouble
+    val mu2 = nD * (nD + 1.0) / 2.0
+    val var2 = nD * (nD + 1.0) * (2.0 * nD + 1.0) / 6.0 - tie / 12.0
+    assert(math.abs(row.getAs[Double]("z") -
+      (wplus2 - mu2) / math.sqrt(var2)) < 1e-7)
+    assert(tie > 0L) // integer daily counts must produce |d| ties
+  }
+
+  test("e158: classifier report matches a confusion-cell recount") {
+    val out = SparkEntry.queries("e158_classifier_report")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val det = SparkEntry.queries("e4_langid")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = docs().map(d => (d._3, det(d._1)))
+    val n = pairs.length.toLong
+    assert(out.keySet == pairs.map(_._1).toSet)
+    pairs.map(_._1).distinct.foreach { c =>
+      val tp = pairs.count(p => p._1 == c && p._2 == c).toLong
+      val fp = pairs.count(p => p._1 != c && p._2 == c).toLong
+      val fn = pairs.count(p => p._1 == c && p._2 != c).toLong
+      val row = out(c)
+      assert(row.getAs[Long]("tp") == tp, c)
+      assert(row.getAs[Long]("fp") == fp, c)
+      assert(row.getAs[Long]("fn") == fn, c)
+      assert(row.getAs[Long]("tn") == n - tp - fp - fn, c)
+      if (2 * tp + fp + fn > 0)
+        assert(math.abs(row.getAs[Double]("f1") -
+          2.0 * tp / (2 * tp + fp + fn)) < 1e-7, c)
+    }
+    // the majority class must yield a complete, non-degenerate row
+    assert(out("en").getAs[Double]("precision") > 0.0)
+    assert(out("en").getAs[Double]("recall") > 0.0)
+  }
+
   test("e151: binary recall matches a driver-side Hamming recount") {
     val row = SparkEntry.queries("e151_binary_recall")(spark, dir).head()
     val emb = graft.queries.Tables.t(spark, dir, "embeddings")
