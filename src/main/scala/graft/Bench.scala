@@ -139,6 +139,7 @@ object Bench {
         graft.Graft.excludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     // untimed warmup: JIT/codegen + parquet reader init + first-touch
     // I/O on a FULL scan of every testdata table, so no measured query
     // is charged for JVM startup or cold page cache — which query pays

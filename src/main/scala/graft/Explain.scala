@@ -20,6 +20,7 @@ object Explain {
         graft.Graft.excludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
     val names = if (args.nonEmpty) {
       if (args.sameElements(Array("all"))) SparkEntry.queries.keys.toSeq.sorted
       else args.toSeq

@@ -18,6 +18,10 @@ object Verify {
         graft.Graft.excludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deterministic from query one: native functions AND the
+    // fold→kernel optimizer rewrite are active for every plan, not
+    // from whichever query happens to call register() first
+    graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     val selected =
       if (only.isEmpty) SparkEntry.queries

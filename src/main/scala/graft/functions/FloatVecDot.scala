@@ -17,9 +17,12 @@ import org.apache.spark.sql.types._
   * array data directly — no per-element boxing, no lambda dispatch, and
   * it stays inside whole-stage codegen, unlike the
   * `aggregate(zip_with(...))` higher-order form which allocates a
-  * zipped intermediate array per row. Semantics are identical to
-  * [[graft.operators.Similarity.dot]] (same left-to-right double
-  * summation), so results are bit-equal.
+  * zipped intermediate array per row. Semantics are EXACTLY the fold's
+  * (same left-to-right double summation; null when the lengths differ
+  * or any element is null, which is what null-padded `zip_with` +
+  * null-propagating arithmetic produce), so [[RewriteVecFolds]] may
+  * substitute this kernel for the declarative form unconditionally and
+  * results stay bit-equal.
   *
   * Registered as SQL function `vec_dot` via [[GraftExtensions]]
   * (`spark.sql.extensions=graft.functions.GraftExtensions`) or
@@ -37,15 +40,18 @@ case class FloatVecDot(left: Expression, right: Expression)
           s"${l.simpleString} and ${r.simpleString}")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -57,13 +63,22 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // ev.isNull is a real variable here (nullable = true), so the
+      // fold-equivalent null cases can set it
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -118,6 +133,14 @@ object GraftFunctions {
       FunctionIdentifier("simhash_fold"), shInfo, simhashBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_might_contain"), bmcInfo, bloomBuilder _)
+    // the fold→kernel optimizer rewrite ([[RewriteVecFolds]]); the
+    // experimental batch is the supported post-hoc injection point.
+    // SPARK_GRAFT_NO_FOLD_REWRITE is the operational kill switch (and
+    // the A/B lever the scale study uses).
+    if (!sys.env.contains("SPARK_GRAFT_NO_FOLD_REWRITE") &&
+        !spark.experimental.extraOptimizations.contains(RewriteVecFolds))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteVecFolds
   }
 }
 
@@ -145,5 +168,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain].getName, "bloom_might_contain"),
       GraftFunctions.bloomBuilder))
+    ext.injectOptimizerRule(_ => RewriteVecFolds)
   }
 }

@@ -100,6 +100,47 @@ class OperatorsSpec extends SparkSpec {
     assert(d12 === 3L)
   }
 
+  test("RewriteVecFolds: the declarative dot fold plans as FloatVecDot (E2)") {
+    graft.functions.GraftFunctions.register(spark)
+    // parquet-backed so the optimizer can't constant-fold the local
+    // relation away before the rewrite is observable
+    val dir = java.nio.file.Files.createTempDirectory("graft-vf-")
+      .resolve("t").toString
+    Seq(
+      (Array(0.31f, -0.45f, 0.12f), Array(-0.11f, 0.41f, 0.33f)),
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    def fold(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) =>
+        p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val q = df.select(fold(col("a"), col("b")).as("s"))
+    assert(q.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.FloatVecDot])),
+      "fold not rewritten to the native kernel")
+    val native = df.select(
+      call_function("vec_dot", col("a"), col("b")).as("s"))
+      .as[Double].collect().sorted
+    assert(q.as[Double].collect().sorted.toSeq == native.toSeq)
+    assert(math.abs(native.max - (4.0 + 10.0 + 18.0)) < 1e-12)
+    // a different lambda (no casts: double arrays) must NOT rewrite
+    val dd = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val q2 = dd.select(aggregate(zip_with(col("a"), col("b"),
+      (p, v) => p * v), lit(0.0), (acc, v) => acc + v).as("s"))
+    assert(!q2.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.FloatVecDot])))
+    assert(math.abs(q2.as[Double].head() - 11.0) < 1e-12)
+    // the kernel honors the fold's null contract: length mismatch and
+    // null elements both yield null
+    val nd = spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))")
+    assert(nd.collect().head.isNullAt(0))
+    val ne = spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT), " +
+      "CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT), " +
+      "CAST(2.0 AS FLOAT)))")
+    assert(ne.collect().head.isNullAt(0))
+  }
+
   test("ivfTopK probes only the query's cell with exact cosine inside (E2)") {
     // two clear clusters around (1,0) and (0,1)
     val corpus = vecDf(
