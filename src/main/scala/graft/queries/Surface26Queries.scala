@@ -112,6 +112,17 @@ import graft.streaming.StatefulOps
   *    recall; RBO adds position sensitivity; e136/e146 grade/fuse
   *    other legs. Geometric prefix weights ride both plans as
   *    identical double literals (never engine-local pow()).
+  *  - `e159_permutation_test` — seeded sign-flip permutation test on
+  *    the day-paired series: the distribution-free companion of e157
+  *    (the p-value comes from the statistic's own randomization
+  *    distribution, no normal approximation), B=64 md5-seeded sign
+  *    patterns, every number an exact integer, p the add-one
+  *    rational. Completes the resampling trio with e147/e160.
+  *  - `e160_jackknife` — delete-one-group jackknife SE of the corpus
+  *    mean (G=10 md5 buckets): the grouped jackknife is the form that
+  *    works distributed (leave-one-row-out would need N passes);
+  *    pseudo-values from ONE pass of per-bucket integer sums,
+  *    deviations micro-quantized to exact integer algebra.
   *  - `e153_neyman_alloc` — Neyman optimal allocation of a fixed
   *    sample budget across language strata (n_h ∝ N_h·S_h, the
   *    variance-minimizing survey design): the principled upgrade of
@@ -202,6 +213,10 @@ object Surface26Queries {
 
   /** e153: the fixed sample budget Neyman allocation distributes. */
   private val allocBudget = 100L
+
+  /** e159: sign-flip replicates; e160: jackknife groups. */
+  private val permB = 64
+  private val jackG = 10L
 
   /** The sign-binarized Hamming top-10 — e151's ranking leg, shared
     * with e152's position-sensitive agreement audit: one corpus pass
@@ -599,6 +614,80 @@ object Surface26Queries {
           greatest(col("m1.sim"), col("m2.sim")).as("maxsim"))
       val s3 = pick(c3, lambdaW * col("rel") - divW * col("maxsim"), 3)
       s1.unionAll(s2).unionAll(s3).orderBy(col("step"))
+    }),
+
+    // Seeded sign-flip permutation test on the day-paired series —
+    // the DISTRIBUTION-FREE companion of e157 (Wilcoxon still leans
+    // on the normal approximation of its null; the permutation test
+    // compares T_obs = Σd against its own exact randomization
+    // distribution): B=64 sign patterns from md5(b, day) (the
+    // e89/e147 seeded discipline — no RNG state, embarrassingly
+    // parallel), every statistic an exact integer, p-value the
+    // add-one rational. ONE pass over the calendar-bounded day spine
+    // × a broadcast 64-row replicate spine.
+    "e159_permutation_test" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def dailyOf(tpe: String, out: String) =
+        ev.where(col("event_type") === tpe)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as(out))
+      val diffs = dailyOf("view", "x").join(dailyOf("click", "y"), "d")
+        .select(datediff(col("d"), lit("1970-01-01").cast("date"))
+          .cast("long").as("epd"), (col("x") - col("y")).as("diff"))
+        .localCheckpoint(true) // day-spine sized; read by obs + perms
+      val obs = broadcast(diffs.agg(count(lit(1)).as("n_days"),
+        sum(col("diff")).as("t_obs")))
+      val spine = broadcast(s.range(1, permB + 1).select(col("id").as("b")))
+      val sgn = lit(1L) - lit(2L) *
+        (conv(substring(md5(concat(col("b").cast("string"), lit("#"),
+          col("epd").cast("string")).cast("binary")), 1, 13), 16, 10)
+          .cast("long") % 2L)
+      val perms = diffs.crossJoin(spine)
+        .select(col("b"), (sgn * col("diff")).as("sd"))
+        .groupBy("b").agg(sum(col("sd")).as("t_b"))
+      perms.crossJoin(obs)
+        .agg(max(col("n_days")).as("n_days"), max(col("t_obs")).as("t_obs"),
+          count(lit(1)).as("b_reps"),
+          sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L)
+            .otherwise(0L)).as("n_ge"))
+        .select(col("n_days"), col("t_obs"), col("b_reps"), col("n_ge"),
+          round((d(col("n_ge")) + lit(1.0)) /
+            (d(col("b_reps")) + lit(1.0)), 8).as("p_value"))
+    }),
+
+    // Delete-one-group jackknife SE of the corpus mean token count —
+    // the third member of the resampling trio (e147 bootstrap, e159
+    // permutation): G=10 md5 buckets, leave-one-bucket-out pseudo
+    // estimates from ONE pass of per-bucket integer sums, deviations
+    // micro-quantized so the cross-group variance is exact integer
+    // algebra. The grouped ("delete-d") jackknife is precisely the
+    // form that works distributed — leave-one-ROW-out would need N
+    // passes.
+    "e160_jackknife" -> ((s, dir) => {
+      val g = conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 4), 16, 10).cast("long") % jackG
+      val bk = t(s, dir, "documents")
+        .select(g.as("g"), TextAnalysis.tokenCount(col("text")).as("x"))
+        .groupBy("g").agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+        .localCheckpoint(true) // G rows, read by totals + pseudo values
+      val tot = broadcast(bk.agg(sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s")))
+      val pseudo = bk.crossJoin(tot)
+        .select(floor((d(col("s")) - col("s_g")) /
+          (d(col("n")) - col("n_g")) * lit(1e6)).cast("long").as("q"))
+        .localCheckpoint(true) // G rows, read by sum + deviations
+      val qtot = broadcast(pseudo.agg(sum(col("q")).as("sq"),
+        count(lit(1)).as("gn")))
+      pseudo.crossJoin(qtot)
+        .select(((col("q") * col("gn") - col("sq")) *
+          (col("q") * col("gn") - col("sq"))).as("dev2"),
+          col("gn"), col("sq"))
+        .groupBy("gn").agg(sum(col("dev2")).as("sdev2"))
+        .crossJoin(tot)
+        .select(col("n").as("n_docs"), col("gn").as("g_buckets"),
+          round(d(col("s")) / col("n"), 8).as("theta_hat"),
+          round(sqrt((d(col("gn")) - lit(1.0)) / col("gn") *
+            col("sdev2")) / (d(col("gn")) * lit(1e6)), 8).as("se_jack"))
     }),
 
     // Wilcoxon signed-rank test — the PAIRED two-sample member the
@@ -1271,6 +1360,51 @@ object Surface26Queries {
          SELECT * FROM s1 UNION ALL SELECT * FROM s2
          UNION ALL SELECT * FROM s3 ORDER BY step"""
     },
+
+    "e159_permutation_test" -> {
+      val sgn = "(1 - 2 * (CAST('0x' || substr(md5(CAST(b AS VARCHAR) " +
+        "|| '#' || CAST(epd AS VARCHAR)), 1, 13) AS BIGINT) % 2))"
+      s"""WITH dv AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         dc AS (SELECT CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         df AS (SELECT (d - DATE '1970-01-01') AS epd, x - y AS diff
+           FROM dv JOIN dc USING (d)),
+         obs AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(diff) AS BIGINT) AS t_obs FROM df),
+         p AS (SELECT b, CAST(SUM($sgn * diff) AS BIGINT) AS t_b
+           FROM df, generate_series(1, $permB) AS g(b) GROUP BY 1),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS b_reps,
+             CAST(SUM(CASE WHEN abs(t_b) >= abs(t_obs)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+           FROM p, obs)
+         SELECT n_days, t_obs, b_reps, n_ge,
+           round((CAST(n_ge AS DOUBLE) + 1.0) /
+             (CAST(b_reps AS DOUBLE) + 1.0), 8) AS p_value
+         FROM obs, ag"""
+    },
+
+    "e160_jackknife" ->
+      s"""WITH bk AS (SELECT
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             AS BIGINT) % $jackG AS g,
+           CAST(count(*) AS BIGINT) AS n_g,
+           CAST(SUM(len($tokensSql)) AS BIGINT) AS s_g
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s FROM bk),
+         ps AS (SELECT CAST(floor((CAST(s AS DOUBLE) - s_g) /
+             (CAST(n AS DOUBLE) - n_g) * 1000000.0) AS BIGINT) AS q
+           FROM bk, tot),
+         qt AS (SELECT CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS gn FROM ps),
+         dv AS (SELECT CAST(SUM((q * gn - sq) * (q * gn - sq))
+             AS BIGINT) AS sdev2 FROM ps, qt)
+         SELECT n AS n_docs, gn AS g_buckets,
+           round(CAST(s AS DOUBLE) / n, 8) AS theta_hat,
+           round(sqrt((CAST(gn AS DOUBLE) - 1.0) / gn * sdev2) /
+             (CAST(gn AS DOUBLE) * 1000000.0), 8) AS se_jack
+         FROM tot, qt, dv""",
 
     "e157_wilcoxon" -> {
       val nD = "CAST(n_pairs AS DOUBLE)"

@@ -167,7 +167,13 @@ class PlanAuditSpec extends SparkSpec {
       ("|distinct diffs| histogram triangle over the calendar-bounded " +
         "daily-pair frame (the q126 shape)"),
     "e158_classifier_report" ->
-      "crossJoin against the broadcast 1-row confusion-total scalar"
+      "crossJoin against the broadcast 1-row confusion-total scalar",
+    "e159_permutation_test" ->
+      ("day spine x broadcast FIXED 64-row replicate spine (the e147 " +
+        "shape) plus the broadcast 1-row observed-statistic scalar"),
+    "e160_jackknife" ->
+      ("crossJoins against broadcast 1-row totals over the G-row " +
+        "bucket frame")
     // e154_mmr_diversify: every greedy step is a localCheckpointed
     // 1-row frame, so its bounded shapes (the 10-row pairwise-sim
     // triangle, exclusion joins vs 1-row selections) execute at

@@ -398,6 +398,61 @@ class Surface26Spec extends SparkSpec {
     assert(out("en").getAs[Double]("recall") > 0.0)
   }
 
+  test("e159/e160: resampling statistics match driver recounts") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash13(s0: String): Long = java.lang.Long.parseLong(
+      md.digest(s0.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(13), 16)
+    // e159: sign-flip permutation
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.to_date(col("ts")).as("d"),
+        col("event_type")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)))
+    def daily(t0: String) = ev.filter(_._2 == t0).groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val (dvm, dcm) = (daily("view"), daily("click"))
+    val diffs = (dvm.keySet intersect dcm.keySet).toSeq
+      .map(d0 => d0.toEpochDay -> (dvm(d0) - dcm(d0)))
+    val tObs = diffs.map(_._2).sum
+    val tbs = (1L to 64L).map { b =>
+      diffs.map { case (epd, d0) =>
+        (1L - 2L * (hash13(s"$b#$epd") % 2L)) * d0
+      }.sum
+    }
+    val nGe = tbs.count(t => math.abs(t) >= math.abs(tObs)).toLong
+    val row = SparkEntry.queries("e159_permutation_test")(spark, dir)
+      .head()
+    assert(row.getAs[Long]("n_days") == diffs.length)
+    assert(row.getAs[Long]("t_obs") == tObs)
+    assert(row.getAs[Long]("n_ge") == nGe)
+    assert(math.abs(row.getAs[Double]("p_value") -
+      (nGe + 1.0) / 65.0) < 1e-7)
+    // the permutation distribution must straddle the observed value
+    assert(nGe > 0 && nGe < 64)
+    // e160: grouped jackknife
+    val hash4 = (id: Long) => java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(4), 16) % 10L
+    val byG = docs().map(d0 => hash4(d0._1) -> toks(d0._2).length.toLong)
+      .groupBy(_._1).view.mapValues(xs =>
+        (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val (n, s0) = (byG.values.map(_._1).sum, byG.values.map(_._2).sum)
+    val qs = byG.values.map { case (ng, sg) =>
+      math.floor((s0 - sg).toDouble / (n - ng) * 1e6).toLong
+    }.toSeq
+    val gn = qs.length.toLong
+    val sq = qs.sum
+    val sdev2 = qs.map(q => (q * gn - sq) * (q * gn - sq)).sum
+    val row2 = SparkEntry.queries("e160_jackknife")(spark, dir).head()
+    assert(row2.getAs[Long]("n_docs") == n)
+    assert(row2.getAs[Long]("g_buckets") == gn)
+    assert(math.abs(row2.getAs[Double]("theta_hat") -
+      s0.toDouble / n) < 1e-7)
+    assert(math.abs(row2.getAs[Double]("se_jack") -
+      math.sqrt((gn - 1.0) / gn * sdev2) / (gn * 1e6)) < 1e-7)
+    assert(row2.getAs[Double]("se_jack") > 0.0)
+  }
+
   test("e151: binary recall matches a driver-side Hamming recount") {
     val row = SparkEntry.queries("e151_binary_recall")(spark, dir).head()
     val emb = graft.queries.Tables.t(spark, dir, "embeddings")
