@@ -112,6 +112,15 @@ import graft.streaming.StatefulOps
   *    recall; RBO adds position sensitivity; e136/e146 grade/fuse
   *    other legs. Geometric prefix weights ride both plans as
   *    identical double literals (never engine-local pow()).
+  *  - `e161_conformal` — split-conformal prediction interval for doc
+  *    token count (Vovk; Lei et al.): the modern distribution-free
+  *    interval with finite-sample coverage — exact-rank calibration
+  *    quantile on the val split, measured coverage on test, e8's
+  *    hash-split convention, one tokenize pass for all three splits.
+  *  - `e162_did` — difference-in-differences over the event stream:
+  *    the textbook causal-analytics primitive (treated change minus
+  *    control change across an exact midpoint time split); cell means
+  *    exact counts over per-group user totals, one events pass.
   *  - `e159_permutation_test` — seeded sign-flip permutation test on
   *    the day-paired series: the distribution-free companion of e157
   *    (the p-value comes from the statistic's own randomization
@@ -614,6 +623,81 @@ object Surface26Queries {
           greatest(col("m1.sim"), col("m2.sim")).as("maxsim"))
       val s3 = pick(c3, lambdaW * col("rel") - divW * col("maxsim"), 3)
       s1.unionAll(s2).unionAll(s3).orderBy(col("step"))
+    }),
+
+    // Split-conformal prediction interval (Vovk; Lei et al.) for doc
+    // token count under a per-language mean predictor: the modern
+    // DISTRIBUTION-FREE interval with finite-sample coverage — fit on
+    // the train split, take the ⌈(n+1)(1−α)⌉-th smallest absolute
+    // residual on the CALIBRATION split as the interval half-width
+    // (exact rank selection, the engine's contains-rank discipline,
+    // α = 0.2), then report measured coverage on the held-out test
+    // split. Reuses e8's hash-split convention; one tokenize pass
+    // serves all three splits.
+    "e161_conformal" -> ((s, dir) => {
+      import Quantiles.ldiv
+      import graft.operators.Corpus
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("x"),
+          Corpus.splitName(Corpus.hashBucket(col("doc_id"))).as("split"))
+        .localCheckpoint(true) // ONE tokenize pass, read by 3 splits
+      val m = broadcast(base.where(col("split") === "train")
+        .groupBy("lang")
+        .agg((d(sum(col("x"))) / count(lit(1))).as("m")))
+      val cal = base.where(col("split") === "val").join(m, "lang")
+        .select(col("doc_id"), abs(d(col("x")) - col("m")).as("r"))
+      val qhat = Rank.withGlobalRowNumber(cal,
+          Seq(col("r").asc, col("doc_id").asc))
+        .where(col("rn") ===
+          ldiv((col("n_total") + 1L) * 4L + 4L, 5L))
+        .select(col("r").as("qhat"), col("n_total").as("n_cal"),
+          col("rn").as("k_rank"))
+        .localCheckpoint(true) // 1 row, read by the coverage pass
+      base.where(col("split") === "test").join(m, "lang")
+        .crossJoin(broadcast(qhat))
+        .agg(max(col("n_cal")).as("n_cal"), max(col("k_rank")).as("k_rank"),
+          max(col("qhat")).as("qh"), count(lit(1)).as("n_test"),
+          sum(when(abs(d(col("x")) - col("m")) <= col("qhat"), 1L)
+            .otherwise(0L)).as("n_covered"))
+        .select(col("n_cal"), col("k_rank"), round(col("qh"), 8).as("qhat"),
+          col("n_test"), col("n_covered"),
+          round(d(col("n_covered")) / col("n_test"), 8).as("coverage"))
+    }),
+
+    // Difference-in-differences over the event stream — the textbook
+    // causal-analytics primitive (two groups × two periods, estimate =
+    // the treated group's change minus the control group's change):
+    // group = user_id parity (the deterministic assignment proxy a
+    // synthetic fixture supports), periods split at the exact midpoint
+    // of the observed time range (2·t < lo + hi — integer micros, no
+    // division), cell means = exact event counts over per-group user
+    // totals. ONE events pass + a broadcast (lo, hi) scalar.
+    "e162_did" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tm"))
+      val mm = broadcast(ev.agg(min(col("tm")).as("lo"),
+        max(col("tm")).as("hi")))
+      val x = ev.crossJoin(mm)
+        .select((col("user_id") % 2).as("grp"),
+          when(lit(2L) * col("tm") < col("lo") + col("hi"), 1L)
+            .otherwise(2L).as("p"),
+          col("user_id"))
+      x.agg(
+          countDistinct(when(col("grp") === 0, col("user_id"))).as("u_c"),
+          countDistinct(when(col("grp") === 1, col("user_id"))).as("u_t"),
+          sum(when(col("grp") === 0 && col("p") === 1, 1L).otherwise(0L))
+            .as("c_c1"),
+          sum(when(col("grp") === 0 && col("p") === 2, 1L).otherwise(0L))
+            .as("c_c2"),
+          sum(when(col("grp") === 1 && col("p") === 1, 1L).otherwise(0L))
+            .as("c_t1"),
+          sum(when(col("grp") === 1 && col("p") === 2, 1L).otherwise(0L))
+            .as("c_t2"))
+        .select(col("u_c"), col("u_t"), col("c_c1"), col("c_c2"),
+          col("c_t1"), col("c_t2"),
+          round((d(col("c_t2")) - col("c_t1")) / col("u_t") -
+            (d(col("c_c2")) - col("c_c1")) / col("u_c"), 8).as("did"))
     }),
 
     // Seeded sign-flip permutation test on the day-paired series —
@@ -1360,6 +1444,58 @@ object Surface26Queries {
          SELECT * FROM s1 UNION ALL SELECT * FROM s2
          UNION ALL SELECT * FROM s3 ORDER BY step"""
     },
+
+    "e161_conformal" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+           CAST(len($tokensSql) AS BIGINT) AS x,
+           CASE WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id, lang, text,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+               AS BIGINT) % 100 AS bucket FROM documents)),
+         m AS (SELECT lang, CAST(SUM(x) AS DOUBLE) / count(*) AS m
+           FROM b WHERE split = 'train' GROUP BY 1),
+         cal AS (SELECT abs(CAST(x AS DOUBLE) - m) AS r, doc_id
+           FROM b JOIN m USING (lang) WHERE split = 'val'),
+         rk AS (SELECT r, row_number() OVER (ORDER BY r, doc_id) AS rn,
+             count(*) OVER () AS n_cal FROM cal),
+         q AS (SELECT r AS qhat, CAST(n_cal AS BIGINT) AS n_cal,
+             CAST(rn AS BIGINT) AS k_rank
+           FROM rk WHERE rn = ((n_cal + 1) * 4 + 4) // 5),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN abs(CAST(x AS DOUBLE) - m) <= qhat
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+           FROM b JOIN m USING (lang), q WHERE split = 'test')
+         SELECT n_cal, k_rank, round(qhat, 8) AS qhat, n_test,
+           n_covered,
+           round(CAST(n_covered AS DOUBLE) / n_test, 8) AS coverage
+         FROM q, t""",
+
+    "e162_did" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP))
+           AS tm FROM events),
+         mm AS (SELECT min(tm) AS lo, max(tm) AS hi FROM e),
+         x AS (SELECT user_id % 2 AS grp,
+             CASE WHEN 2 * tm < lo + hi THEN 1 ELSE 2 END AS p, user_id
+           FROM e, mm),
+         c AS (SELECT
+             CAST(count(DISTINCT CASE WHEN grp = 0 THEN user_id END)
+               AS BIGINT) AS u_c,
+             CAST(count(DISTINCT CASE WHEN grp = 1 THEN user_id END)
+               AS BIGINT) AS u_t,
+             CAST(SUM(CASE WHEN grp = 0 AND p = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_c1,
+             CAST(SUM(CASE WHEN grp = 0 AND p = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_c2,
+             CAST(SUM(CASE WHEN grp = 1 AND p = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_t1,
+             CAST(SUM(CASE WHEN grp = 1 AND p = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_t2
+           FROM x)
+         SELECT u_c, u_t, c_c1, c_c2, c_t1, c_t2,
+           round((CAST(c_t2 AS DOUBLE) - c_t1) / u_t -
+             (CAST(c_c2 AS DOUBLE) - c_c1) / u_c, 8) AS did
+         FROM c""",
 
     "e159_permutation_test" -> {
       val sgn = "(1 - 2 * (CAST('0x' || substr(md5(CAST(b AS VARCHAR) " +

@@ -173,7 +173,13 @@ class PlanAuditSpec extends SparkSpec {
         "shape) plus the broadcast 1-row observed-statistic scalar"),
     "e160_jackknife" ->
       ("crossJoins against broadcast 1-row totals over the G-row " +
-        "bucket frame")
+        "bucket frame"),
+    "e161_conformal" ->
+      ("crossJoin against the broadcast 1-row calibrated-quantile " +
+        "scalar (Rank's bounded shapes execute at construction " +
+        "behind the localCheckpoint)"),
+    "e162_did" ->
+      "crossJoin against the broadcast 1-row (lo, hi) time-range scalar"
     // e154_mmr_diversify: every greedy step is a localCheckpointed
     // 1-row frame, so its bounded shapes (the 10-row pairwise-sim
     // triangle, exclusion joins vs 1-row selections) execute at

@@ -453,6 +453,55 @@ class Surface26Spec extends SparkSpec {
     assert(row2.getAs[Double]("se_jack") > 0.0)
   }
 
+  test("e161/e162: conformal and DiD match driver recounts") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(4), 16) % 100L
+    // e161: split-conformal
+    val ds = docs().map(d0 =>
+      (d0._1, d0._3, toks(d0._2).length.toLong, bucket(d0._1)))
+    def split(b: Long) =
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    val m = ds.filter(d0 => split(d0._4) == "train").groupBy(_._2).view
+      .mapValues(xs => xs.map(_._3).sum.toDouble / xs.length).toMap
+    val cal = ds.filter(d0 => split(d0._4) == "val")
+      .map(d0 => (math.abs(d0._3.toDouble - m(d0._2)), d0._1))
+      .sortBy(identity)
+    val k = ((cal.length + 1) * 4 + 4) / 5
+    val qhat = cal(k - 1)._1
+    val test = ds.filter(d0 => split(d0._4) == "test")
+    val covered = test.count(d0 =>
+      math.abs(d0._3.toDouble - m(d0._2)) <= qhat).toLong
+    val row = SparkEntry.queries("e161_conformal")(spark, dir).head()
+    assert(row.getAs[Long]("n_cal") == cal.length)
+    assert(row.getAs[Long]("k_rank") == k)
+    assert(math.abs(row.getAs[Double]("qhat") - qhat) < 1e-7)
+    assert(row.getAs[Long]("n_test") == test.length)
+    assert(row.getAs[Long]("n_covered") == covered)
+    // the interval must neither cover nothing nor everything here
+    assert(covered > 0 && covered < test.length)
+    // e162: difference-in-differences
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("tm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (ev.map(_._2).min, ev.map(_._2).max)
+    def cell(g: Long, p: Int) = ev.count { case (u, t0) =>
+      u % 2 == g && (if (p == 1) 2 * t0 < lo + hi else 2 * t0 >= lo + hi)
+    }.toLong
+    val uC = ev.filter(_._1 % 2 == 0).map(_._1).distinct.length.toLong
+    val uT = ev.filter(_._1 % 2 == 1).map(_._1).distinct.length.toLong
+    val row2 = SparkEntry.queries("e162_did")(spark, dir).head()
+    assert(row2.getAs[Long]("u_c") == uC)
+    assert(row2.getAs[Long]("u_t") == uT)
+    assert(row2.getAs[Long]("c_c1") == cell(0, 1))
+    assert(row2.getAs[Long]("c_t2") == cell(1, 2))
+    assert(math.abs(row2.getAs[Double]("did") -
+      ((cell(1, 2) - cell(1, 1)).toDouble / uT -
+        (cell(0, 2) - cell(0, 1)).toDouble / uC)) < 1e-7)
+  }
+
   test("e151: binary recall matches a driver-side Hamming recount") {
     val row = SparkEntry.queries("e151_binary_recall")(spark, dir).head()
     val emb = graft.queries.Tables.t(spark, dir, "embeddings")
