@@ -136,12 +136,22 @@ object GraftFunctions {
     // the fold→kernel optimizer rewrite ([[RewriteVecFolds]]); the
     // experimental batch is the supported post-hoc injection point.
     // SPARK_GRAFT_NO_FOLD_REWRITE is the operational kill switch (and
-    // the A/B lever the scale study uses).
-    if (!sys.env.contains("SPARK_GRAFT_NO_FOLD_REWRITE") &&
-        !spark.experimental.extraOptimizations.contains(RewriteVecFolds))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RewriteVecFolds
+    // the A/B lever the scale study uses). Synchronized: two threads
+    // racing the first registration on a shared session must not
+    // append the rule twice.
+    if (foldRewriteEnabled) GraftFunctions.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(RewriteVecFolds))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ RewriteVecFolds
+    }
   }
+
+  /** One definition of the kill switch, honored by BOTH injection
+    * paths (post-hoc [[register]] and the [[GraftExtensions]]
+    * session-build route).
+    */
+  private[functions] def foldRewriteEnabled: Boolean =
+    !sys.env.contains("SPARK_GRAFT_NO_FOLD_REWRITE")
 }
 
 /** `spark.sql.extensions` entry point injecting the engine's native
@@ -168,6 +178,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain].getName, "bloom_might_contain"),
       GraftFunctions.bloomBuilder))
-    ext.injectOptimizerRule(_ => RewriteVecFolds)
+    if (GraftFunctions.foldRewriteEnabled)
+      ext.injectOptimizerRule(_ => RewriteVecFolds)
   }
 }

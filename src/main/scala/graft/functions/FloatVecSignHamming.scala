@@ -17,9 +17,12 @@ import org.apache.spark.sql.types._
   * `aggregate(zip_with(...))` higher-order form allocates a zipped
   * intermediate array per row and dispatches a lambda per element;
   * this generated loop reads the unsafe array data directly and stays
-  * inside whole-stage codegen. The result is an exact integer count,
-  * so it is trivially bit-equal to the fold form (`(a >= 0) != (b >=
-  * 0)` per element, matching the oracle's CASE WHEN text).
+  * inside whole-stage codegen. The count is exactly the fold's,
+  * INCLUDING its null contract: the fold's `when(signs differ,
+  * 1).otherwise(0)` sends a null comparison to `otherwise(0)`, and
+  * zip_with pads the shorter array with nulls — so positions where
+  * either element is null (or only one side exists) contribute 0,
+  * which here is the min-length loop skipping null slots.
   *
   * Registered as SQL function `vec_sign_ham` via [[GraftExtensions]]
   * or post-hoc with [[GraftFunctions.register]].
@@ -45,7 +48,8 @@ case class FloatVecSignHamming(left: Expression, right: Expression)
     var h = 0L
     var i = 0
     while (i < n) {
-      if ((x.getFloat(i) >= 0f) != (y.getFloat(i) >= 0f)) h += 1L
+      if (!x.isNullAt(i) && !y.isNullAt(i) &&
+          (x.getFloat(i) >= 0f) != (y.getFloat(i) >= 0f)) h += 1L
       i += 1
     }
     h
@@ -60,7 +64,8 @@ case class FloatVecSignHamming(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $h = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if (($a.getFloat($i) >= 0f) != ($b.getFloat($i) >= 0f)) $h++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      ($a.getFloat($i) >= 0f) != ($b.getFloat($i) >= 0f)) $h++;
          |}
          |${ev.value} = $h;
        """.stripMargin

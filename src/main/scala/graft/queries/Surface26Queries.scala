@@ -227,6 +227,20 @@ object Surface26Queries {
   private val permB = 64
   private val jackG = 10L
 
+  /** One daily-count series of one event type — shared by e157 and
+    * e159 (the paired-series tests), one definition per engine.
+    */
+  private def dailyEvents(s: SparkSession, dir: String,
+                          tpe: String, out: String): DataFrame =
+    events(s, dir).where(col("event_type") === tpe)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as(out))
+
+  /** [[dailyEvents]]'s oracle twin (dv/dc CTE text). */
+  private def dailySql(tpe: String, out: String): String =
+    s"""SELECT CAST(ts AS DATE) AS d, count(*) AS $out
+       FROM events WHERE event_type = '$tpe' GROUP BY 1"""
+
   /** The sign-binarized Hamming top-10 — e151's ranking leg, shared
     * with e152's position-sensitive agreement audit: one corpus pass
     * scored by the native `vec_sign_ham` codegen expression (exact
@@ -654,13 +668,18 @@ object Surface26Queries {
         .select(col("r").as("qhat"), col("n_total").as("n_cal"),
           col("rn").as("k_rank"))
         .localCheckpoint(true) // 1 row, read by the coverage pass
+      // grouped (not global) agg: the report row exists iff BOTH the
+      // calibration quantile and test rows exist — a global agg would
+      // emit a spurious all-null row on an empty join while the
+      // oracle's grouped form emits none
       base.where(col("split") === "test").join(m, "lang")
         .crossJoin(broadcast(qhat))
-        .agg(max(col("n_cal")).as("n_cal"), max(col("k_rank")).as("k_rank"),
-          max(col("qhat")).as("qh"), count(lit(1)).as("n_test"),
+        .groupBy(col("n_cal"), col("k_rank"), col("qhat"))
+        .agg(count(lit(1)).as("n_test"),
           sum(when(abs(d(col("x")) - col("m")) <= col("qhat"), 1L)
             .otherwise(0L)).as("n_covered"))
-        .select(col("n_cal"), col("k_rank"), round(col("qh"), 8).as("qhat"),
+        .select(col("n_cal"), col("k_rank"),
+          round(col("qhat"), 8).as("qhat"),
           col("n_test"), col("n_covered"),
           round(d(col("n_covered")) / col("n_test"), 8).as("coverage"))
     }),
@@ -710,12 +729,8 @@ object Surface26Queries {
     // add-one rational. ONE pass over the calendar-bounded day spine
     // × a broadcast 64-row replicate spine.
     "e159_permutation_test" -> ((s, dir) => {
-      val ev = events(s, dir)
-      def dailyOf(tpe: String, out: String) =
-        ev.where(col("event_type") === tpe)
-          .groupBy(to_date(col("ts")).as("d"))
-          .agg(count(lit(1)).as(out))
-      val diffs = dailyOf("view", "x").join(dailyOf("click", "y"), "d")
+      val diffs = dailyEvents(s, dir, "view", "x")
+        .join(dailyEvents(s, dir, "click", "y"), "d")
         .select(datediff(col("d"), lit("1970-01-01").cast("date"))
           .cast("long").as("epd"), (col("x") - col("y")).as("diff"))
         .localCheckpoint(true) // day-spine sized; read by obs + perms
@@ -784,12 +799,8 @@ object Surface26Queries {
     // null moments, and the tie correction are exact integers with
     // one closed-form z.
     "e157_wilcoxon" -> ((s, dir) => {
-      val ev = events(s, dir)
-      def dailyOf(tpe: String, out: String) =
-        ev.where(col("event_type") === tpe)
-          .groupBy(to_date(col("ts")).as("d"))
-          .agg(count(lit(1)).as(out))
-      val paired = dailyOf("view", "x").join(dailyOf("click", "y"), "d")
+      val paired = dailyEvents(s, dir, "view", "x")
+        .join(dailyEvents(s, dir, "click", "y"), "d")
         .select((col("x") - col("y")).as("diff"))
         .where(col("diff") =!= 0)
         .select(abs(col("diff")).as("absd"),
@@ -1462,14 +1473,16 @@ object Surface26Queries {
          q AS (SELECT r AS qhat, CAST(n_cal AS BIGINT) AS n_cal,
              CAST(rn AS BIGINT) AS k_rank
            FROM rk WHERE rn = ((n_cal + 1) * 4 + 4) // 5),
-         t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         t AS (SELECT n_cal, k_rank, qhat,
+             CAST(count(*) AS BIGINT) AS n_test,
              CAST(SUM(CASE WHEN abs(CAST(x AS DOUBLE) - m) <= qhat
                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
-           FROM b JOIN m USING (lang), q WHERE split = 'test')
+           FROM b JOIN m USING (lang), q WHERE split = 'test'
+           GROUP BY 1, 2, 3)
          SELECT n_cal, k_rank, round(qhat, 8) AS qhat, n_test,
            n_covered,
            round(CAST(n_covered AS DOUBLE) / n_test, 8) AS coverage
-         FROM q, t""",
+         FROM t""",
 
     "e162_did" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP))
@@ -1500,10 +1513,8 @@ object Surface26Queries {
     "e159_permutation_test" -> {
       val sgn = "(1 - 2 * (CAST('0x' || substr(md5(CAST(b AS VARCHAR) " +
         "|| '#' || CAST(epd AS VARCHAR)), 1, 13) AS BIGINT) % 2))"
-      s"""WITH dv AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x
-           FROM events WHERE event_type = 'view' GROUP BY 1),
-         dc AS (SELECT CAST(ts AS DATE) AS d, count(*) AS y
-           FROM events WHERE event_type = 'click' GROUP BY 1),
+      s"""WITH dv AS (${dailySql("view", "x")}),
+         dc AS (${dailySql("click", "y")}),
          df AS (SELECT (d - DATE '1970-01-01') AS epd, x - y AS diff
            FROM dv JOIN dc USING (d)),
          obs AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
@@ -1547,10 +1558,8 @@ object Surface26Queries {
       val mu2 = s"$nD * ($nD + 1.0) / 2.0"
       val var2 = s"$nD * ($nD + 1.0) * (2.0 * $nD + 1.0) / 6.0 - " +
         "CAST(tie_term AS DOUBLE) / 12.0"
-      s"""WITH dv AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x
-           FROM events WHERE event_type = 'view' GROUP BY 1),
-         dc AS (SELECT CAST(ts AS DATE) AS d, count(*) AS y
-           FROM events WHERE event_type = 'click' GROUP BY 1),
+      s"""WITH dv AS (${dailySql("view", "x")}),
+         dc AS (${dailySql("click", "y")}),
          p AS (SELECT abs(x - y) AS absd,
              CASE WHEN x - y > 0 THEN 1 ELSE 0 END AS pos
            FROM dv JOIN dc USING (d) WHERE x <> y),

@@ -98,6 +98,14 @@ class OperatorsSpec extends SparkSpec {
       .select(call_function("vec_sign_ham", col("embedding"), col("e2")))
       .as[Long].head()
     assert(d12 === 3L)
+    // the fold's null contract: a null slot falls to otherwise(0) —
+    // the kernel must count it as agreement, not read raw bits
+    val nn = spark.sql("SELECT vec_sign_ham(" +
+      "array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), " +
+      "CAST(-1.0 AS FLOAT)), " +
+      "array(CAST(-1.0 AS FLOAT), CAST(-1.0 AS FLOAT), " +
+      "CAST(1.0 AS FLOAT)))").as[Long].head()
+    assert(nn === 2L)
   }
 
   test("RewriteVecFolds: the declarative dot fold plans as FloatVecDot (E2)") {
