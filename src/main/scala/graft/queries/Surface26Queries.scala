@@ -227,6 +227,13 @@ object Surface26Queries {
   private val permB = 64
   private val jackG = 10L
 
+  /** e163: standard-normal quantiles as shared double literals
+    * (z₀.₉₇₅ for α = 0.05 two-sided; z₀.₈ for power 0.8) — the same
+    * text parses in both engines, so no engine-local inverse CDF.
+    */
+  private val z975 = "1.959963984540054"
+  private val z80 = "0.8416212335729143"
+
   /** One daily-count series of one event type — shared by e157 and
     * e159 (the paired-series tests), one definition per engine.
     */
@@ -682,6 +689,49 @@ object Surface26Queries {
           round(col("qhat"), 8).as("qhat"),
           col("n_test"), col("n_covered"),
           round(d(col("n_covered")) / col("n_test"), 8).as("coverage"))
+    }),
+
+    // A/B experimentation guardrail panel over the parity assignment
+    // (the page an experimentation platform renders before anyone
+    // reads a lift number): sample-ratio-mismatch χ² on the user
+    // split, the Welch z of the per-user purchase metric, and the
+    // minimum detectable effect at α=0.05 / power 0.8 — the normal
+    // quantiles ride BOTH plans as the same double literals (never an
+    // engine-local inverse CDF). Per-user metric includes zero-fill
+    // by construction (conditional count over ALL observed users);
+    // exact integer moments, three closed-form doubles.
+    "e163_ab_guardrails" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("x"))
+        .select((col("user_id") % 2).as("grp"), col("x"))
+      val g = perUser.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val piv = g.agg(
+        max(when(col("grp") === 0, col("n"))).as("n_c"),
+        max(when(col("grp") === 0, col("sx"))).as("sx_c"),
+        max(when(col("grp") === 0, col("sxx"))).as("sxx_c"),
+        max(when(col("grp") === 1, col("n"))).as("n_t"),
+        max(when(col("grp") === 1, col("sx"))).as("sx_t"),
+        max(when(col("grp") === 1, col("sxx"))).as("sxx_t"))
+      def variance(n: String, sx: String, sxx: String) =
+        (d(col(n)) * col(sxx) - d(col(sx)) * col(sx)) /
+          (d(col(n)) * (d(col(n)) - lit(1.0)))
+      val seDiff = sqrt(variance("n_c", "sx_c", "sxx_c") / col("n_c") +
+        variance("n_t", "sx_t", "sxx_t") / col("n_t"))
+      val diff = d(col("sx_t")) / col("n_t") - d(col("sx_c")) / col("n_c")
+      piv.select(col("n_c"), col("n_t"),
+        round((d(col("n_c")) - col("n_t")) *
+          (d(col("n_c")) - col("n_t")) /
+          (d(col("n_c")) + col("n_t")), 8).as("srm_chi2"),
+        round(d(col("sx_c")) / col("n_c"), 8).as("mean_c"),
+        round(d(col("sx_t")) / col("n_t"), 8).as("mean_t"),
+        round(diff, 8).as("diff"),
+        round(seDiff, 8).as("se_diff"),
+        round(diff / seDiff, 8).as("z"),
+        round((expr(z975) + expr(z80)) * seDiff, 8).as("mde"))
     }),
 
     // Difference-in-differences over the event stream — the textbook
@@ -1483,6 +1533,41 @@ object Surface26Queries {
            n_covered,
            round(CAST(n_covered AS DOUBLE) / n_test, 8) AS coverage
          FROM t""",
+
+    "e163_ab_guardrails" -> {
+      def vr(n: String, sx: String, sxx: String) =
+        s"(CAST($n AS DOUBLE) * $sxx - CAST($sx AS DOUBLE) * $sx) / " +
+          s"(CAST($n AS DOUBLE) * (CAST($n AS DOUBLE) - 1.0))"
+      val se = s"sqrt(${vr("n_c", "sx_c", "sxx_c")} / n_c + " +
+        s"${vr("n_t", "sx_t", "sxx_t")} / n_t)"
+      val diff = "CAST(sx_t AS DOUBLE) / n_t - CAST(sx_c AS DOUBLE) / n_c"
+      s"""WITH pu AS (SELECT user_id % 2 AS grp,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x
+           FROM events GROUP BY user_id),
+         g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+           FROM pu GROUP BY 1),
+         p AS (SELECT
+             CAST(max(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n_c,
+             CAST(max(CASE WHEN grp = 0 THEN sx END) AS BIGINT) AS sx_c,
+             CAST(max(CASE WHEN grp = 0 THEN sxx END) AS BIGINT) AS sxx_c,
+             CAST(max(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n_t,
+             CAST(max(CASE WHEN grp = 1 THEN sx END) AS BIGINT) AS sx_t,
+             CAST(max(CASE WHEN grp = 1 THEN sxx END) AS BIGINT) AS sxx_t
+           FROM g)
+         SELECT n_c, n_t,
+           round((CAST(n_c AS DOUBLE) - n_t) * (CAST(n_c AS DOUBLE) - n_t)
+             / (CAST(n_c AS DOUBLE) + n_t), 8) AS srm_chi2,
+           round(CAST(sx_c AS DOUBLE) / n_c, 8) AS mean_c,
+           round(CAST(sx_t AS DOUBLE) / n_t, 8) AS mean_t,
+           round($diff, 8) AS diff,
+           round($se, 8) AS se_diff,
+           round(($diff) / ($se), 8) AS z,
+           round(($z975 + $z80) * ($se), 8) AS mde
+         FROM p"""
+    },
 
     "e162_did" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP))
