@@ -91,8 +91,21 @@ case class FloatVecDot(left: Expression, right: Expression)
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.Literal
 
-  private val info = new ExpressionInfo(
-    classOf[FloatVecDot].getName, "vec_dot")
+  /** vec_dot's public contract, surfaced in `DESCRIBE FUNCTION`.
+    * BREAKING CHANGE (r16): earlier rounds computed a min-length
+    * prefix dot over ragged inputs; since r16 the function returns
+    * NULL on length mismatch or any null element (the fold-equivalent
+    * contract [[RewriteVecFolds]] relies on). External callers that
+    * leaned on prefix-dot behavior must align lengths first.
+    */
+  private[functions] def vecDotInfo = new ExpressionInfo(
+    classOf[FloatVecDot].getName, null, "vec_dot",
+    "_FUNC_(a, b) - Double dot product of two array<float> columns, " +
+      "accumulated left-to-right. Returns NULL when the array lengths " +
+      "differ or any element is NULL. (Changed in r16: previously " +
+      "computed a min-length prefix dot over ragged inputs.)",
+    "")
+  private val info = vecDotInfo
   private val shInfo = new ExpressionInfo(
     classOf[SimHashFold].getName, "simhash_fold")
   private val bmcInfo = new ExpressionInfo(
@@ -118,8 +131,16 @@ object GraftFunctions {
         s"simhash_fold(hashes, bits): bits must be an int literal, got $other")
     })
 
-  private val vshInfo = new ExpressionInfo(
-    classOf[FloatVecSignHamming].getName, "vec_sign_ham")
+  /** vec_sign_ham's public contract (NaN clause per r16 advice). */
+  private[functions] def vecSignHamInfo = new ExpressionInfo(
+    classOf[FloatVecSignHamming].getName, null, "vec_sign_ham",
+    "_FUNC_(a, b) - Hamming distance between the sign bits of two " +
+      "array<float> columns over the common prefix; positions where " +
+      "either element is NULL contribute 0. A NaN element counts as " +
+      "non-negative (matches SQL engines whose ordering places NaN " +
+      "above all values).",
+    "")
+  private val vshInfo = vecSignHamInfo
 
   /** Post-hoc registration on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -160,13 +181,10 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      FunctionIdentifier("vec_dot"), GraftFunctions.vecDotInfo,
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
     ext.injectFunction((
-      FunctionIdentifier("vec_sign_ham"),
-      new ExpressionInfo(classOf[FloatVecSignHamming].getName,
-        "vec_sign_ham"),
+      FunctionIdentifier("vec_sign_ham"), GraftFunctions.vecSignHamInfo,
       (exprs: Seq[Expression]) =>
         FloatVecSignHamming(exprs.head, exprs(1))))
     ext.injectFunction((

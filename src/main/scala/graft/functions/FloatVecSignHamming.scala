@@ -24,6 +24,12 @@ import org.apache.spark.sql.types._
   * either element is null (or only one side exists) contribute 0,
   * which here is the min-length loop skipping null slots.
   *
+  * NaN contract (r16 advice): a NaN element counts as NON-NEGATIVE.
+  * Java's `NaN >= 0f` is false, but the DuckDB oracle's `x >= 0`
+  * ordering places NaN above all values (true), so the sign bit is
+  * computed as `isNaN(v) || v >= 0` to keep the two engines
+  * bit-agreed even on NaN-bearing embeddings.
+  *
   * Registered as SQL function `vec_sign_ham` via [[GraftExtensions]]
   * or post-hoc with [[GraftFunctions.register]].
   */
@@ -48,8 +54,11 @@ case class FloatVecSignHamming(left: Expression, right: Expression)
     var h = 0L
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i) &&
-          (x.getFloat(i) >= 0f) != (y.getFloat(i) >= 0f)) h += 1L
+      if (!x.isNullAt(i) && !y.isNullAt(i) && {
+            val xv = x.getFloat(i); val yv = y.getFloat(i)
+            (java.lang.Float.isNaN(xv) || xv >= 0f) !=
+              (java.lang.Float.isNaN(yv) || yv >= 0f)
+          }) h += 1L
       i += 1
     }
     h
@@ -64,8 +73,12 @@ case class FloatVecSignHamming(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $h = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
-         |      ($a.getFloat($i) >= 0f) != ($b.getFloat($i) >= 0f)) $h++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    float ${h}x = $a.getFloat($i);
+         |    float ${h}y = $b.getFloat($i);
+         |    if ((java.lang.Float.isNaN(${h}x) || ${h}x >= 0f) !=
+         |        (java.lang.Float.isNaN(${h}y) || ${h}y >= 0f)) $h++;
+         |  }
          |}
          |${ev.value} = $h;
        """.stripMargin

@@ -111,6 +111,39 @@ object Surface22Queries {
             col("words_total").cast("double")).as("fertility"))
     }),
 
+    // SAMPLED-train BPE — the production pattern at 100 TB: merges are
+    // trained on a deterministic 1-in-4 hash-sampled subcorpus (the
+    // e35 md5-prefix idiom, reproducible on any partitioning), then
+    // applied to the FULL type frame; the report is e115's
+    // segmentation panel plus the sampled histogram's type count (the
+    // evidence the training leg really ran on the slice). Cost shape:
+    // every training round aggregates a quarter-size type frame, and
+    // the apply pass is unchanged — at corpus scale the tokenize pass
+    // over 3/4 of the documents is skipped entirely during training.
+    "e164_bpe_sampled" -> ((s, dir) => {
+      val ms = sampledMergesFor(s, dir)
+      val seg = ms.foldLeft(initialSymbolState(s, dir)) { (st, m) =>
+        st.withColumn("s",
+          replace(col("s"), lit(s" ${m._2}  ${m._3} "),
+            lit(s" ${m._2}${m._3} ")))
+      }
+      val sampleTypes = broadcast(initialSymbolState(s, dir,
+        sampled = true).agg(count(lit(1)).as("sample_word_types")))
+      seg.select(col("cnt"),
+          size(split(trim(col("s")), "  ")).cast("long").as("nsub"))
+        .agg(count(lit(1)).as("word_types"),
+          sum(col("cnt")).as("words_total"),
+          sum(col("cnt") * col("nsub")).as("subwords_total"),
+          sum(when(col("nsub") === 1, col("cnt")).otherwise(0L))
+            .as("single_token_words"))
+        .crossJoin(sampleTypes)
+        .select(col("sample_word_types"), col("word_types"),
+          col("words_total"), col("subwords_total"),
+          col("single_token_words"),
+          (col("subwords_total").cast("double") /
+            col("words_total").cast("double")).as("fertility"))
+    }),
+
     // GINI coefficient per group from the staged rank spans — the
     // inequality/concentration statistic a curation pass runs on value
     // mass (revenue, token counts, quality mass): with ascending ranks
@@ -489,14 +522,35 @@ object Surface22Queries {
       : Seq[(Long, String, String, Long)] =
     trainedMerges.computeIfAbsent(dir, _ => bpeMerges(s, dir, bpeIters))
 
+  /** e164's merge table: the same trainer run on the md5-sampled
+    * quarter subcorpus (the production pattern — at 100 TB you train
+    * merges on a hash-sampled slice, then apply to everything).
+    * Cached per dir like [[mergesFor]], under a distinct key.
+    */
+  private def sampledMergesFor(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, Long)] =
+    trainedMerges.computeIfAbsent(dir + "#s4",
+      _ => bpeMerges(s, dir, bpeIters, sampled = true))
+
+  /** Deterministic 1-in-4 document sample: exact integer from the md5
+    * hex prefix of the doc id (the e35 idiom — reproducible on any
+    * partitioning, identically expressible in the oracle).
+    */
+  private def sampleFilter = (conv(substring(
+    md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+    .cast("long") % 4) === 0
+
   /** The character-level symbol state over the durably-staged word
     * histogram — round 0 of training, and the base the apply pass
-    * re-segments from.
+    * re-segments from. `sampled = true` builds it over the 1-in-4
+    * hash-sampled subcorpus (its own durable stage).
     */
-  private def initialSymbolState(s: SparkSession, dir: String)
-      : DataFrame = {
-    val hist = Stage.durableFrame(s, "word-hist", dir) {
-      tBalanced(s, dir, "documents")
+  private def initialSymbolState(s: SparkSession, dir: String,
+      sampled: Boolean = false): DataFrame = {
+    val name = if (sampled) "word-hist-s4" else "word-hist"
+    val hist = Stage.durableFrame(s, name, dir) {
+      val docs = tBalanced(s, dir, "documents")
+      (if (sampled) docs.where(sampleFilter) else docs)
         .select(explode(
           graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
         .where(length(col("w")) >= 2)
@@ -509,9 +563,9 @@ object Surface22Queries {
       col("cnt"))
   }
 
-  private def bpeMerges(s: SparkSession, dir: String, iters: Int)
-      : Seq[(Long, String, String, Long)] = {
-    var state = initialSymbolState(s, dir)
+  private def bpeMerges(s: SparkSession, dir: String, iters: Int,
+      sampled: Boolean = false): Seq[(Long, String, String, Long)] = {
+    var state = initialSymbolState(s, dir, sampled)
     val out = Seq.newBuilder[(Long, String, String, Long)]
     for (k <- 1 to iters) {
       val top = state
@@ -535,7 +589,9 @@ object Surface22Queries {
       // share a cut.
       if (k % bpeCheckpointEvery == 0 && k < iters) {
         val cut = state
-        state = Stage.frame(s, s"bpe-state-$dir-$k", "graft-bpe-")(cut)
+        val sk = if (sampled) s"bpe-state-s4-$dir-$k"
+          else s"bpe-state-$dir-$k"
+        state = Stage.frame(s, sk, "graft-bpe-")(cut)
       }
     }
     out.result()
@@ -551,23 +607,24 @@ object Surface22Queries {
     * replace-applied next state — a SQL transcription of one
     * [[bpeMerges]] iteration.
     */
-  private def bpeIterCte(i: Int): String =
-    s"""pc$i AS (
+  private def bpeIterCte(i: Int, st: String = "st", top: String = "top",
+      pc: String = "pc"): String =
+    s"""$pc$i AS (
          SELECT tk[CAST(j AS INT)] AS a, tk[CAST(j AS INT) + 1] AS b,
            SUM(cnt) AS n
          FROM (SELECT tk, cnt, unnest(range(1, len(tk))) AS j
                FROM (SELECT str_split(trim(s, ' '), '  ') AS tk, cnt
-                     FROM st${i - 1}))
+                     FROM $st${i - 1}))
          GROUP BY 1, 2),
-       top$i AS MATERIALIZED (
-         SELECT a, b, n FROM pc$i ORDER BY n DESC, a, b LIMIT 1),
-       st$i AS MATERIALIZED (
+       $top$i AS MATERIALIZED (
+         SELECT a, b, n FROM $pc$i ORDER BY n DESC, a, b LIMIT 1),
+       $st$i AS MATERIALIZED (
          SELECT replace(s, ' ' || t.a || '  ' || t.b || ' ',
            ' ' || t.a || t.b || ' ') AS s, cnt
-         FROM st${i - 1}, top$i t)"""
+         FROM $st${i - 1}, $top$i t)"""
 
   private def bpeOracle: String = {
-    val iters = (1 to bpeIters).map(bpeIterCte).mkString(",\n       ")
+    val iters = (1 to bpeIters).map(i => bpeIterCte(i)).mkString(",\n       ")
     val rows = (1 to bpeIters).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS merge_idx, a AS left_sym,
             b AS right_sym, a || b AS merged, CAST(n AS BIGINT) AS pair_n
@@ -591,7 +648,7 @@ object Surface22Queries {
     * in st{bpeIters}; the report aggregates its re-split symbol lists.
     */
   private def bpeApplyOracle: String = {
-    val iters = (1 to bpeIters).map(bpeIterCte).mkString(",\n       ")
+    val iters = (1 to bpeIters).map(i => bpeIterCte(i)).mkString(",\n       ")
     s"""WITH w AS (
          SELECT tk AS word, count(*) AS cnt
          FROM (SELECT unnest($tokensSql) AS tk FROM documents)
@@ -606,6 +663,58 @@ object Surface22Queries {
        seg AS (SELECT str_split(trim(s, ' '), '  ') AS tk, cnt
                FROM st$bpeIters)
        SELECT CAST(count(*) AS BIGINT) AS word_types,
+         CAST(SUM(cnt) AS BIGINT) AS words_total,
+         CAST(SUM(cnt * len(tk)) AS BIGINT) AS subwords_total,
+         CAST(SUM(CASE WHEN len(tk) = 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS single_token_words,
+         CAST(SUM(cnt * len(tk)) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+           AS fertility
+       FROM seg"""
+  }
+
+  /** SQL mirror of e164: the training CTE chain (`ss*`/`stop*`) runs
+    * over the md5-sampled quarter histogram; the apply chain (`ap*`)
+    * replays each sampled winner `stop$i` over the FULL char-split
+    * state in merge order — the same replace semantics, two chains.
+    */
+  private def bpeSampledOracle: String = {
+    val train = (1 to bpeIters)
+      .map(i => bpeIterCte(i, "ss", "stop", "spc")).mkString(",\n       ")
+    val apply = (1 to bpeIters).map { i =>
+      s"""ap$i AS MATERIALIZED (
+           SELECT replace(s, ' ' || t.a || '  ' || t.b || ' ',
+             ' ' || t.a || t.b || ' ') AS s, cnt
+           FROM ap${i - 1}, stop$i t)"""
+    }.mkString(",\n       ")
+    s"""WITH w AS (
+         SELECT tk AS word, count(*) AS cnt
+         FROM (SELECT unnest($tokensSql) AS tk FROM documents)
+         WHERE len(tk) >= 2 GROUP BY tk),
+       ws AS (
+         SELECT tk AS word, count(*) AS cnt
+         FROM (SELECT unnest($tokensSql) AS tk FROM documents
+               WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 6) AS BIGINT) % 4 = 0)
+         WHERE len(tk) >= 2 GROUP BY tk),
+       ss0 AS MATERIALIZED (
+         SELECT '  ' || array_to_string(list_transform(
+             range(1, len(word) + 1),
+             i -> substr(word, CAST(i AS INT), 1)), '  ') || '  ' AS s,
+           cnt
+         FROM ws),
+       $train,
+       ap0 AS MATERIALIZED (
+         SELECT '  ' || array_to_string(list_transform(
+             range(1, len(word) + 1),
+             i -> substr(word, CAST(i AS INT), 1)), '  ') || '  ' AS s,
+           cnt
+         FROM w),
+       $apply,
+       seg AS (SELECT str_split(trim(s, ' '), '  ') AS tk, cnt
+               FROM ap$bpeIters)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM ws)
+           AS sample_word_types,
+         CAST(count(*) AS BIGINT) AS word_types,
          CAST(SUM(cnt) AS BIGINT) AS words_total,
          CAST(SUM(cnt * len(tk)) AS BIGINT) AS subwords_total,
          CAST(SUM(CASE WHEN len(tk) = 1 THEN cnt ELSE 0 END) AS BIGINT)
@@ -637,6 +746,7 @@ object Surface22Queries {
   val oracles: Map[String, String] = Map(
     "e113_bpe_train" -> bpeOracle,
     "e115_bpe_apply" -> bpeApplyOracle,
+    "e164_bpe_sampled" -> bpeSampledOracle,
     "e116_benford" -> benfordOracle,
     // judged twin of c33 — identical window, feed, and semantics; the
     // timer-fire-time label rule makes the same oracle exact

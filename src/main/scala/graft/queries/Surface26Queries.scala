@@ -186,12 +186,19 @@ object Surface26Queries {
       .localCheckpoint(true) // |sources| rows, read by total + report
     val tot = broadcast(c.agg(sum(col("n_tok")).as("t_tok"),
       sum(col("qs")).as("t_qs")))
+    // degenerate-fixture guard (r16 advice): an all-empty source makes
+    // n_tok = 0 (and an all-empty corpus t_tok = t_qs = 0); 0/0 is NaN
+    // in Spark but engine-dependent in SQL oracles, so every division
+    // is NULL-gated identically on both plans.
     c.crossJoin(tot)
       .select(col("source"), col("n_tok"), col("qs"),
-        round(d(col("n_tok")) / col("t_tok"), 8).as("w_prop"),
-        round(d(col("qs")) / col("t_qs"), 8).as("w_temp"),
-        round(d(col("qs")) * mixBudget /
-          (d(col("t_qs")) * col("n_tok")), 8).as("epochs"))
+        when(col("t_tok") > 0,
+          round(d(col("n_tok")) / col("t_tok"), 8)).as("w_prop"),
+        when(col("t_qs") > 0,
+          round(d(col("qs")) / col("t_qs"), 8)).as("w_temp"),
+        when(col("n_tok") > 0 && col("t_qs") > 0,
+          round(d(col("qs")) * mixBudget /
+            (d(col("t_qs")) * col("n_tok")), 8)).as("epochs"))
       .orderBy(col("source"))
   }
 
@@ -1247,10 +1254,13 @@ object Surface26Queries {
        t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_tok,
            CAST(SUM(qs) AS BIGINT) AS t_qs FROM q)
        SELECT source, n_tok, qs,
-         round(CAST(n_tok AS DOUBLE) / t_tok, 8) AS w_prop,
-         round(CAST(qs AS DOUBLE) / t_qs, 8) AS w_temp,
-         round(CAST(qs AS DOUBLE) * $mixBudget /
-           (CAST(t_qs AS DOUBLE) * n_tok), 8) AS epochs
+         CASE WHEN t_tok > 0 THEN
+           round(CAST(n_tok AS DOUBLE) / t_tok, 8) END AS w_prop,
+         CASE WHEN t_qs > 0 THEN
+           round(CAST(qs AS DOUBLE) / t_qs, 8) END AS w_temp,
+         CASE WHEN n_tok > 0 AND t_qs > 0 THEN
+           round(CAST(qs AS DOUBLE) * $mixBudget /
+             (CAST(t_qs AS DOUBLE) * n_tok), 8) END AS epochs
        FROM q, t ORDER BY source"""
 
   val oracles: Map[String, String] = Map(

@@ -162,6 +162,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === out.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("cosineNearDupPairs: LSH pairs agree with brute-force cosine (E1)") {
+    // 12 spread-out base vectors plus two EXACT twins (identical
+    // vectors always share every hyperplane side, so the bucket join
+    // must surface them); every reported pair's cosine must equal the
+    // brute-force pairwise cosine bit-for-bit (same dot fold).
+    val base = (1L to 12L).map(i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 13 + j * 5).toFloat))
+    val corpus = vecDf((base ++ Seq(101L -> base(0)._2,
+      102L -> base(1)._2)): _*)
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id",
+        "embedding", nPlanes = 6, dim = 8, minCosine = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 101L))
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 102L))
+    val brute = corpus.select(col("vec_id").as("ida"),
+        col("embedding").as("ea"))
+      .crossJoin(corpus.select(col("vec_id").as("idb"),
+        col("embedding").as("eb")))
+      .where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        Similarity.cosine(col("ea"), col("eb")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b, s"pair order ($a, $b)")
+      assert(c > 0.999, s"cosine $c below threshold")
+      assert(brute((a, b)) == c, s"LSH cosine $c != brute ${brute((a, b))}")
+    }
+    // no FALSE pairs: everything the bucket join surfaced above the
+    // threshold must be a genuine near-dup under brute force too
+    val bruteHigh = brute.filter(_._2 > 0.999).keySet
+    assert(pairs.map(p => (p._1, p._2)).toSet.subsetOf(bruteHigh))
+  }
+
   test("nearDupRemove drops verified near-duplicates, keeps lowest id (E1)") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight again"),

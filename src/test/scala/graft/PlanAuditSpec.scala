@@ -179,7 +179,10 @@ class PlanAuditSpec extends SparkSpec {
         "scalar (Rank's bounded shapes execute at construction " +
         "behind the localCheckpoint)"),
     "e162_did" ->
-      "crossJoin against the broadcast 1-row (lo, hi) time-range scalar"
+      "crossJoin against the broadcast 1-row (lo, hi) time-range scalar",
+    "e164_bpe_sampled" ->
+      ("crossJoin against the broadcast 1-row sampled-histogram " +
+        "type-count scalar")
     // e154_mmr_diversify: every greedy step is a localCheckpointed
     // 1-row frame, so its bounded shapes (the 10-row pairwise-sim
     // triangle, exclusion joins vs 1-row selections) execute at
