@@ -241,6 +241,44 @@ object Surface26Queries {
   private val z975 = "1.959963984540054"
   private val z80 = "0.8416212335729143"
 
+  /** e163's A/B guardrail algebra over a (grp, x) per-user frame —
+    * SRM χ², Welch z of the per-user metric, and the α=0.05/power-0.8
+    * MDE. Shared with the streaming twin c43 (the c42 discipline:
+    * one judged algebra per engine, two input paths); exact integer
+    * moments until three closed-form doubles.
+    */
+  private[queries] def guardrailPanel(perUser: DataFrame): DataFrame = {
+    val g = perUser.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val piv = g.agg(
+      max(when(col("grp") === 0, col("n"))).as("n_c"),
+      max(when(col("grp") === 0, col("sx"))).as("sx_c"),
+      max(when(col("grp") === 0, col("sxx"))).as("sxx_c"),
+      max(when(col("grp") === 1, col("n"))).as("n_t"),
+      max(when(col("grp") === 1, col("sx"))).as("sx_t"),
+      max(when(col("grp") === 1, col("sxx"))).as("sxx_t"))
+    def variance(n: String, sx: String, sxx: String) =
+      (d(col(n)) * col(sxx) - d(col(sx)) * col(sx)) /
+        (d(col(n)) * (d(col(n)) - lit(1.0)))
+    val seDiff = sqrt(variance("n_c", "sx_c", "sxx_c") / col("n_c") +
+      variance("n_t", "sx_t", "sxx_t") / col("n_t"))
+    val diff = d(col("sx_t")) / col("n_t") - d(col("sx_c")) / col("n_c")
+    piv.select(col("n_c"), col("n_t"),
+      round((d(col("n_c")) - col("n_t")) *
+        (d(col("n_c")) - col("n_t")) /
+        (d(col("n_c")) + col("n_t")), 8).as("srm_chi2"),
+      round(d(col("sx_c")) / col("n_c"), 8).as("mean_c"),
+      round(d(col("sx_t")) / col("n_t"), 8).as("mean_t"),
+      round(diff, 8).as("diff"),
+      round(seDiff, 8).as("se_diff"),
+      round(diff / seDiff, 8).as("z"),
+      round((expr(z975) + expr(z80)) * seDiff, 8).as("mde"))
+  }
+
+  /** e163's oracle text — also judges the streaming twin c43. */
+  private[queries] def guardrailsSql: String = oracles("e163_ab_guardrails")
+
   /** One daily-count series of one event type — shared by e157 and
     * e159 (the paired-series tests), one definition per engine.
     */
@@ -707,39 +745,12 @@ object Surface26Queries {
     // engine-local inverse CDF). Per-user metric includes zero-fill
     // by construction (conditional count over ALL observed users);
     // exact integer moments, three closed-form doubles.
-    "e163_ab_guardrails" -> ((s, dir) => {
-      val perUser = events(s, dir)
+    "e163_ab_guardrails" -> ((s, dir) =>
+      guardrailPanel(events(s, dir)
         .groupBy(col("user_id"))
         .agg(sum(when(col("event_type") === "purchase", 1L)
           .otherwise(0L)).as("x"))
-        .select((col("user_id") % 2).as("grp"), col("x"))
-      val g = perUser.groupBy("grp")
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x") * col("x")).as("sxx"))
-      val piv = g.agg(
-        max(when(col("grp") === 0, col("n"))).as("n_c"),
-        max(when(col("grp") === 0, col("sx"))).as("sx_c"),
-        max(when(col("grp") === 0, col("sxx"))).as("sxx_c"),
-        max(when(col("grp") === 1, col("n"))).as("n_t"),
-        max(when(col("grp") === 1, col("sx"))).as("sx_t"),
-        max(when(col("grp") === 1, col("sxx"))).as("sxx_t"))
-      def variance(n: String, sx: String, sxx: String) =
-        (d(col(n)) * col(sxx) - d(col(sx)) * col(sx)) /
-          (d(col(n)) * (d(col(n)) - lit(1.0)))
-      val seDiff = sqrt(variance("n_c", "sx_c", "sxx_c") / col("n_c") +
-        variance("n_t", "sx_t", "sxx_t") / col("n_t"))
-      val diff = d(col("sx_t")) / col("n_t") - d(col("sx_c")) / col("n_c")
-      piv.select(col("n_c"), col("n_t"),
-        round((d(col("n_c")) - col("n_t")) *
-          (d(col("n_c")) - col("n_t")) /
-          (d(col("n_c")) + col("n_t")), 8).as("srm_chi2"),
-        round(d(col("sx_c")) / col("n_c"), 8).as("mean_c"),
-        round(d(col("sx_t")) / col("n_t"), 8).as("mean_t"),
-        round(diff, 8).as("diff"),
-        round(seDiff, 8).as("se_diff"),
-        round(diff / seDiff, 8).as("z"),
-        round((expr(z975) + expr(z80)) * seDiff, 8).as("mde"))
-    }),
+        .select((col("user_id") % 2).as("grp"), col("x")))),
 
     // Difference-in-differences over the event stream — the textbook
     // causal-analytics primitive (two groups × two periods, estimate =

@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import graft.operators.TextAnalysis
+import graft.streaming.StatefulOps
+
+/** Round-17 wave — sibling-checked against the 365-query surface:
+  *
+  *  - `c43_stream_guardrails` — e163's A/B guardrail panel through the
+  *    REAL micro-batch engine (the c42 twin discipline, judged on
+  *    e163's batch oracle verbatim): per-user purchase counts as
+  *    monotone KeySum state on `transformWithState` over a two-chunk
+  *    event feed, counter image collapsed by max(total), then the
+  *    SAME `Surface26Queries.guardrailPanel` algebra. Users whose
+  *    events never include a purchase still reach the state store
+  *    (w=0 rows), so the zero-fill census matches the batch leg's
+  *    conditional count over ALL observed users.
+  *  - `e165_heaps_growth` — vocabulary-growth (Heaps' law) audit over
+  *    NESTED deterministic hash samples: the 1-in-4 md5 slice (e164's
+  *    sample) ⊂ the 1-in-2 slice ⊂ the full corpus. One tokenize pass
+  *    carries both membership flags, so the three (docs, words, vocab)
+  *    panels come from ONE token-level hash aggregate + one tiny
+  *    rollup — the sample-sizing table a tokenizer/dedup run reads to
+  *    decide how big a slice is representative. No logs on any data
+  *    path (the Heaps exponent is the reader's division); exact
+  *    integers only.
+  *  - `e166_quantile_audit` — the approx-vs-exact QUANTILE audit (the
+  *    e99 HLL-vs-exact discipline applied to order statistics):
+  *    `approx_percentile` (p50/p90, accuracy 1000) per return flag,
+  *    graded against the staged exact rank spans. The judged columns
+  *    are the exact statistics and the GUARANTEE booleans (the
+  *    returned value's rank span lies within ε·n of the target rank) —
+  *    the sketch's promise, which must hold at ANY partitioning; the
+  *    sketch value itself is partition-dependent and stays out of the
+  *    hash. The oracle recomputes the exact side and pins the
+  *    guarantee TRUE, so a sketch regression fails the tri-gate.
+  *  - `e167_int8_quant` — symmetric per-vector int8 quantization audit
+  *    over the embedding corpus (the storage/ANN-memory decision: 4×
+  *    smaller vectors vs reconstruction error): scale = max|x|/127,
+  *    q = clamp(round(x/s)), error moments from fixed-point longs
+  *    (floor(err²·1e14)) summed exactly — partition-invariant, fully
+  *    oracle-expressible with the same double arithmetic. ONE narrow
+  *    corpus pass; reports element/saturation census and MSE.
+  */
+object Surface27Queries {
+  import Tables._
+
+  private def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("double")
+
+  /** The md5-prefix doc hash (the e35/e164 idiom): exact integer from
+    * the first 6 hex digits, reproducible on any partitioning and in
+    * the oracle.
+    */
+  private def docHash = conv(substring(
+    md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** e166: sketch accuracy knob and its rank-error guarantee ε·n. */
+  private val pctAccuracy = 1000
+
+  /** e167: fixed-point scale for squared-error summation. err ≤ s/2 =
+    * max|x|/254, so err²·1e14 stays well under 2^63 across the corpus
+    * at unit-norm-ish embeddings.
+    */
+  private val sseScale = 1e14
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c43_stream_guardrails" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select(
+        col("user_id").cast("string").as("key"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("w"),
+        col("event_id"))
+      val feed = Stage.durableChunkFeed("feed-c43", dir)(Seq(
+        ev.where(col("event_id") % 2 === 0).select("key", "w"),
+        ev.where(col("event_id") % 2 =!= 0).select("key", "w")))
+      val tmp = Stage.tempDir("graft-c43-").toString
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val schema = StructType(Seq(StructField("key", StringType),
+        StructField("w", LongType)))
+      RuntimeQueries.withStatePartitions(s, 8) {
+        Surface22Queries.withRocksDb(s) {
+          StatefulOps.keySumStream(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+              .parquet(feed).as[StatefulOps.KeyWeight])
+            .writeStream
+            .foreachBatch {
+              (batch: Dataset[StatefulOps.KeySum], _: Long) =>
+                batch.write.mode("append").parquet(out); ()
+            }
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(Trigger.AvailableNow).start()
+            .awaitTermination()
+        }
+      }
+      Surface26Queries.guardrailPanel(s.read.parquet(out)
+        .groupBy("key").agg(max(col("total")).as("x"))
+        .select((col("key").cast("long") % 2).as("grp"), col("x")))
+    }),
+
+    "e165_heaps_growth" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents")
+        .select(col("text"), (docHash % 2 === 0).as("m2"),
+          (docHash % 4 === 0).as("m4"))
+      val dCounts = broadcast(docs.agg(
+        count(lit(1)).as("docs_100"),
+        sum(when(col("m2"), 1L).otherwise(0L)).as("docs_50"),
+        sum(when(col("m4"), 1L).otherwise(0L)).as("docs_25")))
+      docs
+        .select(col("m2"), col("m4"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("m2"), 1L).otherwise(0L)).as("c2"),
+          sum(when(col("m4"), 1L).otherwise(0L)).as("c4"))
+        .agg(count(lit(1)).as("vocab_100"),
+          count(when(col("c2") > 0, lit(1))).as("vocab_50"),
+          count(when(col("c4") > 0, lit(1))).as("vocab_25"),
+          sum(col("cnt")).as("words_100"),
+          sum(col("c2")).as("words_50"),
+          sum(col("c4")).as("words_25"))
+        .crossJoin(dCounts)
+        .select(col("docs_25"), col("words_25"), col("vocab_25"),
+          col("docs_50"), col("words_50"), col("vocab_50"),
+          col("docs_100"), col("words_100"), col("vocab_100"))
+    }),
+
+    "e166_quantile_audit" -> ((s, dir) => {
+      import graft.operators.Quantiles.{ldiv, medianRank, selectRanks}
+      val spans = StatsQueries.priceSpans(s, dir)
+      val k90: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        cnt => lit(1L) + ldiv((cnt - lit(1L)) * lit(9L), 10L)
+      val exact = selectRanks(spans, Seq("l_returnflag"),
+        "l_extendedprice",
+        Seq("exact_p50" -> (medianRank _), "exact_p90" -> k90))
+      val ap = t(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5),
+            lit(pctAccuracy)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9),
+            lit(pctAccuracy)).as("a90"))
+      // ε·n slack: the sketch promises a value whose rank is within
+      // eps·n of the target; +1 absorbs the integer-division floor
+      def inBound(k: org.apache.spark.sql.Column, lo: String, hi: String,
+          n: org.apache.spark.sql.Column) =
+        (col(lo) <= k + ldiv(n, pctAccuracy.toLong) + lit(1L)) &&
+          (col(hi) >= k - ldiv(n, pctAccuracy.toLong) - lit(1L))
+      val s50 = spans.select(col("l_returnflag").as("rf5"),
+        col("l_extendedprice").as("v5"), col("__lo").as("lo5"),
+        col("__hi").as("hi5"))
+      val s90 = spans.select(col("l_returnflag").as("rf9"),
+        col("l_extendedprice").as("v9"), col("__lo").as("lo9"),
+        col("__hi").as("hi9"))
+      exact.join(broadcast(ap), "l_returnflag")
+        .join(s50, col("l_returnflag") === col("rf5") &&
+          col("a50") === col("v5"))
+        .join(s90, col("l_returnflag") === col("rf9") &&
+          col("a90") === col("v9"))
+        .select(col("l_returnflag"), col("n_total").as("n"),
+          col("exact_p50"), col("exact_p90"),
+          inBound(medianRank(col("n_total")), "lo5", "hi5",
+            col("n_total")).as("p50_in_bound"),
+          inBound(k90(col("n_total")), "lo9", "hi9",
+            col("n_total")).as("p90_in_bound"))
+    }),
+
+    "e167_int8_quant" -> ((s, dir) => {
+      val e = col("embedding")
+      val mx = aggregate(e, lit(0.0d),
+        (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
+      val sc = col("mx") / lit(127.0d)
+      val q = (x: org.apache.spark.sql.Column) => greatest(lit(-127.0d),
+        least(lit(127.0d), floor(x.cast(DoubleType) / sc + lit(0.5d))))
+      def err(x: org.apache.spark.sql.Column) = x.cast(DoubleType) - q(x) * sc
+      val perVec = t(s, dir, "embeddings")
+        .select(col("vec_id"), e, mx.as("mx"))
+        .select(col("vec_id"), size(e).cast("long").as("dims"),
+          when(col("mx") > 0,
+            aggregate(e, lit(0L), (acc, x) => acc +
+              floor(err(x) * err(x) * lit(sseScale)).cast(LongType)))
+            .otherwise(lit(0L)).as("sse_fp"),
+          when(col("mx") > 0,
+            aggregate(e, lit(0L), (acc, x) => acc +
+              when(abs(q(x)) === 127.0d, 1L).otherwise(0L)))
+            .otherwise(lit(0L)).as("n_sat"))
+      perVec.agg(count(lit(1)).as("n_vecs"),
+          sum(col("dims")).as("n_elems"),
+          sum(col("sse_fp")).as("sse_fp"),
+          sum(col("n_sat")).as("n_saturated"))
+        .select(col("n_vecs"), col("n_elems"), col("sse_fp"),
+          col("n_saturated"),
+          round(d(col("sse_fp")) / lit(sseScale) / col("n_elems"), 12)
+            .as("mse"))
+    }))
+
+  // ---- oracles ----
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private val mdHashSql =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    // judged on e163's oracle verbatim — identical semantics, the
+    // streaming leg only changes HOW the per-user counts are computed
+    "c43_stream_guardrails" -> Surface26Queries.guardrailsSql,
+
+    "e165_heaps_growth" ->
+      s"""WITH dd AS (
+           SELECT text, $mdHashSql % 2 = 0 AS m2, $mdHashSql % 4 = 0 AS m4
+           FROM documents),
+         dc AS (SELECT CAST(count(*) AS BIGINT) AS docs_100,
+             CAST(SUM(CASE WHEN m2 THEN 1 ELSE 0 END) AS BIGINT) AS docs_50,
+             CAST(SUM(CASE WHEN m4 THEN 1 ELSE 0 END) AS BIGINT) AS docs_25
+           FROM dd),
+         tk AS (SELECT m2, m4, unnest($tokensSql) AS tok FROM dd),
+         tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN m2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN m4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+           FROM tk GROUP BY tok),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS vocab_100,
+             CAST(count(CASE WHEN c2 > 0 THEN 1 END) AS BIGINT) AS vocab_50,
+             CAST(count(CASE WHEN c4 > 0 THEN 1 END) AS BIGINT) AS vocab_25,
+             CAST(SUM(cnt) AS BIGINT) AS words_100,
+             CAST(SUM(c2) AS BIGINT) AS words_50,
+             CAST(SUM(c4) AS BIGINT) AS words_25
+           FROM tc)
+         SELECT docs_25, words_25, vocab_25, docs_50, words_50, vocab_50,
+           docs_100, words_100, vocab_100
+         FROM v, dc""",
+
+    // exact side recomputed; the guarantee booleans are PINNED true —
+    // the sketch's contract, judged as such (the sketch VALUE is
+    // partition-dependent and deliberately outside the hash)
+    "e166_quantile_audit" ->
+      """WITH hist AS (
+           SELECT l_returnflag, l_extendedprice,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY l_returnflag, l_extendedprice),
+         mcum AS (
+           SELECT l_returnflag, l_extendedprice,
+             SUM(c) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+           FROM hist),
+         p50 AS (SELECT l_returnflag, min(l_extendedprice) AS exact_p50
+           FROM mcum WHERE cum >= (tot + 1) // 2 GROUP BY l_returnflag),
+         p90 AS (SELECT l_returnflag, min(l_extendedprice) AS exact_p90
+           FROM mcum WHERE cum >= 1 + ((tot - 1) * 9) // 10
+           GROUP BY l_returnflag),
+         n AS (SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS n
+           FROM mcum GROUP BY l_returnflag)
+         SELECT n.l_returnflag, n.n, p50.exact_p50, p90.exact_p90,
+           TRUE AS p50_in_bound, TRUE AS p90_in_bound
+         FROM n JOIN p50 USING (l_returnflag)
+           JOIN p90 USING (l_returnflag)""",
+
+    "e167_int8_quant" ->
+      """WITH pv AS (
+           SELECT vec_id, len(embedding) AS dims,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS mx,
+             embedding
+           FROM embeddings),
+         el AS (SELECT vec_id, mx, unnest(embedding) AS xf FROM pv),
+         qe AS (SELECT vec_id, mx / 127.0 AS s, CAST(xf AS DOUBLE) AS x,
+             greatest(-127.0, least(127.0,
+               floor(CAST(xf AS DOUBLE) / (mx / 127.0) + 0.5))) AS q
+           FROM el WHERE mx > 0),
+         pe AS (SELECT vec_id, x - q * s AS err,
+             CASE WHEN abs(q) = 127.0 THEN 1 ELSE 0 END AS sat
+           FROM qe),
+         tot AS (SELECT
+             CAST(SUM(CAST(floor(err * err * 1e14) AS BIGINT)) AS BIGINT)
+               AS sse_fp,
+             CAST(SUM(sat) AS BIGINT) AS n_saturated
+           FROM pe),
+         vc AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(dims) AS BIGINT) AS n_elems
+           FROM pv)
+         SELECT n_vecs, n_elems, sse_fp, n_saturated,
+           round(CAST(sse_fp AS DOUBLE) / 1e14 / n_elems, 12) AS mse
+         FROM tot, vc""")
+}

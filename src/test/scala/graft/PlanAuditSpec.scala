@@ -182,7 +182,9 @@ class PlanAuditSpec extends SparkSpec {
       "crossJoin against the broadcast 1-row (lo, hi) time-range scalar",
     "e164_bpe_sampled" ->
       ("crossJoin against the broadcast 1-row sampled-histogram " +
-        "type-count scalar")
+        "type-count scalar"),
+    "e165_heaps_growth" ->
+      "crossJoin against the broadcast 1-row nested-sample doc counts"
     // e154_mmr_diversify: every greedy step is a localCheckpointed
     // 1-row frame, so its bounded shapes (the 10-row pairwise-sim
     // triangle, exclusion joins vs 1-row selections) execute at
@@ -246,6 +248,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"stale serial-window whitelist entries: " +
         stale.toSeq.sorted.mkString(", "))
+  }
+
+  /** SCALE.md's transform-family audit turned into a regression gate:
+    * the flagship aggregate's filter reaches the parquet scan as a
+    * pushed filter, projection prunes the scan schema, and the narrow
+    * reference transforms (P1–P10) stay shuffle-free — so a future
+    * wave can't silently regress pushdown/pruning/narrowness.
+    */
+  test("transform family: pushdown, pruning, shuffle-freedom hold") {
+    val plans = executedPlans.toMap
+    val q1 = plans("q1_agg").toString
+    assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"),
+      "q1_agg's shipdate predicate no longer reaches the scan")
+    val p1Scans = plans("p1_project").collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(p1Scans.nonEmpty, "p1_project lost its parquet scan")
+    assert(p1Scans.head.schema.fieldNames.toSet ==
+      Set("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+      "p1_project's scan reads more than the projected columns")
+    for (name <- Seq("p1_project", "p2_rename", "p3_cast", "p4_lit",
+        "p5_limit", "p6_zip", "p7_klines", "p8_normalize",
+        "p9_missing", "p10_suppress")) {
+      val pl = plans(name).toString
+      assert(!pl.contains("Exchange"),
+        s"$name acquired a shuffle — the reference transforms are " +
+          s"single-pass narrow maps (p5 is TakeOrdered)")
+    }
   }
 
   test("documented query count matches SparkEntry.queries.size") {
