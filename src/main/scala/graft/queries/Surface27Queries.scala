@@ -38,6 +38,17 @@ import graft.streaming.StatefulOps
   *    sketch value itself is partition-dependent and stays out of the
   *    hash. The oracle recomputes the exact side and pins the
   *    guarantee TRUE, so a sketch regression fails the tri-gate.
+  *  - `e168_countmin` — Count–Min sketch (Cormode & Muthukrishnan)
+  *    with the top-20 heavy hitters graded against their true counts:
+  *    d=4 md5-derived hash rows × w=64 buckets, cell sums built from
+  *    the word-TYPE frame (one tokenize pass; everything after is
+  *    vocabulary-bounded), estimate = min over rows. Unlike HLL/GK
+  *    (e3/e99/e166, engine-specific internals), Count–Min is exactly
+  *    reproducible cross-engine — md5 buckets + integer sums — so the
+  *    sketch VALUES are fully hash-judged, and est ≥ true (the
+  *    one-sided guarantee) is visible in the judged overcount column.
+  *    Complements e98's Misra–Gries (deterministic heavy-hitter LIST)
+  *    with the point-query sketch a shard-merge pipeline ships.
   *  - `e167_int8_quant` — symmetric per-vector int8 quantization audit
   *    over the embedding corpus (the storage/ANN-memory decision: 4×
   *    smaller vectors vs reconstruction error): scale = max|x|/127,
@@ -169,6 +180,31 @@ object Surface27Queries {
             col("n_total")).as("p90_in_bound"))
     }),
 
+    "e168_countmin" -> ((s, dir) => {
+      val w = 64L
+      def bucket(j: Int, c: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lit(s"cm$j|"), c)
+          .cast("binary")), 1, 8), 16, 10).cast("long"), lit(w))
+      val truth = tBalanced(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .localCheckpoint(true) // vocab-sized; read by cells + probes
+      val cells = truth
+        .select(col("true_cnt"), posexplode(array((0 until 4).map(j =>
+          bucket(j, col("tok"))): _*)).as(Seq("j", "b")))
+        .groupBy("j", "b").agg(sum(col("true_cnt")).as("cell"))
+      val probes = broadcast(truth
+        .orderBy(col("true_cnt").desc, col("tok")).limit(20))
+      probes
+        .select(col("tok"), col("true_cnt"),
+          posexplode(array((0 until 4).map(j =>
+            bucket(j, col("tok"))): _*)).as(Seq("j", "b")))
+        .join(cells, Seq("j", "b"))
+        .groupBy("tok", "true_cnt").agg(min(col("cell")).as("est_cnt"))
+        .select(col("tok"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("overcount"))
+    }),
+
     "e167_int8_quant" -> ((s, dir) => {
       val e = col("embedding")
       val mx = aggregate(e, lit(0.0d),
@@ -262,6 +298,30 @@ object Surface27Queries {
            TRUE AS p50_in_bound, TRUE AS p90_in_bound
          FROM n JOIN p50 USING (l_returnflag)
            JOIN p90 USING (l_returnflag)""",
+
+    "e168_countmin" ->
+      s"""WITH toks AS (SELECT unnest($tokensSql) AS tok FROM documents),
+         truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+           FROM toks GROUP BY tok),
+         js AS (SELECT unnest(range(0, 4)) AS j),
+         cells AS (
+           SELECT js.j,
+             CAST('0x' || substr(md5('cm' || CAST(js.j AS VARCHAR) ||
+               '|' || t.tok), 1, 8) AS BIGINT) % 64 AS b,
+             SUM(t.true_cnt) AS cell
+           FROM truth t, js GROUP BY 1, 2),
+         probes AS (SELECT tok, true_cnt FROM truth
+           ORDER BY true_cnt DESC, tok LIMIT 20),
+         pj AS (
+           SELECT p.tok, p.true_cnt, js.j,
+             CAST('0x' || substr(md5('cm' || CAST(js.j AS VARCHAR) ||
+               '|' || p.tok), 1, 8) AS BIGINT) % 64 AS b
+           FROM probes p, js)
+         SELECT pj.tok, pj.true_cnt,
+           CAST(min(c.cell) AS BIGINT) AS est_cnt,
+           CAST(min(c.cell) - pj.true_cnt AS BIGINT) AS overcount
+         FROM pj JOIN cells c ON pj.j = c.j AND pj.b = c.b
+         GROUP BY pj.tok, pj.true_cnt""",
 
     "e167_int8_quant" ->
       """WITH pv AS (

@@ -71,6 +71,35 @@ class Surface27Spec extends SparkSpec {
     }
   }
 
+  test("e168: count-min estimates match an exact driver-built sketch") {
+    val out = SparkEntry.queries("e168_countmin")(spark, dir).collect()
+    val counts = graft.queries.Tables.t(spark, dir, "documents")
+      .select("text").collect().flatMap(r => toks(r.getString(0)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def bucket(j: Int, tok: String): Long = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cm$j|$tok".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hx, 16) % 64L
+    }
+    val cells = scala.collection.mutable.Map[(Int, Long), Long]()
+      .withDefaultValue(0L)
+    counts.foreach { case (tok, c) =>
+      (0 until 4).foreach(j => cells((j, bucket(j, tok))) += c)
+    }
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20).toMap
+    assert(out.length == 20)
+    out.foreach { r =>
+      val tok = r.getAs[String]("tok")
+      val est = (0 until 4).map(j => cells((j, bucket(j, tok)))).min
+      assert(r.getAs[Long]("true_cnt") == top(tok))
+      assert(r.getAs[Long]("est_cnt") == est)
+      assert(r.getAs[Long]("overcount") == est - top(tok))
+      // the one-sided Count-Min guarantee
+      assert(est >= top(tok))
+    }
+  }
+
   test("e167: int8 quantization census matches a driver recount") {
     val row = SparkEntry.queries("e167_int8_quant")(spark, dir).head()
     val vecs = graft.queries.Tables.t(spark, dir, "embeddings")
