@@ -184,7 +184,12 @@ class PlanAuditSpec extends SparkSpec {
       ("crossJoin against the broadcast 1-row sampled-histogram " +
         "type-count scalar"),
     "e165_heaps_growth" ->
-      "crossJoin against the broadcast 1-row nested-sample doc counts"
+      "crossJoin against the broadcast 1-row nested-sample doc counts",
+    "e169_skyline" ->
+      ("strict-dominance prefix-max triangle over the n_chars-domain " +
+        "histogram (domain-bounded rows, the q123/q126 shape)"),
+    "e170_cuped" ->
+      "crossJoin against the broadcast 1-row (lo, hi) time-range scalar"
     // e154_mmr_diversify: every greedy step is a localCheckpointed
     // 1-row frame, so its bounded shapes (the 10-row pairwise-sim
     // triangle, exclusion joins vs 1-row selections) execute at

@@ -100,6 +100,94 @@ class Surface27Spec extends SparkSpec {
     }
   }
 
+  test("c44 shard-merged sketch equals the e168 batch sketch") {
+    val batch = SparkEntry.queries("e168_countmin")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val merged = SparkEntry.queries("c44_stream_countmin")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(merged == batch)
+  }
+
+  test("e169: skyline matches a brute-force dominance recount") {
+    val out = SparkEntry.queries("e169_skyline")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("n_chars"),
+        r.getAs[Long]("best_dt"), r.getAs[Long]("n_docs")))
+    val pd = graft.queries.Tables.t(spark, dir, "documents")
+      .select("n_chars", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1)).distinct.length.toLong))
+    val points = pd.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    def dominated(p: (Long, Long)) = points.keys.exists(q =>
+      q._1 <= p._1 && q._2 >= p._2 && q != p)
+    val expected = points.filter { case (p, _) => !dominated(p) }
+      .map { case ((x, y), n) => (x, y, n) }.toSet
+    assert(out.toSet == expected)
+    assert(out.nonEmpty)
+    // frontier shape: sorted by x, strictly increasing in y
+    val sorted = out.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._1 < b._1 && a._2 < b._2)
+      case _ =>
+    }
+  }
+
+  test("e170: CUPED panel matches a driver-side moment recount") {
+    val row = SparkEntry.queries("e170_cuped")(spark, dir).head()
+    val evs = graft.queries.Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS tm")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lo = evs.map(_._3).min; val hi = evs.map(_._3).max
+    val perUser = evs.groupBy(_._1).toSeq.map { case (u, rs) =>
+      (u % 2,
+        rs.count(r => r._2 == "purchase" && 2 * r._3 >= lo + hi).toLong,
+        rs.count(r => r._2 == "view" && 2 * r._3 < lo + hi).toLong)
+    }
+    def mom(g: Long) = {
+      val s = perUser.filter(_._1 == g)
+      (s.size.toLong, s.map(_._2).sum, s.map(_._3).sum,
+        s.map(t => t._2 * t._2).sum, s.map(t => t._3 * t._3).sum,
+        s.map(t => t._2 * t._3).sum)
+    }
+    val (nc, sxc_, scc_, sxxc, sccc, sxcc) = mom(0)
+    val (nt, sxt_, sct_, sxxt, scct, sxct) = mom(1)
+    val np = (nc + nt).toDouble
+    val cov = ((sxcc + sxct).toDouble -
+      (sxc_ + sxt_).toDouble * (scc_ + sct_) / np) / np
+    val varc = ((sccc + scct).toDouble -
+      (scc_ + sct_).toDouble * (scc_ + sct_) / np) / np
+    val theta = cov / varc
+    val mcP = (scc_ + sct_).toDouble / np
+    def meanY(n: Long, sx: Long, sc: Long) =
+      sx.toDouble / n - theta * (sc.toDouble / n - mcP)
+    assert(row.getAs[Long]("n_c") == nc)
+    assert(row.getAs[Long]("n_t") == nt)
+    assert(math.abs(row.getAs[Double]("theta") - theta) < 1e-7)
+    assert(math.abs(row.getAs[Double]("mean_adj_c") -
+      meanY(nc, sxc_, scc_)) < 1e-7)
+    assert(math.abs(row.getAs[Double]("mean_adj_t") -
+      meanY(nt, sxt_, sct_)) < 1e-7)
+    def varS(n: Long, sa: Long, sb: Long, sab: Long) =
+      (n.toDouble * sab - sa.toDouble * sb) /
+        (n.toDouble * (n.toDouble - 1.0))
+    def varY(n: Long, sx: Long, sc: Long, sxx: Long, scc2: Long,
+        sxc2: Long) =
+      varS(n, sx, sx, sxx) - 2.0 * theta * varS(n, sx, sc, sxc2) +
+        theta * theta * varS(n, sc, sc, scc2)
+    val vyc = varY(nc, sxc_, scc_, sxxc, sccc, sxcc)
+    val vyt = varY(nt, sxt_, sct_, sxxt, scct, sxct)
+    val se = math.sqrt(vyc / nc + vyt / nt)
+    assert(math.abs(row.getAs[Double]("se_adj") - se) < 1e-7)
+    val diff = meanY(nt, sxt_, sct_) - meanY(nc, sxc_, scc_)
+    assert(math.abs(row.getAs[Double]("diff_adj") - diff) < 1e-7)
+    assert(math.abs(row.getAs[Double]("z_adj") - diff / se) < 1e-7)
+    val ratio = (vyc * (nc - 1) + vyt * (nt - 1)) /
+      (varS(nc, sxc_, sxc_, sxxc) * (nc - 1) +
+        varS(nt, sxt_, sxt_, sxxt) * (nt - 1))
+    assert(math.abs(row.getAs[Double]("var_ratio") - ratio) < 1e-7)
+    // the covariate must genuinely reduce variance on this fixture
+    assert(ratio > 0.0 && ratio < 1.0)
+  }
+
   test("e167: int8 quantization census matches a driver recount") {
     val row = SparkEntry.queries("e167_int8_quant")(spark, dir).head()
     val vecs = graft.queries.Tables.t(spark, dir, "embeddings")
