@@ -78,6 +78,22 @@ import graft.streaming.StatefulOps
   *    on e168's oracle verbatim. The feed is sketch-sized (2×256
   *    rows), not corpus-sized: exactly how a sharded pipeline ships
   *    sketches to a coordinator.
+  *  - `e171_mase` — seasonal-naive forecast skill (the MASE ratio of
+  *    Hyndman & Koehler 2006) on the daily view-count series: one-step
+  *    |y_t − y_{t−1}| vs weekly-seasonal |y_t − y_{t−7}| absolute
+  *    errors, both summed as EXACT integers over the days where both
+  *    references exist (gap days drop the term on both plans — joins
+  *    on the existing day spine, never an index lag). The forecasting
+  *    baseline audit an ingest-monitoring stack publishes; one events
+  *    pass, calendar-bounded joins, one final double ratio.
+  *  - `e172_changepoint` — binary-segmentation changepoint
+  *    LOCALIZATION on the daily series (the drift-position complement
+  *    of q121's CUSUM detection): for every candidate split the
+  *    between-segment SSE reduction gain = S₁²/n₁ + S₂²/n₂ − S²/n is
+  *    evaluated from exact integer prefix sums (the q123 day-spine
+  *    triangle); the argmax is a deterministic struct-max with the
+  *    day as tie-break. Both engines divide identical exact integers,
+  *    so the doubles agree bit-for-bit.
   *  - `e167_int8_quant` — symmetric per-vector int8 quantization audit
   *    over the embedding corpus (the storage/ANN-memory decision: 4×
   *    smaller vectors vs reconstruction error): scale = max|x|/127,
@@ -288,6 +304,62 @@ object Surface27Queries {
           split(col("key"), "\\|").getItem(1).cast("long").as("b"),
           col("cell"))
       cmProbeReport(cmTruth(s, dir), merged)
+    }),
+
+    "e171_mase" -> ((s, dir) => {
+      val daily = events(s, dir).where(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(true) // day-spine sized; read three times
+      val t1 = daily.select(date_add(col("d"), 1).as("d"),
+        col("y").as("y1"))
+      val t7 = daily.select(date_add(col("d"), 7).as("d"),
+        col("y").as("y7"))
+      val n = broadcast(daily.agg(count(lit(1)).as("n_days")))
+      daily.join(t1, "d").join(t7, "d")
+        .select(abs(col("y") - col("y1")).as("e1"),
+          abs(col("y") - col("y7")).as("e7"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("e1")).as("sae_naive"),
+          sum(col("e7")).as("sae_seasonal"))
+        .crossJoin(n)
+        .select(col("n_days"), col("n_terms"), col("sae_naive"),
+          col("sae_seasonal"),
+          round(d(col("sae_seasonal")) / col("sae_naive"), 8).as("mase"))
+    }),
+
+    "e172_changepoint" -> ((s, dir) => {
+      val daily = events(s, dir).where(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(true) // day-spine sized; read by the triangle
+      val tot = broadcast(daily.agg(count(lit(1)).as("n"),
+        sum(col("y")).as("s")))
+      // prefix sums at every candidate split via the day-spine
+      // triangle (the q123 shape: pairs of DAY rows, never events)
+      val pre = daily.as("a")
+        .join(daily.as("b"), col("b.d") <= col("a.d"))
+        .groupBy(col("a.d").as("d"))
+        .agg(count(lit(1)).as("n1"), sum(col("b.y")).as("s1"))
+      val gains = pre.crossJoin(tot)
+        .where(col("n1") < col("n")) // a split needs a non-empty tail
+        .select(col("d"), col("n1"), (col("n") - col("n1")).as("n2"),
+          col("s1"), (col("s") - col("s1")).as("s2"),
+          col("n"), col("s"))
+        .select(col("d"), col("n1"), col("n2"), col("s1"), col("s2"),
+          // gain = S1²/n1 + S2²/n2 − S²/n, each term a division of
+          // exact integers — identical doubles in both engines
+          (d(col("s1") * col("s1")) / col("n1") +
+            d(col("s2") * col("s2")) / col("n2") -
+            d(col("s") * col("s")) / col("n")).as("gain"))
+      gains
+        .agg(max(struct(col("gain"), col("d").cast("string").as("ds"),
+          col("n1"), col("n2"), col("s1"), col("s2"))).as("m"))
+        .select(col("m.ds").as("split_day"),
+          col("m.n1").as("n_pre"), col("m.n2").as("n_post"),
+          round(d(col("m.s1")) / col("m.n1"), 8).as("mean_pre"),
+          round(d(col("m.s2")) / col("m.n2"), 8).as("mean_post"),
+          round(col("m.gain"), 8).as("gain"))
     }),
 
     "e169_skyline" -> ((s, dir) => {
@@ -536,6 +608,43 @@ object Surface27Queries {
          WHERE prefix_best IS NULL OR best_dt > prefix_best""",
 
     "e170_cuped" -> cupedOracle,
+
+    "e171_mase" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS y
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         t1 AS (SELECT d + 1 AS d, y AS y1 FROM daily),
+         t7 AS (SELECT d + 7 AS d, y AS y7 FROM daily),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+         terms AS (SELECT abs(daily.y - t1.y1) AS e1,
+             abs(daily.y - t7.y7) AS e7
+           FROM daily JOIN t1 USING (d) JOIN t7 USING (d))
+         SELECT n_days, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(SUM(e1) AS BIGINT) AS sae_naive,
+           CAST(SUM(e7) AS BIGINT) AS sae_seasonal,
+           round(CAST(SUM(e7) AS DOUBLE) / SUM(e1), 8) AS mase
+         FROM terms, n GROUP BY n_days""",
+
+    "e172_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS y
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS s FROM daily),
+         pre AS (SELECT a.d, CAST(count(*) AS BIGINT) AS n1,
+             CAST(SUM(b.y) AS BIGINT) AS s1
+           FROM daily a JOIN daily b ON b.d <= a.d GROUP BY a.d),
+         g AS (SELECT d, n1, n - n1 AS n2, s1, s - s1 AS s2,
+             CAST(s1 * s1 AS DOUBLE) / n1 +
+               CAST((s - s1) * (s - s1) AS DOUBLE) / (n - n1) -
+               CAST(s * s AS DOUBLE) / n AS gain
+           FROM pre, tot WHERE n1 < n)
+         SELECT CAST(d AS VARCHAR) AS split_day, n1 AS n_pre,
+           n2 AS n_post,
+           round(CAST(s1 AS DOUBLE) / n1, 8) AS mean_pre,
+           round(CAST(s2 AS DOUBLE) / n2, 8) AS mean_post,
+           round(gain, 8) AS gain
+         FROM g ORDER BY gain DESC, CAST(d AS VARCHAR) DESC LIMIT 1""",
 
     "e165_heaps_growth" ->
       s"""WITH dd AS (

@@ -189,7 +189,12 @@ class PlanAuditSpec extends SparkSpec {
       ("strict-dominance prefix-max triangle over the n_chars-domain " +
         "histogram (domain-bounded rows, the q123/q126 shape)"),
     "e170_cuped" ->
-      "crossJoin against the broadcast 1-row (lo, hi) time-range scalar"
+      "crossJoin against the broadcast 1-row (lo, hi) time-range scalar",
+    "e171_mase" ->
+      "crossJoin against the broadcast 1-row day-count scalar",
+    "e172_changepoint" ->
+      ("prefix-sum triangle over the calendar-bounded day spine (the " +
+        "q123 shape) plus the broadcast 1-row (n, s) totals")
     // e154_mmr_diversify: every greedy step is a localCheckpointed
     // 1-row frame, so its bounded shapes (the 10-row pairwise-sim
     // triangle, exclusion joins vs 1-row selections) execute at

@@ -188,6 +188,57 @@ class Surface27Spec extends SparkSpec {
     assert(ratio > 0.0 && ratio < 1.0)
   }
 
+  private def dailyViews(): Map[java.time.LocalDate, Long] =
+    graft.queries.Tables.events(spark, dir)
+      .where(org.apache.spark.sql.functions.col("event_type") === "view")
+      .selectExpr("CAST(to_date(ts) AS STRING) AS d").collect()
+      .map(r => java.time.LocalDate.parse(r.getString(0)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+  test("e171: MASE components match a driver recount") {
+    val row = SparkEntry.queries("e171_mase")(spark, dir).head()
+    val daily = dailyViews()
+    val terms = daily.keys.toSeq.flatMap { d =>
+      for (y1 <- daily.get(d.minusDays(1)); y7 <- daily.get(d.minusDays(7)))
+        yield (math.abs(daily(d) - y1), math.abs(daily(d) - y7))
+    }
+    assert(row.getAs[Long]("n_days") == daily.size.toLong)
+    assert(row.getAs[Long]("n_terms") == terms.size.toLong)
+    assert(row.getAs[Long]("sae_naive") == terms.map(_._1).sum)
+    assert(row.getAs[Long]("sae_seasonal") == terms.map(_._2).sum)
+    assert(math.abs(row.getAs[Double]("mase") -
+      terms.map(_._2).sum.toDouble / terms.map(_._1).sum) < 1e-7)
+    // the term set must be a genuine strict subset (calendar gaps and
+    // the 7-day warmup both bite) and non-empty
+    assert(terms.nonEmpty && terms.size < daily.size)
+  }
+
+  test("e172: changepoint split matches an exhaustive driver scan") {
+    val row = SparkEntry.queries("e172_changepoint")(spark, dir).head()
+    val daily = dailyViews().toSeq.sortBy(_._1)
+    val n = daily.size.toLong
+    val s = daily.map(_._2).sum
+    val best = daily.inits.toSeq.reverse.tail // non-empty prefixes
+      .filter(_.size < daily.size)
+      .map { pre =>
+        val n1 = pre.size.toLong; val s1 = pre.map(_._2).sum
+        val n2 = n - n1; val s2 = s - s1
+        val gain = (s1 * s1).toDouble / n1 + (s2 * s2).toDouble / n2 -
+          (s * s).toDouble / n
+        (gain, pre.last._1.toString, n1, n2, s1, s2)
+      }.maxBy(t => (t._1, t._2))
+    assert(row.getAs[String]("split_day") == best._2)
+    assert(row.getAs[Long]("n_pre") == best._3)
+    assert(row.getAs[Long]("n_post") == best._4)
+    assert(math.abs(row.getAs[Double]("mean_pre") -
+      best._5.toDouble / best._3) < 1e-7)
+    assert(math.abs(row.getAs[Double]("mean_post") -
+      best._6.toDouble / best._4) < 1e-7)
+    assert(math.abs(row.getAs[Double]("gain") - best._1) < 1e-6)
+    // a split exists and strictly improves on no-split
+    assert(best._1 > 0.0)
+  }
+
   test("e167: int8 quantization census matches a driver recount") {
     val row = SparkEntry.queries("e167_int8_quant")(spark, dir).head()
     val vecs = graft.queries.Tables.t(spark, dir, "embeddings")
