@@ -60,6 +60,8 @@ object Graft {
   val heavyHitters: graft.operators.HeavyHitters.type =
     graft.operators.HeavyHitters
   val privacy: graft.operators.Privacy.type = graft.operators.Privacy
+  val sketches: graft.operators.Sketches.type = graft.operators.Sketches
+  val skyline: graft.operators.Skyline.type = graft.operators.Skyline
 
   /** Register the engine's native SQL functions (`vec_dot`) on a live
     * session; alternatively set

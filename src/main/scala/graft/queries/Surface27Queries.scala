@@ -124,17 +124,11 @@ object Surface27Queries {
     */
   private val sseScale = 1e14
 
-  /** Count–Min geometry (e168 + c44): d=4 md5-derived rows × w=64
-    * buckets; the bucket hash is reproducible in the oracle
-    * ('0x'||substr(md5(...),1,8) % 64).
+  /** The word-TYPE truth frame both Count–Min queries probe against
+    * (sketch geometry: the [[graft.operators.Sketches]] defaults,
+    * d=4 × w=64 — reproducible in the oracle as
+    * '0x'||substr(md5(...),1,8) % 64).
     */
-  private val cmW = 64L
-
-  private def cmBucket(j: Int, c: org.apache.spark.sql.Column) =
-    pmod(conv(substring(md5(concat(lit(s"cm$j|"), c)
-      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(cmW))
-
-  /** The word-TYPE truth frame both Count–Min queries probe against. */
   private def cmTruth(s: SparkSession, dir: String): DataFrame =
     tBalanced(s, dir, "documents")
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
@@ -143,18 +137,12 @@ object Surface27Queries {
 
   /** Top-20 point-query report off a (j, b, cell) sketch frame. */
   private def cmProbeReport(truth: DataFrame, cells: DataFrame)
-      : DataFrame = {
-    val probes = broadcast(truth
-      .orderBy(col("true_cnt").desc, col("tok")).limit(20))
-    probes
-      .select(col("tok"), col("true_cnt"),
-        posexplode(array((0 until 4).map(j =>
-          cmBucket(j, col("tok"))): _*)).as(Seq("j", "b")))
-      .join(cells, Seq("j", "b"))
-      .groupBy("tok", "true_cnt").agg(min(col("cell")).as("est_cnt"))
+      : DataFrame =
+    graft.operators.Sketches.countMinLookup(cells,
+        truth.orderBy(col("true_cnt").desc, col("tok")).limit(20),
+        col("tok"))
       .select(col("tok"), col("true_cnt"), col("est_cnt"),
         (col("est_cnt") - col("true_cnt")).as("overcount"))
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c43_stream_guardrails" -> ((s, dir) => {
@@ -259,24 +247,22 @@ object Surface27Queries {
 
     "e168_countmin" -> ((s, dir) => {
       val truth = cmTruth(s, dir)
-      val cells = truth
-        .select(col("true_cnt"), posexplode(array((0 until 4).map(j =>
-          cmBucket(j, col("tok"))): _*)).as(Seq("j", "b")))
-        .groupBy("j", "b").agg(sum(col("true_cnt")).as("cell"))
+      val cells = graft.operators.Sketches.countMinCells(
+        truth, col("tok"), col("true_cnt"))
       cmProbeReport(truth, cells)
     }),
 
     "c44_stream_countmin" -> ((s, dir) => {
       import s.implicits._
       def shardCells(parity: Int) =
-        tBalanced(s, dir, "documents")
-          .where(col("doc_id") % 2 === parity)
-          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-          .select(posexplode(array((0 until 4).map(j =>
-            cmBucket(j, col("tok"))): _*)).as(Seq("j", "b")))
-          .groupBy("j", "b").agg(count(lit(1)).as("w"))
+        graft.operators.Sketches.countMinCells(
+            tBalanced(s, dir, "documents")
+              .where(col("doc_id") % 2 === parity)
+              .select(explode(TextAnalysis.tokens(col("text")))
+                .as("tok")),
+            col("tok"), lit(1L))
           .select(concat(col("j").cast("string"), lit("|"),
-            col("b").cast("string")).as("key"), col("w"))
+            col("b").cast("string")).as("key"), col("cell").as("w"))
       val feed = Stage.durableChunkFeed("feed-c44", dir)(Seq(
         shardCells(0), shardCells(1)))
       val tmp = Stage.tempDir("graft-c44-").toString
@@ -362,31 +348,14 @@ object Surface27Queries {
           round(col("m.gain"), 8).as("gain"))
     }),
 
-    "e169_skyline" -> ((s, dir) => {
-      val perDoc = tBalanced(s, dir, "documents")
-        .select(col("n_chars"),
-          size(array_distinct(TextAnalysis.tokens(col("text"))))
-            .cast("long").as("dt"))
-      val byPoint = perDoc.groupBy("n_chars", "dt")
-        .agg(count(lit(1)).as("n_docs"))
-      val h = byPoint
-        .groupBy("n_chars")
-        .agg(max(struct(col("dt"), col("n_docs"))).as("m"))
-        .select(col("n_chars"), col("m.dt").as("best_dt"),
-          col("m.n_docs").as("n_docs"))
-        .localCheckpoint(true) // n_chars-domain-sized; read twice
-      // strict-dominance prefix max over the domain-bounded histogram
-      // (the q123/q126 triangle shape — pairs of DOMAIN rows, never
-      // corpus rows)
-      h.as("a")
-        .join(h.as("b"), col("b.n_chars") < col("a.n_chars"), "left")
-        .groupBy(col("a.n_chars").as("n_chars"),
-          col("a.best_dt").as("best_dt"), col("a.n_docs").as("n_docs"))
-        .agg(max(col("b.best_dt")).as("prefix_best"))
-        .where(col("prefix_best").isNull ||
-          col("best_dt") > col("prefix_best"))
-        .select(col("n_chars"), col("best_dt"), col("n_docs"))
-    }),
+    "e169_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.skyline2d(
+          tBalanced(s, dir, "documents")
+            .select(col("n_chars"),
+              size(array_distinct(TextAnalysis.tokens(col("text"))))
+                .cast("long").as("dt")),
+          "n_chars", "dt")
+        .withColumnRenamed("best_y", "best_dt")),
 
     "e170_cuped" -> ((s, dir) => {
       val ev = events(s, dir).select(col("user_id"),

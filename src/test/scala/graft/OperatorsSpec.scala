@@ -197,6 +197,33 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet.subsetOf(bruteHigh))
   }
 
+  test("Sketches: shard-merged count-min equals the whole-corpus sketch " +
+    "and never underestimates") {
+    val rows = Seq.tabulate(200)(i => (s"k${i % 17}", i.toLong % 3 + 1))
+      .toDF("k", "w")
+    val whole = Sketches.countMinCells(rows, col("k"), col("w"))
+    val shards = Seq(rows.where(col("w") === 1), rows.where(col("w") =!= 1))
+      .map(sh => Sketches.countMinCells(sh, col("k"), col("w")))
+    val merged = Sketches.countMinMerge(shards)
+    assert(merged.collect().map(_.toSeq).toSet ==
+      whole.collect().map(_.toSeq).toSet)
+    val truth = rows.groupBy("k").agg(sum(col("w")).as("true_w"))
+    val est = Sketches.countMinLookup(whole, truth, col("k"))
+      .select("true_w", "est_cnt").as[(Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (t, e) => assert(e >= t) }
+  }
+
+  test("Skyline: frontier points are exactly the undominated value set") {
+    val pts = Seq((1L, 5L), (1L, 5L), (2L, 7L), (3L, 6L), (3L, 9L),
+      (4L, 9L), (5L, 1L)).toDF("x", "y")
+    val out = Skyline.skyline2d(pts, "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,5)x2 kept (nothing left of it), (2,7) beats, (3,9) beats;
+    // (3,6) loses to (3,9); (4,9) loses to (3,9); (5,1) dominated
+    assert(out == Set((1L, 5L, 2L), (2L, 7L, 1L), (3L, 9L, 1L)))
+  }
+
   test("nearDupRemove drops verified near-duplicates, keeps lowest id (E1)") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight again"),
