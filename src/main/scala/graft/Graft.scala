@@ -24,6 +24,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * val quality = docs.select(Graft.text.qualityFeatures(col("text")).map {
   *   case (n, c) => c.as(n) }: _*)
   *
+  * // mergeable sketches and multi-criteria selection
+  * val cells = Graft.sketches.countMinCells(hist, col("tok"), col("cnt"))
+  * val merged = Graft.sketches.countMinMerge(Seq(cellsA, cellsB))
+  * val front  = Graft.skyline.skyline2d(docs, "n_chars", "distinct_toks")
+  *
   * // native codegen functions (vec_dot) on an existing session
   * Graft.registerFunctions(spark)
   * }}}
