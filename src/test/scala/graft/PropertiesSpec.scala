@@ -154,4 +154,51 @@ class PropertiesSpec extends SparkSpec {
         new java.util.Random(1)).shuffle(sh)))
     }
   }
+
+  private val weightedKeysGen = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(0, 30).map(i => s"k$i"), Gen.choose(1L, 9L)))
+
+  test("count-min: split-anywhere merge equals the whole sketch; " +
+    "estimates never underestimate") {
+    import graft.operators.Sketches
+    samples(Gen.zip(weightedKeysGen, Gen.choose(0, 2)), 4).foreach {
+      case (rows, pivot) =>
+        val df = rows.toDF("k", "w")
+        val whole = Sketches.countMinCells(df, col("k"), col("w"))
+        // arbitrary 2-way split (by weight residue) must merge back
+        val merged = Sketches.countMinMerge(Seq(
+          Sketches.countMinCells(df.where(col("w") % 3 === pivot),
+            col("k"), col("w")),
+          Sketches.countMinCells(df.where(col("w") % 3 =!= pivot),
+            col("k"), col("w"))))
+        assert(merged.collect().map(_.toSeq).toSet ===
+          whole.collect().map(_.toSeq).toSet)
+        val truth = df.groupBy("k").agg(sum(col("w")).as("t"))
+        Sketches.countMinLookup(whole, truth, col("k"))
+          .select("t", "est_cnt").as[(Long, Long)].collect()
+          .foreach { case (t, e) => assert(e >= t) }
+    }
+  }
+
+  test("skyline: output undominated, input dominated-or-on-frontier, " +
+    "multiplicities conserved") {
+    import graft.operators.Skyline
+    val ptsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    samples(ptsGen, 5).foreach { pts =>
+      val out = Skyline.skyline2d(pts.toDF("x", "y"), "x", "y")
+        .as[(Long, Long, Long)].collect()
+      val front = out.map(p => (p._1, p._2)).toSet
+      def dominated(p: (Long, Long), by: Iterable[(Long, Long)]) =
+        by.exists(q => q._1 <= p._1 && q._2 >= p._2 && q != p)
+      // no frontier point dominated by ANY input point
+      front.foreach(p => assert(!dominated(p, pts.distinct)))
+      // every non-frontier input point is dominated by some frontier pt
+      pts.distinct.filterNot(front).foreach(p =>
+        assert(dominated(p, front)))
+      // multiplicity of each frontier point = its input count
+      val counts = pts.groupBy(identity).view.mapValues(_.length.toLong)
+      out.foreach(p => assert(p._3 === counts((p._1, p._2))))
+    }
+  }
 }
