@@ -50,7 +50,10 @@ object Sketches {
 
   /** Point-query estimates for a (small, broadcastable) probe frame:
     * attaches `est_cnt` = min over hash rows of the probed cells.
-    * Probe columns pass through.
+    * Probe columns pass through (they must not be named `j`, `b`,
+    * `cell`, or `est_cnt`). A bucket with no cell row counts as 0 —
+    * a key the sketch never saw estimates 0 (or its collision mass),
+    * never silently drops.
     */
   def countMinLookup(cells: DataFrame, probes: DataFrame, key: Column,
                      depth: Int = 4, width: Long = 64L): DataFrame = {
@@ -58,7 +61,8 @@ object Sketches {
     broadcast(probes)
       .select(passThrough :+ posexplode(array((0 until depth).map(j =>
         cmBucket(j, key, width)): _*)).as(Seq("j", "b")): _*)
-      .join(cells, Seq("j", "b"))
-      .groupBy(passThrough: _*).agg(min(col("cell")).as("est_cnt"))
+      .join(cells, Seq("j", "b"), "left")
+      .groupBy(passThrough: _*)
+      .agg(min(coalesce(col("cell"), lit(0L))).as("est_cnt"))
   }
 }

@@ -212,6 +212,17 @@ class OperatorsSpec extends SparkSpec {
       .select("true_w", "est_cnt").as[(Long, Long)].collect()
     assert(est.nonEmpty)
     est.foreach { case (t, e) => assert(e >= t) }
+    // a key the sketch never saw still answers (0 or collision mass),
+    // and an empty sketch answers 0 — absent cells are zero, not drops
+    val ghost = Seq("never-seen-key-xyz").toDF("k")
+    val g = Sketches.countMinLookup(whole, ghost, col("k"))
+      .select("est_cnt").as[Long].collect()
+    assert(g.length == 1 && g.head >= 0L)
+    val empty = Sketches.countMinCells(rows.where(lit(false)),
+      col("k"), col("w"))
+    val z = Sketches.countMinLookup(empty, ghost, col("k"))
+      .select("est_cnt").as[Long].collect()
+    assert(z.toSeq == Seq(0L))
   }
 
   test("Skyline: frontier points are exactly the undominated value set") {
