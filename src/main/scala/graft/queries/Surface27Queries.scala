@@ -94,6 +94,15 @@ import graft.streaming.StatefulOps
   *    triangle); the argmax is a deterministic struct-max with the
   *    day as tie-break. Both engines divide identical exact integers,
   *    so the doubles agree bit-for-bit.
+  *  - `e173_cm_delta` — heavy-CHANGE detection between two corpus
+  *    snapshots via Count–Min sketch DIFFERENCE (the deltoids idea of
+  *    Cormode & Muthukrishnan: linear sketches subtract, so drift
+  *    between snapshots is answered from per-snapshot sketches alone,
+  *    never a re-scan): per-shard sketches and per-shard truths all
+  *    derive from ONE tokenize pass (a (par, tok, cnt) frame — at
+  *    100 TB each snapshot ships its 256-cell sketch and the delta is
+  *    coordinator-side algebra). Probe tokens absent from one shard
+  *    exercise the zero-fill lookup contract on both plans.
   *  - `e167_int8_quant` — symmetric per-vector int8 quantization audit
   *    over the embedding corpus (the storage/ANN-memory decision: 4×
   *    smaller vectors vs reconstruction error): scale = max|x|/127,
@@ -290,6 +299,39 @@ object Surface27Queries {
           split(col("key"), "\\|").getItem(1).cast("long").as("b"),
           col("cell"))
       cmProbeReport(cmTruth(s, dir), merged)
+    }),
+
+    "e173_cm_delta" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val base = tBalanced(s, dir, "documents")
+        .select((col("doc_id") % 2).as("par"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("par", "tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // 2×vocab rows; read by 6 consumers
+      val truth = base.groupBy("tok").agg(sum(col("cnt")).as("true_cnt"))
+      val probes = truth.orderBy(col("true_cnt").desc, col("tok"))
+        .limit(20)
+      def estOf(p: Int, name: String) =
+        Sketches.countMinLookup(
+            Sketches.countMinCells(base.where(col("par") === p),
+              col("tok"), col("cnt")),
+            probes, col("tok"))
+          .select(col("tok"), col("est_cnt").as(name))
+      def truthOf(p: Int, name: String) =
+        base.where(col("par") === p)
+          .select(col("tok"), col("cnt").as(name))
+      probes
+        .join(truthOf(0, "ta"), Seq("tok"), "left")
+        .join(truthOf(1, "tb"), Seq("tok"), "left")
+        .join(estOf(0, "est_a"), Seq("tok"))
+        .join(estOf(1, "est_b"), Seq("tok"))
+        .select(col("tok"), col("true_cnt"),
+          coalesce(col("ta"), lit(0L)).as("true_a"),
+          coalesce(col("tb"), lit(0L)).as("true_b"),
+          (coalesce(col("ta"), lit(0L)) - coalesce(col("tb"), lit(0L)))
+            .as("true_delta"),
+          col("est_a"), col("est_b"),
+          (col("est_a") - col("est_b")).as("est_delta"))
     }),
 
     "e171_mase" -> ((s, dir) => {
@@ -668,6 +710,51 @@ object Surface27Queries {
            JOIN p90 USING (l_returnflag)""",
 
     "e168_countmin" -> cmOracle,
+
+    "e173_cm_delta" -> {
+      def bkt(tok: String) =
+        s"CAST('0x' || substr(md5('cm' || CAST(js.j AS VARCHAR) || " +
+          s"'|' || $tok), 1, 8) AS BIGINT) % 64"
+      def cellsCte(p: Int) =
+        s"""cells$p AS (
+             SELECT js.j, ${bkt("b.tok")} AS bkt, SUM(b.cnt) AS cell
+             FROM base b, js WHERE b.par = $p GROUP BY 1, 2)"""
+      def estCte(p: Int, name: String) =
+        s"""e$p AS (
+             SELECT pj.tok,
+               CAST(min(COALESCE(c.cell, 0)) AS BIGINT) AS $name
+             FROM pj LEFT JOIN cells$p c
+               ON pj.j = c.j AND pj.bkt = c.bkt
+             GROUP BY 1)"""
+      s"""WITH base AS (SELECT doc_id % 2 AS par, tok,
+           CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT doc_id, unnest($tokensSql) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         truth AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS true_cnt
+           FROM base GROUP BY tok),
+         probes AS (SELECT tok, true_cnt FROM truth
+           ORDER BY true_cnt DESC, tok LIMIT 20),
+         js AS (SELECT unnest(range(0, 4)) AS j),
+         ${cellsCte(0)},
+         ${cellsCte(1)},
+         pj AS (SELECT p.tok, p.true_cnt, js.j, ${bkt("p.tok")} AS bkt
+           FROM probes p, js),
+         ${estCte(0, "est_a")},
+         ${estCte(1, "est_b")},
+         t0 AS (SELECT tok, cnt AS true_a FROM base WHERE par = 0),
+         t1 AS (SELECT tok, cnt AS true_b FROM base WHERE par = 1)
+         SELECT p.tok, p.true_cnt,
+           CAST(COALESCE(t0.true_a, 0) AS BIGINT) AS true_a,
+           CAST(COALESCE(t1.true_b, 0) AS BIGINT) AS true_b,
+           CAST(COALESCE(t0.true_a, 0) - COALESCE(t1.true_b, 0)
+             AS BIGINT) AS true_delta,
+           e0.est_a, e1.est_b,
+           CAST(e0.est_a - e1.est_b AS BIGINT) AS est_delta
+         FROM probes p
+           LEFT JOIN t0 USING (tok) LEFT JOIN t1 USING (tok)
+           JOIN e0 USING (tok) JOIN e1 USING (tok)"""
+    },
 
     "e167_int8_quant" ->
       """WITH pv AS (

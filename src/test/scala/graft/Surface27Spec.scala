@@ -239,6 +239,26 @@ class Surface27Spec extends SparkSpec {
     assert(best._1 > 0.0)
   }
 
+  test("e173: sketch deltas bracket the true deltas per CM overcounts") {
+    val out = SparkEntry.queries("e173_cm_delta")(spark, dir).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (ta, tb) = (r.getAs[Long]("true_a"), r.getAs[Long]("true_b"))
+      val (ea, eb) = (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"))
+      assert(r.getAs[Long]("true_cnt") == ta + tb)
+      assert(r.getAs[Long]("true_delta") == ta - tb)
+      assert(r.getAs[Long]("est_delta") == ea - eb)
+      // per-shard CM never underestimates, so the delta error is
+      // exactly over_a − over_b
+      assert(ea >= ta && eb >= tb)
+      assert(r.getAs[Long]("est_delta") - r.getAs[Long]("true_delta")
+        == (ea - ta) - (eb - tb))
+    }
+    // the split must be genuine: both shards hold probe mass
+    assert(out.exists(_.getAs[Long]("true_a") > 0))
+    assert(out.exists(_.getAs[Long]("true_b") > 0))
+  }
+
   test("e167: int8 quantization census matches a driver recount") {
     val row = SparkEntry.queries("e167_int8_quant")(spark, dir).head()
     val vecs = graft.queries.Tables.t(spark, dir, "embeddings")
