@@ -52,10 +52,14 @@ def main():
     # training pins: both lines carry the shared trainer cost
     a, b = PINNED_PAIR
     if a in new and b in new:
-        per_run = [max(r.get(a, 0.0), r.get(b, 0.0)) for r in (r1, r2)]
+        # only runs that actually measured the pair contribute — a detail
+        # run missing both lines must not pin the pair to 0.0
+        per_run = [max(r.get(a, 0.0), r.get(b, 0.0)) for r in (r1, r2)
+                   if a in r or b in r]
         pin_prior = [v for v in (ref.get(a), ref.get(b)) if v is not None]
-        pin = round(min(per_run + pin_prior), 3)
-        new[a] = new[b] = pin
+        if per_run + pin_prior:
+            pin = round(min(per_run + pin_prior), 3)
+            new[a] = new[b] = pin
     stale = sorted(set(ref) - set(new))
     out = {"comment": (
         f"clean same-host per-query reference envelope (sec) for Bench "

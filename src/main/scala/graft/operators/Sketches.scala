@@ -58,10 +58,13 @@ object Sketches {
   def countMinLookup(cells: DataFrame, probes: DataFrame, key: Column,
                      depth: Int = 4, width: Long = 64L): DataFrame = {
     val passThrough = probes.columns.map(col).toSeq
-    broadcast(probes)
+    // Broadcast the cells side: it is the depth×width-bounded frame, and
+    // the preserved (left) side of an outer join can never host the build
+    // anyway — a hint on probes would be silently ignored.
+    probes
       .select(passThrough :+ posexplode(array((0 until depth).map(j =>
         cmBucket(j, key, width)): _*)).as(Seq("j", "b")): _*)
-      .join(cells, Seq("j", "b"), "left")
+      .join(broadcast(cells), Seq("j", "b"), "left")
       .groupBy(passThrough: _*)
       .agg(min(coalesce(col("cell"), lit(0L))).as("est_cnt"))
   }

@@ -351,9 +351,16 @@ object Surface27Queries {
           sum(col("e1")).as("sae_naive"),
           sum(col("e7")).as("sae_seasonal"))
         .crossJoin(n)
+        // degenerate-fixture guards: a feed with no (t-1, t-7)-covered
+        // day must emit ZERO rows (the oracle's GROUP BY does), and a
+        // flat series (sae_naive = 0) must NULL the ratio rather than
+        // leave 0/0 engine-dependent — the e158_mix 0/0 discipline
+        .where(col("n_terms") > 0)
         .select(col("n_days"), col("n_terms"), col("sae_naive"),
           col("sae_seasonal"),
-          round(d(col("sae_seasonal")) / col("sae_naive"), 8).as("mase"))
+          when(col("sae_naive") > 0,
+            round(d(col("sae_seasonal")) / col("sae_naive"), 8))
+            .as("mase"))
     }),
 
     "e172_changepoint" -> ((s, dir) => {
@@ -633,7 +640,9 @@ object Surface27Queries {
          SELECT n_days, CAST(count(*) AS BIGINT) AS n_terms,
            CAST(SUM(e1) AS BIGINT) AS sae_naive,
            CAST(SUM(e7) AS BIGINT) AS sae_seasonal,
-           round(CAST(SUM(e7) AS DOUBLE) / SUM(e1), 8) AS mase
+           CASE WHEN SUM(e1) > 0
+             THEN round(CAST(SUM(e7) AS DOUBLE) / SUM(e1), 8)
+           END AS mase
          FROM terms, n GROUP BY n_days""",
 
     "e172_changepoint" ->
