@@ -139,6 +139,14 @@ object Bench {
         graft.Graft.excludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb flips the DEFAULT-provider
+    // streaming queries (c2x family) onto RocksDB for the A/B floor
+    // experiments in SCALE.md; =hdfs leaves everything on the in-heap
+    // default (withRocksDb consults the same env). The driver never
+    // sets it, so judged benches always measure the shipped providers.
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     graft.functions.GraftFunctions.register(spark)
     // untimed warmup: JIT/codegen + parquet reader init + first-touch
     // I/O on a FULL scan of every testdata table, so no measured query

@@ -114,4 +114,11 @@ object Graft {
                rightVals: Seq[(String, String)], tiebreak: Column): DataFrame =
     graft.operators.AsofJoin.asofJoin(left, right, keys, leftTs, rightTs,
       rightVals, tiebreak)
+
+  /** SemDeDup semantic dedup (cluster-then-prune) forwarding — see
+    * [[graft.operators.Dedup.semDedup]].
+    */
+  def semDedup(corpus: DataFrame, id: String, vec: String,
+               centroids: Seq[Seq[Float]], minCosine: Double): DataFrame =
+    graft.operators.Dedup.semDedup(corpus, id, vec, centroids, minCosine)
 }

@@ -458,4 +458,55 @@ object Dedup {
         (col("n_common").cast(DoubleType) /
           (col("na.n") + col("nb.n") - col("n_common"))).as("jaccard"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * cluster-then-prune. Every vector is assigned to its nearest
+    * centroid ([[Similarity.ivfCell]] — a narrow codegen'd projection
+    * against plan-literal centroids); pair comparison happens ONLY
+    * between cluster mates (equi-join on the cell key, never all-pairs);
+    * of a near-duplicate pair (cosine > `minCosine`) the member CLOSER
+    * to its centroid is pruned — keeping the cluster's edge members
+    * preserves the diversity the paper optimizes for. Ties on the
+    * centroid score prune the higher `id`, so the survivor set is
+    * deterministic at any parallelism.
+    *
+    * Output: one row per input vector — `(id, cell, cscore, keep)` with
+    * `cscore` the cosine to the assigned centroid rounded to 8 places
+    * and `keep=false` iff some cluster mate above the threshold beats it.
+    *
+    * Arithmetic: pair cosines go through the fixed-point fold
+    * ([[Similarity.dotFixedLong]] / [[Similarity.cosineFromFixed]]) with
+    * self-norms hoisted out of the pair loop (one 64-wide fold per pair,
+    * the e60 discipline); centroid scores are the plain double fold that
+    * the oracle's `list_reduce` reproduces bit-for-bit.
+    *
+    * Scale shape (100 TB): production sizes the centroid set so clusters
+    * stay O(1) rows (the paper runs k ≈ 50k on LAION); the within-cell
+    * self-join is then a bucket-local equi-join on a key the corpus can
+    * be partitioned by, and the centroid matrix (k × dim floats) ships
+    * as plan literals / a broadcast — exactly the e2_ivf index layout.
+    */
+  def semDedup(corpus: DataFrame, id: String, vec: String,
+               centroids: Seq[Seq[Float]], minCosine: Double): DataFrame = {
+    val base = corpus.select(col(id), col(vec),
+      Similarity.ivfCell(col(vec), centroids).cast(LongType).as("cell"),
+      Similarity.ivfCellScore(col(vec), centroids).as("cscore"),
+      Similarity.dotFixedLong(col(vec), col(vec)).as("__nf"))
+    def side(tag: String) = base.select(col(id).as(s"id_$tag"),
+      col(vec).as(s"v_$tag"), col("cell"), col("cscore").as(s"cs_$tag"),
+      col("__nf").as(s"nf_$tag"))
+    val losers = side("a").join(side("b"), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.cosineFromFixed(
+        Similarity.dotFixedLong(col("v_a"), col("v_b")),
+        col("nf_a"), col("nf_b")) > minCosine)
+      .select(when(col("cs_a") > col("cs_b"), col("id_a"))
+        .when(col("cs_a") < col("cs_b"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as(id))
+      .distinct()
+      .withColumn("__pruned", lit(true))
+    base.join(losers, Seq(id), "left")
+      .select(col(id), col("cell"), round(col("cscore"), 8).as("cscore"),
+        col("__pruned").isNull.as("keep"))
+  }
 }

@@ -495,7 +495,13 @@ object Surface22Queries {
   private[queries] def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
-    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // SPARK_GRAFT_STATE_PROVIDER=hdfs is the A/B-experiment override
+    // (SCALE.md's streaming-floor studies): leave the session default
+    // so the RocksDB-pinned twins measure on the in-heap provider.
+    // Judged runs never set it — the twins keep RocksDB deliberately
+    // (exercising the durable provider IS part of their coverage).
+    if (!sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("hdfs"))
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try body
     finally prev match {
       case Some(p) => s.conf.set(key, p)

@@ -153,6 +153,63 @@ object Surface27Queries {
       .select(col("tok"), col("true_cnt"), col("est_cnt"),
         (col("est_cnt") - col("true_cnt")).as("overcount"))
 
+  /** e170's CUPED panel from a per-user `(grp, x, c)` frame — extracted
+    * so the streaming twin (`c45_stream_cuped`) reuses the identical
+    * closed-form moment algebra: θ, adjusted means/variances, the
+    * adjusted Welch z, and the variance-reduction ratio, all from
+    * per-group exact integer moments (no per-user double ever crosses
+    * a partition).
+    */
+  private[queries] def cupedPanel(perUser: DataFrame): DataFrame = {
+    val g = perUser.groupBy("grp").agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("c")).as("sc"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("c") * col("c")).as("scc"),
+      sum(col("x") * col("c")).as("sxc"))
+    def side(p: String, grp: Int) = Seq("n", "sx", "sc", "sxx",
+      "scc", "sxc").map(m =>
+      max(when(col("grp") === grp, col(m))).as(s"$m$p"))
+    val piv = g.agg((side("_c", 0) ++ side("_t", 1)).head,
+      (side("_c", 0) ++ side("_t", 1)).tail: _*)
+    // pooled moments: integer sums of the two sides
+    def pool(m: String) = col(s"${m}_c") + col(s"${m}_t")
+    val nP = d(pool("n"))
+    val covP = (d(pool("sxc")) - d(pool("sx")) * pool("sc") / nP) / nP
+    val varcP = (d(pool("scc")) - d(pool("sc")) * pool("sc") / nP) / nP
+    val theta = covP / varcP
+    val mcP = d(pool("sc")) / nP
+    // per-side adjusted mean and variance in CLOSED FORM from the
+    // same integer moments (no per-user double ever aggregated):
+    // mean_y = mean_x - θ(mean_c - mc_pooled);
+    // var_y = var_x - 2θcov + θ²var_c (sample, n-1)
+    def meanY(p: String) = d(col(s"sx$p")) / col(s"n$p") -
+      theta * (d(col(s"sc$p")) / col(s"n$p") - mcP)
+    def varS(p: String, a: String, b: String) =
+      (d(col(s"n$p")) * col(s"s$a$b$p") -
+        d(col(s"s$a$p")) * col(s"s$b$p")) /
+        (d(col(s"n$p")) * (d(col(s"n$p")) - lit(1.0)))
+    def varS2(p: String) =
+      (d(col(s"n$p")) * col(s"sxc$p") -
+        d(col(s"sx$p")) * col(s"sc$p")) /
+        (d(col(s"n$p")) * (d(col(s"n$p")) - lit(1.0)))
+    def varY(p: String) = varS(p, "x", "x") -
+      lit(2.0) * theta * varS2(p) + theta * theta * varS(p, "c", "c")
+    val seAdj = sqrt(varY("_c") / col("n_c") + varY("_t") / col("n_t"))
+    val diffAdj = meanY("_t") - meanY("_c")
+    piv.select(col("n_c"), col("n_t"),
+      round(theta, 8).as("theta"),
+      round(meanY("_c"), 8).as("mean_adj_c"),
+      round(meanY("_t"), 8).as("mean_adj_t"),
+      round(diffAdj, 8).as("diff_adj"),
+      round(seAdj, 8).as("se_adj"),
+      round(diffAdj / seAdj, 8).as("z_adj"),
+      round((varY("_c") * (d(col("n_c")) - 1) +
+        varY("_t") * (d(col("n_t")) - 1)) /
+        ((varS("_c", "x", "x") * (d(col("n_c")) - 1) +
+          varS("_t", "x", "x") * (d(col("n_t")) - 1))), 8)
+        .as("var_ratio"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c43_stream_guardrails" -> ((s, dir) => {
       import s.implicits._
@@ -422,54 +479,7 @@ object Surface27Queries {
         .groupBy("user_id")
         .agg(sum(col("x")).as("x"), sum(col("c")).as("c"))
         .select((col("user_id") % 2).as("grp"), col("x"), col("c"))
-      val g = perUser.groupBy("grp").agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("c")).as("sc"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("c") * col("c")).as("scc"),
-        sum(col("x") * col("c")).as("sxc"))
-      def side(p: String, grp: Int) = Seq("n", "sx", "sc", "sxx",
-        "scc", "sxc").map(m =>
-        max(when(col("grp") === grp, col(m))).as(s"$m$p"))
-      val piv = g.agg((side("_c", 0) ++ side("_t", 1)).head,
-        (side("_c", 0) ++ side("_t", 1)).tail: _*)
-      // pooled moments: integer sums of the two sides
-      def pool(m: String) = col(s"${m}_c") + col(s"${m}_t")
-      val nP = d(pool("n"))
-      val covP = (d(pool("sxc")) - d(pool("sx")) * pool("sc") / nP) / nP
-      val varcP = (d(pool("scc")) - d(pool("sc")) * pool("sc") / nP) / nP
-      val varxP = (d(pool("sxx")) - d(pool("sx")) * pool("sx") / nP) / nP
-      val theta = covP / varcP
-      val mcP = d(pool("sc")) / nP
-      // per-side adjusted mean and variance in CLOSED FORM from the
-      // same integer moments (no per-user double ever aggregated):
-      // mean_y = mean_x - θ(mean_c - mc_pooled);
-      // var_y = var_x - 2θcov + θ²var_c (sample, n-1)
-      def meanY(p: String) = d(col(s"sx$p")) / col(s"n$p") -
-        theta * (d(col(s"sc$p")) / col(s"n$p") - mcP)
-      def varS(p: String, a: String, b: String) =
-        (d(col(s"n$p")) * col(s"s$a$b$p") -
-          d(col(s"s$a$p")) * col(s"s$b$p")) /
-          (d(col(s"n$p")) * (d(col(s"n$p")) - lit(1.0)))
-      def varY(p: String) = varS(p, "x", "x") -
-        lit(2.0) * theta * varS2(p) + theta * theta * varS(p, "c", "c")
-      def varS2(p: String) =
-        (d(col(s"n$p")) * col(s"sxc$p") -
-          d(col(s"sx$p")) * col(s"sc$p")) /
-          (d(col(s"n$p")) * (d(col(s"n$p")) - lit(1.0)))
-      val seAdj = sqrt(varY("_c") / col("n_c") + varY("_t") / col("n_t"))
-      val diffAdj = meanY("_t") - meanY("_c")
-      piv.select(col("n_c"), col("n_t"),
-        round(theta, 8).as("theta"),
-        round(meanY("_c"), 8).as("mean_adj_c"),
-        round(meanY("_t"), 8).as("mean_adj_t"),
-        round(diffAdj, 8).as("diff_adj"),
-        round(seAdj, 8).as("se_adj"),
-        round(diffAdj / seAdj, 8).as("z_adj"),
-        round((varY("_c") * (d(col("n_c")) - 1) +
-          varY("_t") * (d(col("n_t")) - 1)) /
-          ((varS("_c", "x", "x") * (d(col("n_c")) - 1) +
-            varS("_t", "x", "x") * (d(col("n_t")) - 1))), 8)
-          .as("var_ratio"))
+      cupedPanel(perUser)
     }),
 
     "e167_int8_quant" -> ((s, dir) => {
@@ -513,7 +523,7 @@ object Surface27Queries {
     * TEXTUALLY so both engines evaluate identical IEEE operation
     * trees (round(_, 8) absorbs fma contraction, the q19 discipline).
     */
-  private def cupedOracle: String = {
+  private[queries] def cupedOracle: String = {
     def pool(m: String) = s"(${m}_c + ${m}_t)"
     val np = s"CAST(${pool("n")} AS DOUBLE)"
     val covP = s"((CAST(${pool("sxc")} AS DOUBLE) - " +

@@ -445,4 +445,67 @@ class OperatorsSpec extends SparkSpec {
       .where(col("n") > 1).count()
     assert(perDocStraddle > 0L)
   }
+
+  test("semDedup agrees with a brute-force reference on a twin fixture " +
+    "(E1)") {
+    // 10 spread-out base vectors plus near-identical twins of the
+    // first two (tiny perturbation keeps cosine ≈ 1 and the pair
+    // inside one cluster) — the brute-force reference recomputes
+    // cells, centroid scores and pair cosines with the operator's
+    // exact arithmetic (plain-double left fold for scores, fixed-point
+    // longs for pair dots) and replays the prune rule independently.
+    val cents = Similarity.syntheticCentroids(2, 8)
+    val base = (1L to 10L).map(i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 17 + j * 3).toFloat))
+    val twin = (id: Long, src: Int) => id -> base(src)._2.zipWithIndex
+      .map { case (v, j) => if (j == 0) v + 1e-4f else v }
+    val rows = base ++ Seq(twin(101L, 0), twin(102L, 1))
+    val out = Dedup.semDedup(vecDf(rows: _*), "vec_id", "embedding",
+        cents, 0.95)
+      .select("vec_id", "cell", "cscore", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === rows.size)
+    // reference: same arithmetic, independent (driver-side) plumbing
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    def cos(a: Seq[Float], b: Seq[Float]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def dotFixed(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).foldLeft(0L)((acc, p) =>
+        acc + math.floor(p._1.toDouble * p._2.toDouble * 1e7).toLong)
+    def cosFixed(a: Seq[Float], b: Seq[Float]) =
+      (dotFixed(a, b).toDouble / 1e7) /
+        (math.sqrt(dotFixed(a, a).toDouble / 1e7) *
+          math.sqrt(dotFixed(b, b).toDouble / 1e7))
+    // cell = argmax (score, j) lexicographic — ties to the higher j,
+    // the greatest-struct total order ivfCell realizes
+    def cellOf(v: Seq[Float]) = cents.zipWithIndex
+      .map { case (c, j) => (cos(v, c), j) }.max._2.toLong
+    val cells = rows.map { case (id, v) => id -> cellOf(v) }.toMap
+    val cscores = rows.map { case (id, v) =>
+      id -> cents.map(c => cos(v, c)).max }.toMap
+    val losers = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && cells(ia) == cells(ib) && cosFixed(va, vb) > 0.95
+    } yield if (cscores(ia) > cscores(ib)) ia
+      else if (cscores(ia) < cscores(ib)) ib
+      else math.max(ia, ib)).toSet
+    // the planted twins must actually exercise the prune path
+    assert(losers.nonEmpty, "fixture produced no near-dup pairs")
+    rows.foreach { case (id, _) =>
+      val (_, cell, cscore, keep) = out(id)
+      assert(cell === cells(id), s"cell mismatch for $id")
+      assert(math.abs(cscore - cscores(id)) < 5e-9,
+        s"cscore mismatch for $id: $cscore vs ${cscores(id)}")
+      assert(keep === !losers(id), s"keep mismatch for $id")
+    }
+    // survivors re-deduped are all kept (idempotence on the kept set)
+    val keptIds = out.values.filter(_._4).map(_._1).toSet
+    val again = Dedup.semDedup(
+        vecDf(rows.filter(r => keptIds(r._1)): _*),
+        "vec_id", "embedding", cents, 0.95)
+      .where(!col("keep")).count()
+    assert(again === 0L, "semDedup not idempotent on its survivor set")
+  }
 }

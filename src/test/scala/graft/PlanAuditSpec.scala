@@ -301,13 +301,34 @@ class PlanAuditSpec extends SparkSpec {
     val n = SparkEntry.queries.size
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       "oracleSql keys must mirror queries keys")
-    val readme = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("README.md")))
-    assert(readme.contains(s"($n queries"),
+    def doc(path: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    assert(doc("README.md").contains(s"($n queries"),
       s"README.md judged-query count drifted from $n")
-    val scale = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("SCALE.md")))
-    assert(scale.contains(s"$n queries"),
+    assert(doc("SCALE.md").contains(s"$n queries"),
       s"SCALE.md judged-query count drifted from $n")
+    assert(doc("COVERAGE.md").contains(s"$n queries"),
+      s"COVERAGE.md judged-query count drifted from $n")
+  }
+
+  /** The bloom-pruned-join gate: the probe side must carry the
+    * `might_contain` pre-filter before the join shuffle — the
+    * scan-pruning lever a 100 TB shuffle join depends on. Two judged
+    * forms exist: q92_runtime_filter (optimizer-injected,
+    * InjectRuntimeFilter) REQUIREs the probe in its own plan at
+    * construction — building `executedPlans` above already runs that
+    * gate, so a regression fails this suite — and q106_bloom_semi
+    * (cross-job driver-built filter) returns the pruned plan lazily,
+    * asserted here directly alongside the PushedFilters check.
+    */
+  test("bloom-pruned joins carry might_contain on the probe side") {
+    val q106 = executedPlans.toMap.apply("q106_bloom_semi").toString
+    assert(q106.contains("might_contain"),
+      "driver-built bloom probe missing from q106_bloom_semi's plan")
+    // q92's in-query require ran during executedPlans construction;
+    // assert it is present in the surface so the gate can't silently
+    // drop out with a query rename
+    assert(executedPlans.exists(_._1 == "q92_runtime_filter"),
+      "q92_runtime_filter (the InjectRuntimeFilter gate) left the surface")
   }
 }

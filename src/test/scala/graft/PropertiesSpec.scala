@@ -201,4 +201,69 @@ class PropertiesSpec extends SparkSpec {
       out.foreach(p => assert(p._3 === counts((p._1, p._2))))
     }
   }
+
+  // finite floats spanning signs, zeros and denormal-ish magnitudes —
+  // the vec-kernel contracts below must hold on ALL of them
+  private val finiteFloat: Gen[Float] = Gen.oneOf(
+    Gen.choose(-10f, 10f), Gen.oneOf(0f, -0f, 1e-30f, -1e-30f, 3f, -7f))
+  private val vecGen: Gen[List[Float]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, finiteFloat))
+
+  test("native vec_dot: (a,a) ≥ 0, equals the declarative fold " +
+    "bit-for-bit, NULL on length mismatch / null element") {
+    graft.functions.GraftFunctions.register(spark)
+    samples(Gen.zip(vecGen, vecGen), 8).foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      // self-dot is a sum of squares — never negative
+      val self = df.select(call_function("vec_dot", col("a"), col("a")))
+        .as[Double].head()
+      assert(self >= 0.0, s"vec_dot(a,a) = $self < 0 for $a")
+      if (a.length == b.length) {
+        // bit-for-bit the aggregate(zip_with(...)) fold it replaces
+        val (native, fold) = df.select(
+          call_function("vec_dot", col("a"), col("b")),
+          aggregate(zip_with(col("a"), col("b"),
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, p) => acc + p))
+          .as[(Double, Double)].head()
+        assert(java.lang.Double.doubleToLongBits(native) ===
+          java.lang.Double.doubleToLongBits(fold),
+          s"native $native != fold $fold for ($a, $b)")
+      } else {
+        // ragged lengths → NULL (the r16 semantics contract)
+        assert(df.select(call_function("vec_dot", col("a"), col("b")))
+          .head().isNullAt(0), s"ragged ($a, $b) must be NULL")
+      }
+    }
+    // a null ELEMENT nulls the whole dot, on eval and codegen paths
+    val withNull = spark.sql("SELECT vec_dot(" +
+      "array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+      "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)))")
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("native vec_sign_ham: symmetric, 0 ≤ h ≤ min-length, " +
+    "self-distance 0, NaN counts as non-negative (oracle formula)") {
+    graft.functions.GraftFunctions.register(spark)
+    val nanFloat: Gen[Float] = Gen.oneOf(finiteFloat,
+      Gen.const(Float.NaN))
+    val nanVec: Gen[List[Float]] =
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, nanFloat))
+    samples(Gen.zip(nanVec, nanVec), 8).foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val (ab, ba, aa) = df.select(
+        call_function("vec_sign_ham", col("a"), col("b")),
+        call_function("vec_sign_ham", col("b"), col("a")),
+        call_function("vec_sign_ham", col("a"), col("a")))
+        .as[(Long, Long, Long)].head()
+      assert(ab === ba, s"asymmetric: $ab != $ba for ($a, $b)")
+      assert(aa === 0L, s"self-distance $aa != 0 for $a")
+      assert(ab >= 0L && ab <= math.min(a.length, b.length))
+      // the SQL-oracle sign formula: NaN sorts ABOVE all values in
+      // DuckDB's x >= 0, so a NaN element is a non-negative sign bit
+      def sign(v: Float) = java.lang.Float.isNaN(v) || v >= 0f
+      val expect = a.zip(b).count(p => sign(p._1) != sign(p._2)).toLong
+      assert(ab === expect, s"NaN contract: $ab != $expect for ($a, $b)")
+    }
+  }
 }
