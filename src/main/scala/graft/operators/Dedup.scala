@@ -485,20 +485,31 @@ object Dedup {
     * self-join is then a bucket-local equi-join on a key the corpus can
     * be partitioned by, and the centroid matrix (k × dim floats) ships
     * as plan literals / a broadcast — exactly the e2_ivf index layout.
+    * At large k the kernel hooks swap in the native codegen `vec_dot`
+    * ([[graft.functions.FloatVecDot]]) for both the k-wide assignment
+    * scan and the pair stage — the default higher-order folds exist for
+    * exact cross-engine (oracle) reproducibility, the native kernels
+    * for the hot loop (see SCALE.md's ×10/×100 semdedup rows).
     */
   def semDedup(corpus: DataFrame, id: String, vec: String,
-               centroids: Seq[Seq[Float]], minCosine: Double): DataFrame = {
+               centroids: Seq[Seq[Float]], minCosine: Double,
+               scorer: (Column, Column) => Column = Similarity.cosine,
+               selfDot: Column => Column =
+                 v => Similarity.dotFixedLong(v, v),
+               pairCosine: (Column, Column, Column, Column) => Column =
+                 (a, b, na, nb) => Similarity.cosineFromFixed(
+                   Similarity.dotFixedLong(a, b), na, nb)): DataFrame = {
     val base = corpus.select(col(id), col(vec),
-      Similarity.ivfCell(col(vec), centroids).cast(LongType).as("cell"),
-      Similarity.ivfCellScore(col(vec), centroids).as("cscore"),
-      Similarity.dotFixedLong(col(vec), col(vec)).as("__nf"))
+      Similarity.ivfCell(col(vec), centroids, scorer)
+        .cast(LongType).as("cell"),
+      Similarity.ivfCellScore(col(vec), centroids, scorer).as("cscore"),
+      selfDot(col(vec)).as("__nf"))
     def side(tag: String) = base.select(col(id).as(s"id_$tag"),
       col(vec).as(s"v_$tag"), col("cell"), col("cscore").as(s"cs_$tag"),
       col("__nf").as(s"nf_$tag"))
     val losers = side("a").join(side("b"), Seq("cell"))
       .where(col("id_a") < col("id_b"))
-      .where(Similarity.cosineFromFixed(
-        Similarity.dotFixedLong(col("v_a"), col("v_b")),
+      .where(pairCosine(col("v_a"), col("v_b"),
         col("nf_a"), col("nf_b")) > minCosine)
       .select(when(col("cs_a") > col("cs_b"), col("id_a"))
         .when(col("cs_a") < col("cs_b"), col("id_b"))

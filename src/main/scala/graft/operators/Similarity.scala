@@ -278,9 +278,10 @@ object Similarity {
     * partitioned by `ivf_cell` so a probe reads only `nprobe`
     * partitions.
     */
-  def ivfCell(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+  def ivfCell(vec: Column, centroids: Seq[Seq[Float]],
+              scorer: (Column, Column) => Column = cosine): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+      struct(scorer(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
     }
     greatest(scored: _*).getField("i")
   }
@@ -292,8 +293,9 @@ object Similarity {
     * the diversity. Same max the greatest-struct in [[ivfCell]] takes,
     * read on the score side.
     */
-  def ivfCellScore(vec: Column, centroids: Seq[Seq[Float]]): Column =
-    greatest(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
+  def ivfCellScore(vec: Column, centroids: Seq[Seq[Float]],
+                   scorer: (Column, Column) => Column = cosine): Column =
+    greatest(centroids.map(c => scorer(vec, array(c.map(lit): _*))): _*)
 
   /** Multi-probe cell list: the `nprobe` best cells for a vector,
     * ordered by descending cosine with ties to the higher index — the

@@ -19,10 +19,11 @@ import graft.streaming.StatefulOps
   *    (equi-join on the cell key, no cross-cluster pairs, never
   *    all-pairs), and of a near-dup pair the member CLOSER to its
   *    centroid is pruned — the paper keeps cluster-edge members to
-  *    preserve diversity. Pair cosines ride the fixed-point fold with
-  *    hoisted self-norms (one 64-wide fold per pair, the e60
-  *    discipline); centroid scores are the plain double fold the
-  *    oracle's list_reduce reproduces bit-for-bit. At 100 TB the
+  *    preserve diversity. Pair cosines ride the native codegen
+  *    `vec_dot` with hoisted self-norms (one kernel call per pair, the
+  *    e60/e1_embed_neardup discipline); both they and the centroid
+  *    scores are the plain left-to-right double fold the oracle's
+  *    list_reduce reproduces bit-for-bit. At 100 TB the
   *    centroid count scales with the corpus (the paper runs k ≈ 50k)
   *    so clusters stay O(1) and the corpus partitions by cell.
   *  - `c45_stream_cuped` — e170's CUPED panel through the REAL
@@ -54,10 +55,22 @@ object Surface28Queries {
   private val semThreshold = 0.3
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e174_semdedup" -> ((s, dir) =>
+    // Pair stage through the native codegen vec_dot (the e1_embed_neardup
+    // discipline: the left-to-right double fold is bit-agreed with the
+    // oracle's list_reduce, and the kernel skips the per-pair zipped-array
+    // allocation the HOF fold pays — the x10 study measured the default
+    // fixed-point HOF pair stage at 519 s vs ~13 s native)
+    "e174_semdedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vd = (a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =>
+        call_function("vec_dot", a, b)
       Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         Similarity.syntheticCentroids(SimilarityQueries.ivfN, 64),
-        semThreshold)),
+        semThreshold,
+        selfDot = v => vd(v, v),
+        pairCosine = (a, b, na, nb) => vd(a, b) / (sqrt(na) * sqrt(nb)))
+    }),
 
     "c45_stream_cuped" -> ((s, dir) => {
       import s.implicits._
@@ -115,31 +128,19 @@ object Surface28Queries {
 
   // ---- oracles ----
 
-  /** Fixed-point pair dot as SQL: term-for-term the
-    * [[Similarity.dotFixedLong]] fold (floor of an identical IEEE
-    * product, summed as exact longs — order-independent).
-    */
-  private def fixedDotSql(a: String, b: String) =
-    s"""list_reduce(list_transform(generate_series(1, 64),
-        i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
-          * 1e7) AS BIGINT)),
-        (acc, x) -> acc + x)"""
-
   private def semDedupSql: String = {
-    import SimilarityQueries.{ivfCellSql, ivfMaxScoreSql}
+    import SimilarityQueries.{foldDot, ivfCellSql, ivfMaxScoreSql}
     s"""WITH a AS (SELECT vec_id,
            CAST(${ivfCellSql("embedding")} AS BIGINT) AS cell,
            ${ivfMaxScoreSql("embedding")} AS cscore,
-           ${fixedDotSql("embedding", "embedding")} AS nf,
+           ${foldDot("embedding", "embedding")} AS nf,
            embedding
          FROM embeddings),
        p AS (SELECT x.vec_id AS ida, y.vec_id AS idb,
            x.cscore AS ca, y.cscore AS cb
          FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
-         WHERE (CAST(${fixedDotSql("x.embedding", "y.embedding")}
-             AS DOUBLE) / 1e7) /
-           (sqrt(CAST(x.nf AS DOUBLE) / 1e7) *
-            sqrt(CAST(y.nf AS DOUBLE) / 1e7)) > $semThreshold),
+         WHERE ${foldDot("x.embedding", "y.embedding")} /
+           (sqrt(x.nf) * sqrt(y.nf)) > $semThreshold),
        losers AS (SELECT DISTINCT CASE WHEN ca > cb THEN ida
            WHEN ca < cb THEN idb ELSE greatest(ida, idb) END AS vec_id
          FROM p)

@@ -507,5 +507,18 @@ class OperatorsSpec extends SparkSpec {
         "vec_id", "embedding", cents, 0.95)
       .where(!col("keep")).count()
     assert(again === 0L, "semDedup not idempotent on its survivor set")
+    // the native-kernel form (the judged e174 configuration: vec_dot
+    // pair stage, hoisted self-norms) decides the same survivor set
+    graft.functions.GraftFunctions.register(spark)
+    val vd = (a: org.apache.spark.sql.Column,
+              b: org.apache.spark.sql.Column) =>
+      call_function("vec_dot", a, b)
+    val nativeKept = Dedup.semDedup(vecDf(rows: _*), "vec_id",
+        "embedding", cents, 0.95,
+        selfDot = v => vd(v, v),
+        pairCosine = (a, b, na, nb) => vd(a, b) / (sqrt(na) * sqrt(nb)))
+      .where(col("keep")).select("vec_id").as[Long].collect().toSet
+    assert(nativeKept === keptIds,
+      "native-kernel semDedup disagrees with the default fold form")
   }
 }

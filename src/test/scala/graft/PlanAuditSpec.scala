@@ -270,12 +270,12 @@ class PlanAuditSpec extends SparkSpec {
     val plans = executedPlans.toMap
     // assert on the scan's pushed-filter SET (both predicates present,
     // any order) — a plan-string prefix match breaks on harmless
-    // list-ordering changes across Spark versions
-    val q1Pushed = plans("q1_agg").collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.metadata.getOrElse("PushedFilters", "[]")
-          .stripPrefix("[").stripSuffix("]").split(", ").toSeq
-    }.flatten
+    // list-ordering changes across Spark versions. Extracted from the
+    // rendered tree because AQE wraps the scan in AdaptiveSparkPlanExec
+    // (collectLeaves does not descend into adaptive subtrees).
+    val q1Pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plans("q1_agg").toString)
+      .flatMap(_.group(1).split(", ")).map(_.trim).toSeq
     assert(q1Pushed.contains("IsNotNull(l_shipdate)") &&
       q1Pushed.exists(_.startsWith("LessThanOrEqual(l_shipdate")),
       s"q1_agg's shipdate predicates no longer reach the scan " +
