@@ -121,4 +121,13 @@ object Graft {
   def semDedup(corpus: DataFrame, id: String, vec: String,
                centroids: Seq[Seq[Float]], minCosine: Double): DataFrame =
     graft.operators.Dedup.semDedup(corpus, id, vec, centroids, minCosine)
+
+  /** Incremental (delta-vs-corpus) SemDeDup forwarding — see
+    * [[graft.operators.Dedup.semDedupDelta]].
+    */
+  def semDedupDelta(delta: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, centroids: Seq[Seq[Float]],
+                    minCosine: Double): DataFrame =
+    graft.operators.Dedup.semDedupDelta(delta, corpus, id, vec,
+      centroids, minCosine)
 }

@@ -520,4 +520,47 @@ object Dedup {
       .select(col(id), col("cell"), round(col("cscore"), 8).as("cscore"),
         col("__pruned").isNull.as("keep"))
   }
+
+  /** Incremental SemDeDup — the ingest-admission form (the
+    * [[minhashCandidatePairsBetween]] discipline applied to
+    * embedding space): each NEW document is checked against the
+    * EXISTING corpus only, never corpus × corpus. Both sides are
+    * assigned to their IVF cell; the candidate set is a LEFT equi-join
+    * on the cell key (a delta doc in an empty cell admits trivially),
+    * and a delta doc is rejected iff any cluster-mate corpus doc sits
+    * above the cosine threshold. Output: one row per delta doc —
+    * `(id, cell, n_matches, admitted)` with `n_matches` the exact
+    * count of corpus near-dups.
+    *
+    * Scale shape (100 TB corpus + daily delta): the corpus is stored
+    * partitioned by cell, so the join reads only the delta's cells;
+    * per-delta work is one cell's corpus members (O(1) rows when the
+    * centroid count scales with the corpus). Kernel hooks as in
+    * [[semDedup]].
+    */
+  def semDedupDelta(delta: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, centroids: Seq[Seq[Float]],
+                    minCosine: Double,
+                    scorer: (Column, Column) => Column = Similarity.cosine,
+                    selfDot: Column => Column =
+                      v => Similarity.dotFixedLong(v, v),
+                    pairCosine: (Column, Column, Column, Column) => Column =
+                      (a, b, na, nb) => Similarity.cosineFromFixed(
+                        Similarity.dotFixedLong(a, b), na, nb)): DataFrame = {
+    val dl = delta.select(col(id), col(vec),
+      Similarity.ivfCell(col(vec), centroids, scorer)
+        .cast(LongType).as("cell"),
+      selfDot(col(vec)).as("__nfd"))
+    val cp = corpus.select(col(vec).as("__cvec"),
+      Similarity.ivfCell(col(vec), centroids, scorer)
+        .cast(LongType).as("cell"),
+      selfDot(col(vec)).as("__nfc"))
+    dl.join(cp, Seq("cell"), "left")
+      .groupBy(col(id), col("cell"))
+      .agg(sum(when(pairCosine(col(vec), col("__cvec"),
+          col("__nfd"), col("__nfc")) > minCosine, 1L)
+        .otherwise(0L)).as("n_matches"))
+      .select(col(id), col("cell"), col("n_matches"),
+        (col("n_matches") === 0L).as("admitted"))
+  }
 }

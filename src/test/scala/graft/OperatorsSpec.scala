@@ -521,4 +521,47 @@ class OperatorsSpec extends SparkSpec {
     assert(nativeKept === keptIds,
       "native-kernel semDedup disagrees with the default fold form")
   }
+
+  test("semDedupDelta admits exactly the delta docs with no corpus " +
+    "near-dup in their cell (E1)") {
+    val cents = Similarity.syntheticCentroids(2, 8)
+    val corpus = (1L to 10L).map(i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 17 + j * 3).toFloat))
+    // delta: near-twins of corpus docs 1 and 2, plus one fresh vector
+    val delta = Seq(
+      101L -> corpus(0)._2.updated(0, corpus(0)._2.head + 1e-4f),
+      102L -> corpus(1)._2.updated(0, corpus(1)._2.head + 1e-4f),
+      103L -> Seq.tabulate(8)(j => math.cos(j * 7 + 1).toFloat))
+    val out = Dedup.semDedupDelta(vecDf(delta: _*), vecDf(corpus: _*),
+        "vec_id", "embedding", cents, 0.95)
+      .select("vec_id", "cell", "n_matches", "admitted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size === delta.size,
+      "one decision row per delta doc, corpus rows never emitted")
+    // brute reference with the operator's default arithmetic
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    def cos(a: Seq[Float], b: Seq[Float]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def dotF(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).foldLeft(0L)((acc, p) =>
+        acc + math.floor(p._1.toDouble * p._2.toDouble * 1e7).toLong)
+    def cosF(a: Seq[Float], b: Seq[Float]) =
+      (dotF(a, b).toDouble / 1e7) /
+        (math.sqrt(dotF(a, a).toDouble / 1e7) *
+          math.sqrt(dotF(b, b).toDouble / 1e7))
+    def cellOf(v: Seq[Float]) = cents.zipWithIndex
+      .map { case (c, j) => (cos(v, c), j) }.max._2.toLong
+    delta.foreach { case (id, v) =>
+      val (cell, n, admitted) = out(id)
+      assert(cell === cellOf(v), s"cell mismatch for $id")
+      val expect = corpus.count { case (_, cv) =>
+        cellOf(cv) == cell && cosF(v, cv) > 0.95 }
+      assert(n === expect.toLong, s"n_matches mismatch for $id")
+      assert(admitted === (expect == 0), s"admitted mismatch for $id")
+    }
+    // the twins must be rejected, the fresh vector admitted
+    assert(!out(101L)._3 && !out(102L)._3 && out(103L)._3)
+  }
 }

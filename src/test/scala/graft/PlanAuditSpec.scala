@@ -194,7 +194,9 @@ class PlanAuditSpec extends SparkSpec {
       "crossJoin against the broadcast 1-row day-count scalar",
     "e172_changepoint" ->
       ("prefix-sum triangle over the calendar-bounded day spine (the " +
-        "q123 shape) plus the broadcast 1-row (n, s) totals")
+        "q123 shape) plus the broadcast 1-row (n, s) totals"),
+    "e175_fdr" ->
+      "crossJoin against the broadcast 1-row BH k* scalar"
     // e154_mmr_diversify: every greedy step is a localCheckpointed
     // 1-row frame, so its bounded shapes (the 10-row pairwise-sim
     // triangle, exclusion joins vs 1-row selections) execute at
@@ -240,12 +242,28 @@ class PlanAuditSpec extends SparkSpec {
     * `WindowExec: No Partition Defined` warning is a scale defect
     * unless the windowed frame is provably tiny.
     */
-  private val serialWindowWhitelist: Map[String, String] = Map.empty
+  private val serialWindowWhitelist: Map[String, String] = Map(
+    "e175_fdr" ->
+      ("BH step-up rank over the m=5 metric panel — the windowed " +
+        "frame is bounded by the event-type DOMAIN, not the data"))
+
+  /** Structural traversal that DESCENDS INTO AdaptiveSparkPlanExec —
+    * plain `collect` treats the AQE wrapper as a leaf, which had left
+    * every adaptive plan invisible to structural gates (caught r18
+    * when e175's whitelisted serial window was reported stale).
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case other => other.children.flatMap(allNodes)
+    })
 
   test("no unpartitioned (single-task) window in any judged plan") {
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = executedPlans.flatMap { case (name, p) =>
-      val bad = p.collect {
+      val bad = allNodes(p).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
       if (bad.nonEmpty) Some(name) else None
