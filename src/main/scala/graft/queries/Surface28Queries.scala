@@ -42,6 +42,8 @@ import graft.streaming.StatefulOps
   *    per-event-type Welch-z guardrail panel (see the query comment).
   *  - `e176_semdedup_delta` — e174's ingest-admission (delta-vs-corpus)
   *    form, the minhash-incremental discipline in embedding space.
+  *  - `c46_stream_admission` — e176 through the real micro-batch
+  *    engine (stream-static admission; see the query comment).
   *
   *  The r17 verdict's bloom-pruned-join item turned out to be ALREADY
   *  covered — the sibling check found `q92_runtime_filter` proving the
@@ -166,6 +168,50 @@ object Surface28Queries {
         semThreshold,
         selfDot = v => vd(v, v),
         pairCosine = (a, b, na, nb) => vd(a, b) / (sqrt(na) * sqrt(nb)))
+    }),
+
+    // e176's streaming twin — the production INGEST-ADMISSION pipeline:
+    // new documents arrive as a stream and each micro-batch is admitted
+    // against the STATIC corpus index (stream-static, the c14 join
+    // class; admission is per-doc so no state store is needed and the
+    // two-chunk split is semantically invisible). Judged on e176's
+    // batch oracle verbatim; the append image collapses by distinct()
+    // over the exact-typed decision columns, so an at-least-once retry
+    // can never change the answer (idempotent admission).
+    "c46_stream_admission" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vd = (a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =>
+        call_function("vec_dot", a, b)
+      val all = t(s, dir, "embeddings")
+      val delta = all.where(col("vec_id") % 4 === 0)
+        .select("vec_id", "embedding")
+      val corpus = all.where(col("vec_id") % 4 =!= 0)
+      val feed = Stage.durableChunkFeed("feed-c46", dir)(Seq(
+        delta.where(col("vec_id") % 8 === 0),
+        delta.where(col("vec_id") % 8 =!= 0)))
+      val tmp = Stage.tempDir("graft-c46-").toString
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+      val cents = Similarity.syntheticCentroids(SimilarityQueries.ivfN, 64)
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dedup.semDedupDelta(batch, corpus, "vec_id", "embedding",
+              cents, semThreshold,
+              selfDot = v => vd(v, v),
+              pairCosine = (a, b, na, nb) =>
+                vd(a, b) / (sqrt(na) * sqrt(nb)))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow).start()
+        .awaitTermination()
+      s.read.parquet(out).distinct()
     }),
 
     "c45_stream_cuped" -> ((s, dir) => {
@@ -317,5 +363,6 @@ object Surface28Queries {
     "e174_semdedup" -> semDedupSql,
     "e175_fdr" -> fdrSql,
     "e176_semdedup_delta" -> semDedupDeltaSql,
+    "c46_stream_admission" -> semDedupDeltaSql,
     "c45_stream_cuped" -> Surface27Queries.cupedOracle)
 }

@@ -92,6 +92,14 @@ class Surface28Spec extends SparkSpec {
       s"degenerate fixture: k* = $kStar rejects every metric")
   }
 
+  test("c46 streaming admission equals the e176 batch decision set") {
+    val batch = SparkEntry.queries("e176_semdedup_delta")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("c46_stream_admission")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+  }
+
   test("e176: every delta doc decided once; admitted iff zero matches; " +
     "corpus docs never emitted") {
     val out = SparkEntry.queries("e176_semdedup_delta")(spark, dir)
