@@ -35,11 +35,21 @@ def main():
     old_comment = ref.pop("comment", "")
     names = sorted(set(r1) | set(r2))
     new, raised, added, lowered = {}, [], [], []
+    single = []
     for q in names:
         vals = [r[q] for r in (r1, r2) if q in r]
         prior = ref.get(q)
         m = min(vals + ([prior] if prior is not None else []))
-        if all(v > m * BOUND for v in vals):
+        # raises and new-line entries require BOTH runs to have measured
+        # the line: "BOTH runs exceed" is vacuously true on one value,
+        # so a single contended run could raise a clean line, and a new
+        # query seen once would enter at that lone (possibly noisy)
+        # value instead of min(run1, run2).
+        if len(vals) < 2:
+            single.append(q)
+            if prior is None:
+                continue  # no line until a double run measures it
+        elif all(v > m * BOUND for v in vals):
             # lucky-window line: both runs can't reach it
             m2 = min(vals)
             raised.append((q, m, m2))
@@ -80,6 +90,9 @@ def main():
         print(f"  NEW    {q}: {v:.3f}")
     for q in stale:
         print(f"  STALE  {q} dropped (was {ref[q]})")
+    for q in single:
+        print(f"  WARN   {q}: measured by only one run - no raise/entry "
+              f"applied; rerun a full double run to cover it")
 
 
 if __name__ == "__main__":

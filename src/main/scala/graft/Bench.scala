@@ -274,7 +274,21 @@ object Bench {
     // ref.isEmpty => the envelope pass could not run; the number may be
     // fine, but nothing adjudicated it — disclose, don't vouch.
     val suspect = probeSpread > 3.0 || unadjudicated > 0 || ref.isEmpty
-    val probeJson = s""""probes":{"n":${probes.size},"min":${ms(if (probes.isEmpty) 0 else probes.min)},"max":${ms(if (probes.isEmpty) 0 else probes.max)},"spread":${ms(probeSpread)}}"""
+    // disclose the ACTIVE state-store provider (and any env override):
+    // SPARK_GRAFT_STATE_PROVIDER silently flips what the c2x streaming
+    // family measures / what the RocksDB twins exercise — a stray env
+    // var in a judged run must be visible in the recorded artifact,
+    // not only in which code path happened to execute
+    val providerEnv = sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
+    providerEnv.foreach(v => System.err.println(
+      s"WARNING: SPARK_GRAFT_STATE_PROVIDER=$v overrides the shipped " +
+        "state-store providers - this is an A/B-experiment run, not a " +
+        "judged configuration"))
+    val providerJson = jstr(
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        .map(_.split("\\.").last).getOrElse("default") +
+        providerEnv.map(v => s" (env=$v)").getOrElse(""))
+    val probeJson = s""""state_provider":$providerJson,"probes":{"n":${probes.size},"min":${ms(if (probes.isEmpty) 0 else probes.min)},"max":${ms(if (probes.isEmpty) 0 else probes.max)},"spread":${ms(probeSpread)}}"""
     // full, uncapped outlier disclosure goes to bench_detail.json only
     val fullOutlierJson = outliers.map { case (n, f, r2, rf, adj) =>
       s"""{"name":${jstr(n)},"first":${ms(f)},"rerun":${ms(r2)},"ref":${ms(rf)},"adjudicated":$adj}"""

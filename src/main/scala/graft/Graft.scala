@@ -124,6 +124,13 @@ object Graft {
 
   /** Incremental (delta-vs-corpus) SemDeDup forwarding — see
     * [[graft.operators.Dedup.semDedupDelta]].
+    *
+    * ADMISSION ONLY, not a post-ingest dedup: each delta doc is
+    * checked against the standing corpus alone — near-dup pairs
+    * entirely WITHIN the delta are all admitted, and admitted docs do
+    * not join the index for later delta docs in the same call. For a
+    * dedup'd post-ingest corpus, run [[semDedup]] over the delta (or
+    * fold the admitted docs into the corpus) as a second step.
     */
   def semDedupDelta(delta: DataFrame, corpus: DataFrame, id: String,
                     vec: String, centroids: Seq[Seq[Float]],

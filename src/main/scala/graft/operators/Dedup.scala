@@ -499,11 +499,19 @@ object Dedup {
                pairCosine: (Column, Column, Column, Column) => Column =
                  (a, b, na, nb) => Similarity.cosineFromFixed(
                    Similarity.dotFixedLong(a, b), na, nb)): DataFrame = {
+    // materialize the assignment frame ONCE: it feeds three consumers
+    // (both self-join sides + the final left join), and the k-wide
+    // centroid-assignment scan is the expensive pass at production k
+    // (≈50k) — un-checkpointed, each consumer would recompute it. A
+    // cluster pipeline would durably stage this frame (partitioned by
+    // cell) between jobs; within one invocation localCheckpoint is the
+    // same cut without a cross-query artifact.
     val base = corpus.select(col(id), col(vec),
       Similarity.ivfCell(col(vec), centroids, scorer)
         .cast(LongType).as("cell"),
       Similarity.ivfCellScore(col(vec), centroids, scorer).as("cscore"),
       selfDot(col(vec)).as("__nf"))
+      .localCheckpoint(true)
     def side(tag: String) = base.select(col(id).as(s"id_$tag"),
       col(vec).as(s"v_$tag"), col("cell"), col("cscore").as(s"cs_$tag"),
       col("__nf").as(s"nf_$tag"))
