@@ -32,7 +32,8 @@ object SparkEntry {
       Surface18Queries.all ++ Surface19Queries.all ++ Surface20Queries.all ++
       Surface21Queries.all ++ Surface22Queries.all ++
       Surface23Queries.all ++ Surface24Queries.all ++ Surface25Queries.all ++
-      Surface26Queries.all ++ Surface27Queries.all ++ Surface28Queries.all
+      Surface26Queries.all ++ Surface27Queries.all ++
+      Surface28Queries.all ++ Surface29Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -57,5 +58,6 @@ object SparkEntry {
       Surface21Queries.oracles ++ Surface22Queries.oracles ++
       Surface23Queries.oracles ++ Surface24Queries.oracles ++
       Surface25Queries.oracles ++ Surface26Queries.oracles ++
-      Surface27Queries.oracles ++ Surface28Queries.oracles
+      Surface27Queries.oracles ++ Surface28Queries.oracles ++
+      Surface29Queries.oracles
 }

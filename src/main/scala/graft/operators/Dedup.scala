@@ -439,6 +439,64 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** INCREMENTAL connected components — the ingest-admission
+    * discipline ([[minhashCandidatePairsBetween]], [[semDedupDelta]])
+    * applied to cluster MEMBERSHIP: new candidate edges merge
+    * EXISTING component labels instead of recomputing the clustering
+    * from scratch per corpus snapshot.
+    *
+    * `labels` is a prior `(id, component)` frame where each component
+    * is labeled by its minimum member id (exactly what
+    * [[connectedComponents]] returns); `edges` are the delta's
+    * candidate pairs (delta-vs-corpus and delta-internal alike).
+    *
+    * Algorithm: CONTRACT each delta edge to the endpoints' current
+    * labels (an unlabeled endpoint — a brand-new doc — labels
+    * itself), drop the edges that land inside one component, and run
+    * [[connectedComponents]] on the contracted graph. Contraction
+    * preserves connectivity, and min-label over a merged set of
+    * min-ids is the global min id, so relabeling every prior node
+    * through the resulting `label → merged-label` map yields EXACTLY
+    * the labels a from-scratch run over the unioned edge set
+    * produces (the oracle recomputes that via one recursive CTE).
+    *
+    * Scale shape (100 TB corpus + daily delta): the contracted graph
+    * is DELTA-sized (≤ |delta edges| edges over component labels, a
+    * tiny fraction of the corpus candidate graph), the iterative part
+    * runs only on it, and the corpus-sized work is exactly two hash
+    * joins — delta endpoints against the label frame, then the label
+    * frame against the delta-sized merge map. Corpus-internal pairs
+    * are never re-derived and the standing labels are never
+    * re-clustered.
+    *
+    * Returns `(id, component)` for every prior node and every delta
+    * endpoint.
+    */
+  def connectedComponentsDelta(labels: DataFrame, edges: DataFrame,
+                               a: String, b: String): DataFrame = {
+    val la = labels.select(col("id").as("__u"), col("component").as("__cu"))
+    val lb = labels.select(col("id").as("__v"), col("component").as("__cv"))
+    val contracted = edges
+      .select(col(a).as("__u"), col(b).as("__v"))
+      .join(la, Seq("__u"), "left").join(lb, Seq("__v"), "left")
+      .select(coalesce(col("__cu"), col("__u")).as("cu"),
+        coalesce(col("__cv"), col("__v")).as("cv"))
+      .where(col("cu") =!= col("cv"))
+    val merged = connectedComponents(contracted, "cu", "cv")
+      .select(col("id").as("lbl"), col("component").as("__m"))
+    // prior nodes carry their old label; delta endpoints unknown to
+    // the label frame enter labeled by themselves
+    val nodes = labels.select(col("id"), col("component").as("lbl"))
+      .unionByName(
+        edges.select(col(a).as("id")).union(edges.select(col(b).as("id")))
+          .distinct()
+          .join(labels.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("lbl")))
+    nodes.join(merged, Seq("lbl"), "left")
+      .select(col("id"),
+        coalesce(col("__m"), col("lbl")).as("component"))
+  }
+
   /** n-gram Jaccard similarity for a bounded candidate-pair set.
     * `df(id)`, `df(shingles)` (pre-distinct shingle arrays). Computes
     * |A∩B| / |A∪B| via explode + equi-join on shingle — for candidate

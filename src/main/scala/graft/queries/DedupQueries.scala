@@ -550,7 +550,7 @@ object DedupQueries {
         .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     }
 
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val sig = stagedSignatures(s, dir) // hoisted (see Stage scaladoc)
     Stage.durableFrame(s, "lsh-pairs", dir) {
       // band + self-join over the STAGED signatures: both join sides

@@ -71,6 +71,15 @@ object Surface22Queries {
     */
   val bpeCheckpointEvery = 16
 
+  /** Batched-BPE schedule parameters (e177): [[bpeBatchPasses]] passes
+    * of up to [[bpeBatchM]] merges each, candidates drawn from the
+    * per-pass top-[[bpeBatchWindow]] ranked pairs. 8×4 = the same
+    * 32-merge vocab as [[bpeIters]], at 1/4 the job count.
+    */
+  val bpeBatchPasses = 8
+  val bpeBatchM = 4
+  private[graft] val bpeBatchWindow = 12
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e113_bpe_train" -> ((s, dir) => {
       val rows = mergesFor(s, dir).map {
@@ -109,6 +118,35 @@ object Surface22Queries {
           col("subwords_total"), col("single_token_words"),
           (col("subwords_total").cast("double") /
             col("words_total").cast("double")).as("fertility"))
+    }),
+
+    // BATCHED BPE training — kills the one-job-per-merge scale
+    // ceiling of e113: each pass ranks the pair histogram ONCE, then
+    // applies up to bpeBatchM pairwise-SYMBOL-DISJOINT merges from the
+    // top-bpeBatchWindow ranked window in one chained-replace
+    // projection. The schedule is EXACT, not approximate: a pair
+    // (c,d) disjoint from (a,b) has its adjacency count invariant
+    // under applying (a,b) — merging a,b into `ab` can neither create
+    // a new c–d adjacency (the merged symbol still sits between its
+    // neighbors) nor destroy one (no c/d occurrence participates in
+    // an " a  b " window) — so every applied merge's recorded count
+    // is its true count at application time (SELECTION rule, shared
+    // verbatim with the oracle: a window pair survives iff NO
+    // strictly higher-ranked window pair shares a symbol with it;
+    // first bpeBatchM survivors by rank apply, in rank order). Rank 1
+    // always survives, so every pass makes progress. Jobs/merge =
+    // 1/bpeBatchM (one type-frame aggregate + one window-sized
+    // collect per pass) vs e113's 1 — at a production 32k-merge vocab
+    // that is the difference between 8k and 32k sequential Spark
+    // jobs. The merge table matches e113's (merge_idx, left, right,
+    // n) semantics, so the e115 apply chain consumes either.
+    "e177_bpe_batched" -> ((s, dir) => {
+      val rows = batchedMergesFor(s, dir).map {
+        case (i, p, a, b, n) => (i, p, a, b, a + b, n)
+      }
+      import s.implicits._
+      rows.toDF("merge_idx", "pass", "left_sym", "right_sym",
+        "merged", "pair_n")
     }),
 
     // SAMPLED-train BPE — the production pattern at 100 TB: merges are
@@ -538,6 +576,20 @@ object Surface22Queries {
     trainedMerges.computeIfAbsent(dir + "#s4",
       _ => bpeMerges(s, dir, bpeIters, sampled = true))
 
+  /** e177's batched merge table — (global merge_idx, pass, left,
+    * right, pair count) — trained once per dir like [[mergesFor]].
+    * Project off the pass column for an e113-shaped (idx, a, b, n)
+    * table; the apply chain consumes either.
+    */
+  private val trainedBatchedMerges =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(Long, Long, String, String, Long)]]()
+  private def batchedMergesFor(s: SparkSession, dir: String)
+      : Seq[(Long, Long, String, String, Long)] =
+    trainedBatchedMerges.computeIfAbsent(dir,
+      _ => bpeMergesBatched(initialSymbolState(s, dir), dir,
+        bpeBatchPasses, bpeBatchM, bpeBatchWindow))
+
   /** Deterministic 1-in-4 document sample: exact integer from the md5
     * hex prefix of the doc id (the e35 idiom — reproducible on any
     * partitioning, identically expressible in the oracle).
@@ -598,6 +650,67 @@ object Surface22Queries {
         val sk = if (sampled) s"bpe-state-s4-$dir-$k"
           else s"bpe-state-$dir-$k"
         state = Stage.frame(s, sk, "graft-bpe-")(cut)
+      }
+    }
+    out.result()
+  }
+
+  /** Batched-BPE trainer (e177): per pass, ONE type-frame pair
+    * aggregate + ONE `window`-row TakeOrdered collect (the model
+    * state), then a driver-side disjointness selection over the
+    * collected window and a single chained-replace projection
+    * applying the whole batch. See the e177 query comment for why the
+    * schedule is exact (disjoint pairs' counts are invariant under
+    * each other's application) and for the selection rule the oracle
+    * replays verbatim.
+    *
+    * `state0` is the char-split symbol state over the word histogram
+    * ([[initialSymbolState]] in the judged path; specs feed a toy
+    * frame); `key` scopes the lineage-cut stage names.
+    *
+    * Returns (global merge_idx, pass, left, right, pair count) in
+    * application order.
+    */
+  private[graft] def bpeMergesBatched(state0: DataFrame, key: String,
+      passes: Int, m: Int, window: Int)
+      : Seq[(Long, Long, String, String, Long)] = {
+    val s = state0.sparkSession
+    var state = state0
+    val out = Seq.newBuilder[(Long, Long, String, String, Long)]
+    var idx = 0L
+    var exhausted = false
+    for (p <- 1 to passes if !exhausted) {
+      val win = state
+        .select(col("cnt"), split(trim(col("s")), "  ").as("tk"))
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1).as("a"),
+          slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(window).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (win.isEmpty) exhausted = true
+      else {
+        // a window pair survives iff NO strictly higher-ranked window
+        // pair shares a symbol (conflict is vs ALL higher-ranked
+        // pairs, not only kept ones — the rule a NOT EXISTS self-join
+        // states identically in SQL); rank 1 always survives
+        val chosen = win.zipWithIndex.filter { case ((a, b, _), i) =>
+          !win.take(i).exists { case (xa, xb, _) =>
+            xa == a || xa == b || xb == a || xb == b }
+        }.map(_._1).take(m)
+        for ((a, b, n) <- chosen) {
+          idx += 1; out += ((idx, p.toLong, a, b, n))
+        }
+        state = state.withColumn("s",
+          chosen.foldLeft(col("s")) { case (c, (a, b, _)) =>
+            replace(c, lit(s" $a  $b "), lit(s" $a$b ")) })
+        // same lineage discipline as [[bpeMerges]]: cut the replace
+        // chain to staged parquet every ~bpeCheckpointEvery merges
+        if ((p * m) % bpeCheckpointEvery == 0 && p < passes)
+          state = Stage.frame(s,
+            s"bpe-batch-state-$key-$p", "graft-bpe-")(state)
       }
     }
     out.result()
@@ -730,6 +843,70 @@ object Surface22Queries {
        FROM seg"""
   }
 
+  /** One oracle-side batched pass (e177): pair counts from the
+    * previous state, the ranked top-window, the disjointness-selected
+    * batch (the NOT EXISTS rule — conflict vs ALL higher-ranked
+    * window pairs), and bpeBatchM replace steps chained through
+    * scalar subqueries. A step whose `k` slot is empty (pass selected
+    * fewer than bpeBatchM pairs) degrades to the identity replace via
+    * a chr(1) sentinel that never occurs in a symbol state.
+    */
+  private def bpeBatchPassCte(i: Int): String = {
+    val head = s"""bpc$i AS (
+         SELECT tk[CAST(j AS INT)] AS a, tk[CAST(j AS INT) + 1] AS b,
+           SUM(cnt) AS n
+         FROM (SELECT tk, cnt, unnest(range(1, len(tk))) AS j
+               FROM (SELECT str_split(trim(s, ' '), '  ') AS tk, cnt
+                     FROM bst${i - 1}))
+         GROUP BY 1, 2),
+       brk$i AS MATERIALIZED (
+         SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS r
+         FROM bpc$i ORDER BY n DESC, a, b LIMIT $bpeBatchWindow),
+       bsel$i AS MATERIALIZED (
+         SELECT a, b, n, r, row_number() OVER (ORDER BY r) AS k
+         FROM brk$i x
+         WHERE NOT EXISTS (SELECT 1 FROM brk$i y WHERE y.r < x.r
+           AND (y.a = x.a OR y.a = x.b OR y.b = x.a OR y.b = x.b))
+         QUALIFY k <= $bpeBatchM)"""
+    val steps = (1 to bpeBatchM).map { j =>
+      val prev = if (j == 1) s"bst${i - 1}" else s"bst${i}_${j - 1}"
+      val nm = if (j == bpeBatchM) s"bst$i" else s"bst${i}_$j"
+      s"""$nm AS MATERIALIZED (
+         SELECT replace(s,
+           coalesce((SELECT ' ' || a || '  ' || b || ' '
+             FROM bsel$i WHERE k = $j), chr(1)),
+           coalesce((SELECT ' ' || a || b || ' '
+             FROM bsel$i WHERE k = $j), chr(1))) AS s, cnt
+         FROM $prev)"""
+    }.mkString(",\n       ")
+    s"$head,\n       $steps"
+  }
+
+  private def bpeBatchedOracle: String = {
+    val passes = (1 to bpeBatchPasses).map(bpeBatchPassCte)
+      .mkString(",\n       ")
+    val rows = (1 to bpeBatchPasses).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS pass, k, a, b, n FROM bsel$i"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH w AS (
+         SELECT tk AS word, count(*) AS cnt
+         FROM (SELECT unnest($tokensSql) AS tk FROM documents)
+         WHERE len(tk) >= 2 GROUP BY tk),
+       bst0 AS MATERIALIZED (
+         SELECT '  ' || array_to_string(list_transform(
+             range(1, len(word) + 1),
+             i -> substr(word, CAST(i AS INT), 1)), '  ') || '  ' AS s,
+           cnt
+         FROM w),
+       $passes,
+       allsel AS ($rows)
+       SELECT CAST(row_number() OVER (ORDER BY pass, k) AS BIGINT)
+           AS merge_idx,
+         pass, a AS left_sym, b AS right_sym, a || b AS merged,
+         CAST(n AS BIGINT) AS pair_n
+       FROM allsel"""
+  }
+
   private def benfordOracle: String = {
     // the e0 exponent makes DuckDB parse the literal as DOUBLE via
     // strtod (correctly rounded, bit-identical to the JVM's parse); a
@@ -753,6 +930,7 @@ object Surface22Queries {
     "e113_bpe_train" -> bpeOracle,
     "e115_bpe_apply" -> bpeApplyOracle,
     "e164_bpe_sampled" -> bpeSampledOracle,
+    "e177_bpe_batched" -> bpeBatchedOracle,
     "e116_benford" -> benfordOracle,
     // judged twin of c33 — identical window, feed, and semantics; the
     // timer-fire-time label rule makes the same oracle exact

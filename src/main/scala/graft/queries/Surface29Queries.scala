@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Round-19 wave — the r18 verdict's judged-query items, sibling-
+  * checked against the 382-query surface (e177 landed in
+  * Surface22Queries beside the BPE trainer family it batches):
+  *
+  *  - `e178_ivf_pruned_probe` — the 100 TB ANN layout claim made
+  *    regression-gated fact: the corpus is STAGED PARTITIONED BY
+  *    `ivf_cell` (the layout SCALE.md prescribes — pay the write once
+  *    when the index lands), and an nprobe=2 probe reads ONLY the two
+  *    probed cells' partitions. The query itself `require`s that
+  *    every file the scan selected lives under a probed
+  *    `ivf_cell=` directory (the q87 discipline — checked on the
+  *    query's own input set, not a plan-string grep), and
+  *    PlanAuditSpec gates `PartitionFilters` on the scan node
+  *    (descending into AQE via allNodes). Judged on the existing
+  *    nprobe=2 oracle (e33's `ivfMulti2Sql`): identical top-k, now
+  *    with directory-level pruning proven instead of asserted.
+  *  - `e179_semdedup_k16` — SemDeDup at the PRODUCTION cell-size
+  *    regime: e174 judges the k=4 toy (cells grow with the corpus —
+  *    the quadratic trap the ×100 fence documents); k=16 at the same
+  *    corpus puts ~4× fewer members per cell, the regime the paper's
+  *    k ∝ N sizing maintains. Same operator, same native vec_dot
+  *    pair kernel, same threshold; the oracle swaps the k=4 CASE
+  *    chain for a score-LIST argmax (each of the 16 centroid scores
+  *    appears ONCE in the SQL; `list_max` + reversed `list_position`
+  *    reproduces the greatest-struct tie-to-higher-index rule
+  *    exactly).
+  *  - `e180_components_delta` — incremental connected components
+  *    (the verdict's item 5): delta candidate edges CONTRACT to
+  *    existing component labels and only the delta-sized contracted
+  *    graph is re-clustered; prior labels relabel through one hash
+  *    join against the merge map ([[Dedup.connectedComponentsDelta]]).
+  *    Judged on e15's recursive-CTE oracle VERBATIM — the delta path
+  *    must reproduce the from-scratch clustering of the unioned edge
+  *    set bit-for-bit, which is exactly the operator's contract.
+  */
+object Surface29Queries {
+  import Tables._
+
+  /** e179's near-dup threshold — e174's value (the corpus cosine
+    * distribution doesn't move with k; only cell membership does).
+    */
+  private val semThreshold16 = 0.3
+  private val semK16 = 16
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF probe over the cell-partitioned staged layout. The probe
+    // cells are computed DRIVER-side from the 1-row query vector
+    // (the ivfTopK qScore discipline: left-to-right double fold,
+    // ties to the higher index — the same total order the oracle's
+    // ORDER BY s DESC, j DESC realizes), so the partition filter is
+    // a LITERAL isin — static directory pruning a 1000-executor scan
+    // planner applies before listing a single data file. nprobe=2 of
+    // 4 cells ⇒ the scan may touch at most half the corpus layout.
+    "e178_ivf_pruned_probe" -> ((s, dir) => {
+      val cents = Similarity.syntheticCentroids(SimilarityQueries.ivfN, 64)
+      val stage = Stage.fixtureDir("e178-ivf-layout", dir)
+      val corpus = s"$stage/embeddings_by_cell"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$corpus/_SUCCESS"))) {
+        t(s, dir, "embeddings")
+          .withColumn("ivf_cell",
+            Similarity.ivfCell(col("embedding"), cents))
+          .write.mode("overwrite").partitionBy("ivf_cell").parquet(corpus)
+      }
+      val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      def score(c: Seq[Float]): Double = {
+        val dot = c.zip(q).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        dot / (math.sqrt(c.map(x => x.toDouble * x.toDouble).sum) *
+          math.sqrt(q.map(x => x.toDouble * x.toDouble).sum))
+      }
+      val qCells = cents.zipWithIndex
+        .map { case (c, i) => (score(c), i) }
+        .sortBy { case (sc, i) => (-sc, -i) }
+        .take(2).map(_._2)
+      val qe = array(q.map(v => lit(v)): _*)
+      val pruned = s.read.parquet(corpus)
+        .where(col("ivf_cell").isin(qCells: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), qe).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+      // directory-level pruning checked on the query's own scan (q87
+      // discipline): every selected file lives under a probed cell
+      val scanned = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray.map(_.filePath.toString)
+      }.flatten
+      require(scanned.nonEmpty &&
+        scanned.forall(p => qCells.exists(c => p.contains(s"ivf_cell=$c"))),
+        s"probe must read only cells $qCells, scanned: ${scanned.toSeq}")
+      pruned
+    }),
+
+    // SemDeDup at k=16 — the production cell-size regime, judged.
+    // Identical operator + kernel hooks to e174; only the centroid
+    // set (and with it the per-cell pair volume) changes.
+    "e179_semdedup_k16" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vd = (a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =>
+        call_function("vec_dot", a, b)
+      Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        Similarity.syntheticCentroids(semK16, 64),
+        semThreshold16,
+        selfDot = v => vd(v, v),
+        pairCosine = (a, b, na, nb) => vd(a, b) / (sqrt(na) * sqrt(nb)))
+    }),
+
+    // Incremental CC: standing labels from the corpus-internal
+    // candidate graph (doc_id % 10 ≠ 0, the e54 incremental-dedup
+    // split), delta edges = every candidate pair touching a delta
+    // doc. The output must equal e15's from-scratch clustering of
+    // the FULL candidate graph — that equality IS the judged
+    // contract (same oracle text).
+    "e180_components_delta" -> ((s, dir) => {
+      val pairs = DedupQueries.candidatePairs(s, dir)
+      val baseLabels = Stage.durableFrame(s, "cc-base", dir) {
+        Dedup.connectedComponents(
+          pairs.where(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0),
+          "id_a", "id_b")
+      }
+      val deltaEdges = pairs
+        .where(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+      Dedup.connectedComponentsDelta(baseLabels, deltaEdges,
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+    }))
+
+  // ---- oracles ----
+
+  /** k=16 centroid literals (double text of each float — parses back
+    * to the identical IEEE value in DuckDB).
+    */
+  private def centLit16: Seq[String] =
+    Similarity.syntheticCentroids(semK16, 64)
+      .map(_.map(_.toDouble.toString).mkString("[", ", ", "]"))
+
+  /** Score-list argmax form of the IVF assignment for k=16: each
+    * centroid score appears once in a LIST literal; cell = index of
+    * the LAST maximum (list_position over the reversed list), which
+    * is greatest(struct(score, idx)).getField("idx")'s tie rule;
+    * cscore = list_max. The k=4 oracles keep their CASE-chain form
+    * (shared with e2_ivf); at k=16 the chain would repeat each score
+    * O(k) times.
+    */
+  private def semDedup16Sql: String = {
+    import SimilarityQueries.foldDot
+    val scores = centLit16.map { c =>
+      s"${foldDot("embedding", c)} / (sqrt(${foldDot("embedding", "embedding")}) * sqrt(${foldDot(c, c)}))"
+    }.mkString("[", ",\n           ", "]")
+    s"""WITH s0 AS (SELECT vec_id, embedding,
+           $scores AS sl,
+           ${foldDot("embedding", "embedding")} AS nf
+         FROM embeddings),
+       a AS (SELECT vec_id, embedding, nf,
+           CAST($semK16 - list_position(list_reverse(sl), list_max(sl))
+             AS BIGINT) AS cell,
+           list_max(sl) AS cscore
+         FROM s0),
+       p AS (SELECT x.vec_id AS ida, y.vec_id AS idb,
+           x.cscore AS ca, y.cscore AS cb
+         FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         WHERE ${foldDot("x.embedding", "y.embedding")} /
+           (sqrt(x.nf) * sqrt(y.nf)) > $semThreshold16),
+       losers AS (SELECT DISTINCT CASE WHEN ca > cb THEN ida
+           WHEN ca < cb THEN idb ELSE greatest(ida, idb) END AS vec_id
+         FROM p)
+       SELECT a.vec_id, a.cell, round(a.cscore, 8) AS cscore,
+         (l.vec_id IS NULL) AS keep
+       FROM a LEFT JOIN losers l ON a.vec_id = l.vec_id"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    // identical semantics to the e33 nprobe=2 probe — the layout and
+    // its pruning are the new, plan-gated content
+    "e178_ivf_pruned_probe" -> SimilarityQueries.ivfMulti2Sql,
+    "e179_semdedup_k16" -> semDedup16Sql,
+    // the incremental path must reproduce the from-scratch clustering
+    // of the unioned edge set — e15's recursive CTE, verbatim
+    "e180_components_delta" -> DedupQueries.oracles("e15_components"))
+}

@@ -349,4 +349,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(executedPlans.exists(_._1 == "q92_runtime_filter"),
       "q92_runtime_filter (the InjectRuntimeFilter gate) left the surface")
   }
+
+  /** The IVF partition-pruning gate (r18 verdict item 2): SCALE.md's
+    * central 100 TB ANN claim — "the corpus is written partitioned by
+    * ivf_cell so a probe reads only nprobe partitions" — as a
+    * regression-gated structural fact. e178 stages the corpus
+    * partitioned by cell and probes two; its scan node must carry
+    * `PartitionFilters` on `ivf_cell` and its selected listing must
+    * touch at most the two probed cell directories. (The query's own
+    * `require` checks the file set at run time; this gate checks the
+    * PLAN, descending into AdaptiveSparkPlanExec via allNodes.)
+    */
+  test("e178's probe scan carries PartitionFilters on ivf_cell and " +
+    "lists at most the two probed cell directories") {
+    val p = executedPlans.toMap.apply("e178_ivf_pruned_probe")
+    val scans = allNodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val pruned = scans.filter(_.partitionFilters
+      .exists(_.references.exists(_.name == "ivf_cell")))
+    assert(pruned.nonEmpty,
+      s"no scan with PartitionFilters on ivf_cell:\n$p")
+    val dirs = pruned.flatMap(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString))
+      .flatMap(_.split("/").find(_.startsWith("ivf_cell=")))
+      .distinct
+    assert(dirs.nonEmpty && dirs.size <= 2,
+      s"probe listed more than nprobe=2 cell dirs: $dirs")
+  }
 }

@@ -101,6 +101,71 @@ class Surface22Spec extends SparkSpec {
       s"engine ${r.mkString(",")} != driver ($types,$wtot,$stot,$single)")
   }
 
+  test("e177: batched schedule is exact - within-pass symbol " +
+    "disjointness, and each merge's recorded count equals a " +
+    "one-at-a-time sequential recount at application time") {
+    import spark.implicits._
+    def enc(w: String) = "  " + w.map(_.toString).mkString("  ") + "  "
+    val toy = Seq(("abab", 5L), ("abcd", 4L), ("cdcd", 3L),
+      ("xyxy", 2L), ("aaaa", 2L), ("bcda", 1L), ("xaby", 1L))
+    val hist = toy.map { case (w, c) => (enc(w), c) }.toDF("s", "cnt")
+    val merges = graft.queries.Surface22Queries.bpeMergesBatched(
+      hist, "spec-toy", passes = 3, m = 3, window = 8)
+    assert(merges.nonEmpty && merges.map(_._1) == (1L to merges.size))
+    // (a) pairs applied in one pass never share a symbol (a SELF-pair
+    // like (a,a) has the one-element symbol set {a} — disjointness is
+    // pairwise set intersection, not multiset distinctness)
+    merges.groupBy(_._2).foreach { case (_, ms) =>
+      val sets = ms.map(mg => Set(mg._3, mg._4))
+      for (i <- sets.indices; j <- 0 until i)
+        assert((sets(i) intersect sets(j)).isEmpty,
+          s"pass shares symbols: $ms")
+    }
+    // (b) exactness: replay ONE merge at a time in merge_idx order;
+    // the recorded pair_n (counted on the PASS-START state) must
+    // equal the adjacent-pair recount on the state just before THIS
+    // merge applies — the disjointness invariance the batching
+    // argument rests on
+    def applyMerge(syms: List[String], a: String, b: String)
+        : List[String] = syms match {
+      case x :: y :: rest if x == a && y == b =>
+        (a + b) :: applyMerge(rest, a, b)
+      case x :: rest => x :: applyMerge(rest, a, b)
+      case Nil => Nil
+    }
+    var words = toy.map { case (w, c) => (w.map(_.toString).toList, c) }
+    merges.foreach { case (idx, _, a, b, n) =>
+      val recount = words.map { case (tks, c) =>
+        c * tks.sliding(2).count(pr => pr == List(a, b))
+      }.sum
+      assert(recount == n,
+        s"merge $idx ($a,$b): recorded $n, sequential recount $recount")
+      words = words.map { case (tks, c) => (applyMerge(tks, a, b), c) }
+    }
+  }
+
+  test("e177: first batched merge equals e113's first sequential " +
+    "merge, and the table is e113-shaped after projecting the pass") {
+    val batched = SparkEntry.queries("e177_bpe_batched")(spark, dir)
+      .orderBy("merge_idx").collect()
+    val seq1 = SparkEntry.queries("e113_bpe_train")(spark, dir)
+      .orderBy("merge_idx").head()
+    val b1 = batched.head
+    assert((b1.getString(2), b1.getString(3), b1.getLong(5)) ==
+      ((seq1.getString(1), seq1.getString(2), seq1.getLong(4))),
+      s"pass-1 rank-1 ${b1.mkString(",")} != e113 merge 1")
+    batched.foreach { r =>
+      assert(r.getString(4) == r.getString(2) + r.getString(3))
+      assert(r.getLong(5) > 0L)
+    }
+    // jobs/merge: 8 passes produced every merge in the table
+    assert(batched.map(_.getLong(1)).max <=
+      graft.queries.Surface22Queries.bpeBatchPasses)
+    assert(batched.length >
+      graft.queries.Surface22Queries.bpeBatchPasses,
+      "batching produced no more merges than passes - schedule broken")
+  }
+
   test("q115: gini in [0,1) and matches a driver-side sorted recompute") {
     val rows = SparkEntry.queries("q115_gini")(spark, dir).collect()
     val li = graft.queries.Tables.t(spark, dir, "lineitem")
