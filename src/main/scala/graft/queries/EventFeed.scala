@@ -18,6 +18,14 @@ import graft.streaming.Attribution
   * SIZE part of the judged output instead of an assertion.
   */
 object EventFeed {
+  /** Number of DATA chunks (micro-batches) the feed splits the events
+    * table into; sentinels add [[build]]'s `sentinelGaps.size` more.
+    * Folded into the fixture digest — changing it can never serve a
+    * stale staged feed. r19's streaming-floor experiment measured
+    * 2 vs 3 (see SCALE.md round-19 notes).
+    */
+  private[queries] val dataChunks = 2
+
   /** Schema of the feed files = [[Attribution.EvW]]: `ts` carries the
     * event-time watermark, `ts_us` the same instant as a long for
     * exact integer arithmetic.
@@ -69,7 +77,7 @@ object EventFeed {
     // would have to agree at all four probe points to slip through,
     // and the digest is a truncated MD5, not a 32-bit String.hashCode,
     // so accidental collisions between candidate formulas are out.
-    val probeStr = s"$perCampaign|${sentinelGaps.mkString(",")}|" +
+    val probeStr = s"n$dataChunks|$perCampaign|${sentinelGaps.mkString(",")}|" +
       Seq((0L, 3000000L), (0L, 86400000000L),
         (0L, 30L * 86400000000L),
         (1700000000000000L, 1700000000000000L + 7L * 86400000000L))
@@ -91,7 +99,7 @@ object EventFeed {
       val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
       val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
       val w = windowOf(lo0, hi0)
-      val step = (hi0 - lo0) / 3 + 1
+      val step = (hi0 - lo0) / dataChunks + 1
       val feedDir = new java.io.File(feed)
       val stamped = scala.collection.mutable.Set[String]()
       var fileIdx = 0
@@ -105,7 +113,8 @@ object EventFeed {
         }
       }
       var lo = Long.MinValue
-      Seq(lo0 + step, lo0 + 2 * step, Long.MaxValue).foreach { hi =>
+      (Seq.tabulate(dataChunks - 1)(i => lo0 + (i + 1) * step)
+        :+ Long.MaxValue).foreach { hi =>
         ev.where(col("ts_us") > lo && col("ts_us") <= hi)
           .coalesce(1).write.mode("append").parquet(feed)
         pinNew(); fileIdx += 1; lo = hi

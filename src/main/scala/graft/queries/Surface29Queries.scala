@@ -39,6 +39,12 @@ import graft.operators.{Dedup, Similarity}
   *    Judged on e15's recursive-CTE oracle VERBATIM — the delta path
   *    must reproduce the from-scratch clustering of the unioned edge
   *    set bit-for-bit, which is exactly the operator's contract.
+  *  - `c47_stream_components` — e180 through the real micro-batch
+  *    engine: streamed delta edges merge into a VERSIONED standing
+  *    label table per batch (see the query comment for the
+  *    retry-idempotence-by-algebra argument); confluence of the
+  *    incremental merge makes the final table chunk-split invariant,
+  *    so the same e15 oracle judges it.
   */
 object Surface29Queries {
   import Tables._
@@ -132,6 +138,61 @@ object Surface29Queries {
       Dedup.connectedComponentsDelta(baseLabels, deltaEdges,
           "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // e180's streaming twin — the production CLUSTER-MAINTENANCE
+    // pipeline: delta candidate edges arrive as a stream and each
+    // micro-batch merges them into the standing label table via
+    // [[Dedup.connectedComponentsDelta]] (the c46 ingest-admission
+    // discipline applied to cluster membership). The label table is
+    // VERSIONED parquet (v0 = standing labels; batch k writes v{k+1}
+    // from v_cur): the version pointer advances only after a
+    // successful write, and re-applying a batch's edges to labels
+    // that already absorbed them is a NO-OP (the contracted graph of
+    // intra-component edges is empty), so an at-least-once retry can
+    // never change the table — idempotent by algebra, not by
+    // distinct(). Incremental CC is confluent (each step yields the
+    // exact from-scratch labels of the union-so-far), so the final
+    // table is chunk-split invariant and e15's oracle judges it
+    // verbatim.
+    "c47_stream_components" -> ((s, dir) => {
+      val pairs = DedupQueries.candidatePairs(s, dir)
+      val baseLabels = Stage.durableFrame(s, "cc-base", dir) {
+        Dedup.connectedComponents(
+          pairs.where(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0),
+          "id_a", "id_b")
+      }
+      val deltaEdges = pairs
+        .where(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+      val feed = Stage.durableChunkFeed("feed-c47", dir)(Seq(
+        deltaEdges.where(col("id_a") % 2 === 0),
+        deltaEdges.where(col("id_a") % 2 =!= 0)))
+      val tmp = Stage.tempDir("graft-c47-").toString
+      val ckpt = s"$tmp/ckpt"
+      @volatile var cur = s"$tmp/labels-v0"
+      baseLabels.write.mode("overwrite").parquet(cur)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType)))
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val next = Dedup.connectedComponentsDelta(
+            s.read.parquet(cur), batch, "id_a", "id_b")
+          val nv = s"$tmp/labels-v${id + 1}"
+          next.write.mode("overwrite").parquet(nv)
+          cur = nv
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
+        .start().awaitTermination()
+      s.read.parquet(cur)
+        .select(col("id").as("doc_id"), col("component"))
     }))
 
   // ---- oracles ----
@@ -185,5 +246,8 @@ object Surface29Queries {
     "e179_semdedup_k16" -> semDedup16Sql,
     // the incremental path must reproduce the from-scratch clustering
     // of the unioned edge set — e15's recursive CTE, verbatim
-    "e180_components_delta" -> DedupQueries.oracles("e15_components"))
+    "e180_components_delta" -> DedupQueries.oracles("e15_components"),
+    // confluence makes the streamed two-chunk merge land on the same
+    // table — same oracle (the c46 stream-equals-batch discipline)
+    "c47_stream_components" -> DedupQueries.oracles("e15_components"))
 }

@@ -75,15 +75,33 @@ class Surface29Spec extends SparkSpec {
   }
 
   test("connectedComponentsDelta: toy — a new node bridges two " +
-    "standing components; a delta-only pair forms its own") {
+    "standing components; a delta-only pair forms its own; " +
+    "re-applying the same delta is a no-op (retry idempotence)") {
     import spark.implicits._
     val base = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
     val labels = graft.operators.Dedup.connectedComponents(base, "a", "b")
     val delta = Seq((2L, 9L), (9L, 6L), (7L, 8L)).toDF("a", "b")
-    val out = graft.operators.Dedup
+    val once = graft.operators.Dedup
       .connectedComponentsDelta(labels, delta, "a", "b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val out = once.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
       9L -> 1L, 7L -> 7L, 8L -> 7L), s"got $out")
+    // the c47 retry argument: edges already absorbed contract to
+    // intra-component pairs, so a second application changes nothing
+    val twice = graft.operators.Dedup
+      .connectedComponentsDelta(
+        once.select(col("id"), col("component")), delta, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(twice == out, s"re-apply changed labels: $twice")
+  }
+
+  test("c47: the streamed two-chunk merge lands on exactly e180's " +
+    "(= e15's) table — stream equals batch") {
+    val stream = SparkEntry.queries("c47_stream_components")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("e180_components_delta")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch,
+      s"stream-only ${stream -- batch}; batch-only ${batch -- stream}")
   }
 }
