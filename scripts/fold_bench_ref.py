@@ -49,6 +49,7 @@ def main():
             single.append(q)
             if prior is None:
                 continue  # no line until a double run measures it
+            m = prior  # a lone measurement can't raise OR lower a line
         elif all(v > m * BOUND for v in vals):
             # lucky-window line: both runs can't reach it
             m2 = min(vals)

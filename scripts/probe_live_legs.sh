@@ -1,5 +1,9 @@
-#!/bin/sh
+#!/bin/bash
 # Re-probe the environment-blocked live legs (COVERAGE.md S1/S2/K1).
+# bash, NOT sh: the TCP probes use bash's /dev/tcp redirection, which
+# dash silently fails — under sh a LISTENING service would still read
+# "connection refused", hiding the one transition this script exists
+# to catch.
 #
 # One command per round instead of re-narrating the probes: run it,
 # commit the output artifact, and cite it from COVERAGE.md.

@@ -562,14 +562,20 @@ object Dedup {
     // centroid-assignment scan is the expensive pass at production k
     // (≈50k) — un-checkpointed, each consumer would recompute it. A
     // cluster pipeline would durably stage this frame (partitioned by
-    // cell) between jobs; within one invocation localCheckpoint is the
-    // same cut without a cross-query artifact.
+    // cell) between jobs; within one invocation a LAZY localCheckpoint
+    // is the same cut without a cross-query artifact: the returned
+    // frame stays a declarative plan until first executed (building /
+    // explaining it costs nothing), then the checkpointed partitions
+    // serve all three consumers. The materialized blocks live until
+    // the RDD is GC'd — at production k the caller wants exactly that
+    // reuse; a caller composing further filters should apply them to
+    // `corpus` (below the cut), not to this operator's output.
     val base = corpus.select(col(id), col(vec),
       Similarity.ivfCell(col(vec), centroids, scorer)
         .cast(LongType).as("cell"),
       Similarity.ivfCellScore(col(vec), centroids, scorer).as("cscore"),
       selfDot(col(vec)).as("__nf"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def side(tag: String) = base.select(col(id).as(s"id_$tag"),
       col(vec).as(s"v_$tag"), col("cell"), col("cscore").as(s"cs_$tag"),
       col("__nf").as(s"nf_$tag"))

@@ -7,8 +7,9 @@ import org.apache.spark.sql.types._
 import graft.streaming.Attribution
 
 /** Shared machinery for the streaming-attribution queries (c32/c33):
-  * the events table becomes a deterministic file feed — 3 ts-range
-  * chunks with pinned ascending mtimes (house discipline from c31) —
+  * the events table becomes a deterministic file feed —
+  * [[dataChunks]] ts-range chunks with pinned ascending mtimes (house
+  * discipline from c31) —
   * optionally followed by watermark-bearing SENTINEL files (single
   * `user_id = -1` rows far past the data range). Sentinels model the
   * heartbeat a production pipeline always has (event time never stops

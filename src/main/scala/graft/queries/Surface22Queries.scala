@@ -678,6 +678,7 @@ object Surface22Queries {
     var state = state0
     val out = Seq.newBuilder[(Long, Long, String, String, Long)]
     var idx = 0L
+    var sinceCut = 0
     var exhausted = false
     for (p <- 1 to passes if !exhausted) {
       val win = state
@@ -707,10 +708,16 @@ object Surface22Queries {
           chosen.foldLeft(col("s")) { case (c, (a, b, _)) =>
             replace(c, lit(s" $a  $b "), lit(s" $a$b ")) })
         // same lineage discipline as [[bpeMerges]]: cut the replace
-        // chain to staged parquet every ~bpeCheckpointEvery merges
-        if ((p * m) % bpeCheckpointEvery == 0 && p < passes)
+        // chain to staged parquet every ~bpeCheckpointEvery APPLIED
+        // merges (counting applied, not scheduled — a pass can select
+        // fewer than m, and an m that doesn't divide the cadence must
+        // still cut)
+        sinceCut += chosen.size
+        if (sinceCut >= bpeCheckpointEvery && p < passes) {
           state = Stage.frame(s,
             s"bpe-batch-state-$key-$p", "graft-bpe-")(state)
+          sinceCut = 0
+        }
       }
     }
     out.result()

@@ -66,15 +66,26 @@ object Surface29Queries {
     // 4 cells ⇒ the scan may touch at most half the corpus layout.
     "e178_ivf_pruned_probe" -> ((s, dir) => {
       val cents = Similarity.syntheticCentroids(SimilarityQueries.ivfN, 64)
-      val stage = Stage.fixtureDir("e178-ivf-layout", dir)
-      val corpus = s"$stage/embeddings_by_cell"
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$corpus/_SUCCESS"))) {
+      // the staged layout is a pure function of the centroid set, so
+      // the fixture key digests it (the EventFeed n-chunks lesson:
+      // every parameter the staged bytes depend on must be in the
+      // key, or an edit serves stale data); durableDir supplies the
+      // atomic staging-dir/rename protocol two racing JVMs need
+      val cdig = java.security.MessageDigest.getInstance("MD5")
+        .digest(cents.flatten.mkString(",").getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val fix = Stage.durableDir(s"e178-ivf-layout-$cdig", dir,
+          "_LAYOUT_OK") { st =>
         t(s, dir, "embeddings")
           .withColumn("ivf_cell",
             Similarity.ivfCell(col("embedding"), cents))
-          .write.mode("overwrite").partitionBy("ivf_cell").parquet(corpus)
+          .write.mode("overwrite").partitionBy("ivf_cell")
+          .parquet(st.resolve("embeddings_by_cell").toString)
+        java.nio.file.Files.write(st.resolve("_LAYOUT_OK"),
+          Array.emptyByteArray)
+        ()
       }
+      val corpus = fix.resolve("embeddings_by_cell").toString
       val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       def score(c: Seq[Float]): Double = {
@@ -99,8 +110,10 @@ object Surface29Queries {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.selectedPartitions.toPartitionArray.map(_.filePath.toString)
       }.flatten
-      require(scanned.nonEmpty &&
-        scanned.forall(p => qCells.exists(c => p.contains(s"ivf_cell=$c"))),
+      // exact path-SEGMENT match (a substring test would false-accept
+      // ivf_cell=12 against probed cell 1 once ids reach two digits)
+      require(scanned.nonEmpty && scanned.forall(p =>
+          qCells.exists(c => p.split("/").contains(s"ivf_cell=$c"))),
         s"probe must read only cells $qCells, scanned: ${scanned.toSeq}")
       pruned
     }),
@@ -145,13 +158,15 @@ object Surface29Queries {
     // micro-batch merges them into the standing label table via
     // [[Dedup.connectedComponentsDelta]] (the c46 ingest-admission
     // discipline applied to cluster membership). The label table is
-    // VERSIONED parquet (v0 = standing labels; batch k writes v{k+1}
-    // from v_cur): the version pointer advances only after a
-    // successful write, and re-applying a batch's edges to labels
-    // that already absorbed them is a NO-OP (the contracted graph of
+    // VERSIONED parquet keyed by BATCH ID (v0 = standing labels;
+    // batch k reads v{k} and writes v{k+1}): a retried batch re-reads
+    // the same input version and overwrites its own output version —
+    // never the path it reads — and re-applying edges that labels
+    // already absorbed is a NO-OP (the contracted graph of
     // intra-component edges is empty), so an at-least-once retry can
-    // never change the table — idempotent by algebra, not by
-    // distinct(). Incremental CC is confluent (each step yields the
+    // never change the table — idempotent by construction AND by
+    // algebra, not by distinct(). Incremental CC is confluent (each
+    // step yields the
     // exact from-scratch labels of the union-so-far), so the final
     // table is chunk-split invariant and e15's oracle judges it
     // verbatim.
@@ -169,8 +184,8 @@ object Surface29Queries {
         deltaEdges.where(col("id_a") % 2 =!= 0)))
       val tmp = Stage.tempDir("graft-c47-").toString
       val ckpt = s"$tmp/ckpt"
-      @volatile var cur = s"$tmp/labels-v0"
-      baseLabels.write.mode("overwrite").parquet(cur)
+      baseLabels.write.mode("overwrite").parquet(s"$tmp/labels-v0")
+      @volatile var last = 0L
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id_a",
           org.apache.spark.sql.types.LongType),
@@ -180,18 +195,23 @@ object Surface29Queries {
         .parquet(feed)
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
+          // version paths derive from the BATCH ID, never a mutable
+          // pointer: a retried batch k re-reads v{k} and overwrites
+          // v{k+1} — the read path is never the write path, so
+          // at-least-once redelivery recomputes the identical table
+          // (idempotent operationally, on top of the algebraic no-op
+          // for edges already absorbed into v{k})
           val next = Dedup.connectedComponentsDelta(
-            s.read.parquet(cur), batch, "id_a", "id_b")
-          val nv = s"$tmp/labels-v${id + 1}"
-          next.write.mode("overwrite").parquet(nv)
-          cur = nv
+            s.read.parquet(s"$tmp/labels-v$id"), batch, "id_a", "id_b")
+          next.write.mode("overwrite").parquet(s"$tmp/labels-v${id + 1}")
+          last = math.max(last, id + 1)
           ()
         }
         .option("checkpointLocation", ckpt)
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
         .start().awaitTermination()
-      s.read.parquet(cur)
+      s.read.parquet(s"$tmp/labels-v$last")
         .select(col("id").as("doc_id"), col("component"))
     }))
 
