@@ -45,6 +45,19 @@ import graft.operators.{Dedup, Similarity}
   *    retry-idempotence-by-algebra argument); confluence of the
   *    incremental merge makes the final table chunk-split invariant,
   *    so the same e15 oracle judges it.
+  *  - `c48_stream_index_append` — e178's cell-partitioned ANN layout
+  *    under streaming ingest: micro-batches of new vectors append
+  *    into the partitioned index, the probe stays directory-pruned
+  *    over base and appended files alike, and the post-ingest answer
+  *    equals the all-at-once batch index (e33's oracle verbatim).
+  *  - `e181_index_compact` — the third leg of the ANN index
+  *    lifecycle (build e178 → ingest c48 → COMPACT): a fragmented,
+  *    retry-duplicated layout is rewritten cell-at-a-time (narrow
+  *    `coalesce(1)` per cell — no cluster-wide exchange, the c20
+  *    rule) with the at-least-once duplicates dropped AT REST, so
+  *    the post-compaction probe needs no read-side dropDuplicates
+  *    and reads exactly nprobe FILES. Same e33 oracle: maintenance
+  *    changes file count and read cost, never what a probe returns.
   */
 object Surface29Queries {
   import Tables._
@@ -54,6 +67,46 @@ object Surface29Queries {
     */
   private val semThreshold16 = 0.3
   private val semK16 = 16
+
+  /** Structural traversal that descends into AdaptiveSparkPlanExec —
+    * plain `collect` treats the AQE wrapper as a leaf (the r18
+    * PlanAuditSpec lesson), and c48's dropDuplicates exchange makes
+    * its probe plan adaptive where e178's TakeOrdered form is not.
+    */
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        planNodes(a.executedPlan)
+      case other => other.children.flatMap(planNodes)
+    })
+
+  /** Selected (post-pruning) file listing of every scan in the plan. */
+  private def scannedFiles(df: DataFrame): Seq[String] =
+    planNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    }.flatten
+
+  /** The query vector (vec_id 0, one driver row — the ivfTopK qScore
+    * discipline) and its `nprobe` best cells: left-to-right double
+    * fold, ties to the higher index — the same total order the
+    * oracle's ORDER BY s DESC, j DESC realizes. Shared by e178/c48.
+    */
+  private def probeCells(s: SparkSession, dir: String,
+      cents: Seq[Seq[Float]], nprobe: Int): (Seq[Float], Seq[Int]) = {
+    val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    def score(c: Seq[Float]): Double = {
+      val dot = c.zip(q).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(c.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(q.map(x => x.toDouble * x.toDouble).sum))
+    }
+    (q, cents.zipWithIndex
+      .map { case (c, i) => (score(c), i) }
+      .sortBy { case (sc, i) => (-sc, -i) }
+      .take(nprobe).map(_._2))
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVF probe over the cell-partitioned staged layout. The probe
@@ -86,17 +139,7 @@ object Surface29Queries {
         ()
       }
       val corpus = fix.resolve("embeddings_by_cell").toString
-      val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      def score(c: Seq[Float]): Double = {
-        val dot = c.zip(q).map { case (x, y) => x.toDouble * y.toDouble }.sum
-        dot / (math.sqrt(c.map(x => x.toDouble * x.toDouble).sum) *
-          math.sqrt(q.map(x => x.toDouble * x.toDouble).sum))
-      }
-      val qCells = cents.zipWithIndex
-        .map { case (c, i) => (score(c), i) }
-        .sortBy { case (sc, i) => (-sc, -i) }
-        .take(2).map(_._2)
+      val (q, qCells) = probeCells(s, dir, cents, 2)
       val qe = array(q.map(v => lit(v)): _*)
       val pruned = s.read.parquet(corpus)
         .where(col("ivf_cell").isin(qCells: _*) && col("vec_id") =!= 0)
@@ -105,16 +148,13 @@ object Surface29Queries {
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
       // directory-level pruning checked on the query's own scan (q87
-      // discipline): every selected file lives under a probed cell
-      val scanned = pruned.queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.selectedPartitions.toPartitionArray.map(_.filePath.toString)
-      }.flatten
+      // discipline): every selected file lives under a probed cell —
       // exact path-SEGMENT match (a substring test would false-accept
       // ivf_cell=12 against probed cell 1 once ids reach two digits)
+      val scanned = scannedFiles(pruned)
       require(scanned.nonEmpty && scanned.forall(p =>
           qCells.exists(c => p.split("/").contains(s"ivf_cell=$c"))),
-        s"probe must read only cells $qCells, scanned: ${scanned.toSeq}")
+        s"probe must read only cells $qCells, scanned: $scanned")
       pruned
     }),
 
@@ -213,6 +253,143 @@ object Surface29Queries {
         .start().awaitTermination()
       s.read.parquet(s"$tmp/labels-v$last")
         .select(col("id").as("doc_id"), col("component"))
+    }),
+
+    // Streaming ANN INDEX MAINTENANCE — e178's layout under ingest:
+    // the standing corpus (vec_id % 4 ≠ 0) is written cell-partitioned
+    // once, then each micro-batch of new vectors is assigned its IVF
+    // cell and APPENDED into the same partitioned layout — the daily
+    // embedding-ingest pattern at 100 TB, where the index is a
+    // partitioned table that accepts appends and never rebuilds. The
+    // post-ingest probe is e178's: literal probe cells → static
+    // directory pruning over base AND appended files alike (the
+    // in-query require re-checks it), and the answer equals the
+    // all-at-once batch index (e33's nprobe=2 oracle, verbatim) —
+    // ingest changes WHEN vectors arrive, never what a probe returns.
+    // An at-least-once append retry would duplicate rows; the probe
+    // reads through dropDuplicates(vec_id) (duplicate rows are
+    // identical, so the pick is deterministic) — the read-side
+    // compaction every segmented ANN index applies.
+    "c48_stream_index_append" -> ((s, dir) => {
+      val cents = Similarity.syntheticCentroids(SimilarityQueries.ivfN, 64)
+      val all = t(s, dir, "embeddings")
+      val tmp = Stage.tempDir("graft-c48-").toString
+      val layout = s"$tmp/index"; val ckpt = s"$tmp/ckpt"
+      all.where(col("vec_id") % 4 =!= 0)
+        .withColumn("ivf_cell",
+          Similarity.ivfCell(col("embedding"), cents))
+        .write.mode("overwrite").partitionBy("ivf_cell").parquet(layout)
+      val delta = all.where(col("vec_id") % 4 === 0)
+        .select("vec_id", "embedding")
+      val feed = Stage.durableChunkFeed("feed-c48", dir)(Seq(
+        delta.where(col("vec_id") % 8 === 0),
+        delta.where(col("vec_id") % 8 =!= 0)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.withColumn("ivf_cell",
+              Similarity.ivfCell(col("embedding"), cents))
+            .write.mode("append").partitionBy("ivf_cell").parquet(layout)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
+        .start().awaitTermination()
+      val (q, qCells) = probeCells(s, dir, cents, 2)
+      val qe = array(q.map(v => lit(v)): _*)
+      val probed = s.read.parquet(layout)
+        .where(col("ivf_cell").isin(qCells: _*) && col("vec_id") =!= 0)
+        .dropDuplicates("vec_id")
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), qe).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+      val scanned = scannedFiles(probed)
+      require(scanned.nonEmpty && scanned.forall(p =>
+          qCells.exists(c => p.split("/").contains(s"ivf_cell=$c"))),
+        s"post-ingest probe must stay pruned to $qCells, scanned: $scanned")
+      probed
+    }),
+
+    // ANN index COMPACTION — the maintenance leg c48's append-only
+    // ingest makes necessary: a week of micro-batch appends leaves
+    // each cell holding one file per batch (plus duplicate rows from
+    // at-least-once retries, which c48's probe absorbs with read-side
+    // dropDuplicates). The compactor rewrites each cell INDEPENDENTLY
+    // — read one cell directory, drop duplicate vec_ids, narrow
+    // coalesce(1), write one file — never paying a cluster-wide
+    // exchange (the c20 rule; at 100 TB each cell is its own
+    // maintenance job, scheduled only for fragmented cells). After
+    // compaction the duplicates are gone AT REST, so the probe drops
+    // the dropDuplicates and reads exactly nprobe files — the
+    // in-query requires pin all three facts (1 file/cell, zero
+    // duplicate keys, nprobe-file probe). Judged on e33's nprobe=2
+    // oracle verbatim: compaction changes file count and read cost,
+    // never what a probe returns.
+    "e181_index_compact" -> ((s, dir) => {
+      val cents = Similarity.syntheticCentroids(SimilarityQueries.ivfN, 64)
+      val tmp = Stage.tempDir("graft-e181-").toString
+      val frag = s"$tmp/index"; val compact = s"$tmp/compact"
+      val assigned = t(s, dir, "embeddings")
+        .withColumn("ivf_cell",
+          Similarity.ivfCell(col("embedding"), cents))
+      // base + two appended micro-batch segments, the second written
+      // TWICE (an at-least-once retry) — c48's layout after a
+      // failure: fragmented AND duplicated
+      assigned.where(col("vec_id") % 4 =!= 0)
+        .write.mode("overwrite").partitionBy("ivf_cell").parquet(frag)
+      val delta = assigned.where(col("vec_id") % 4 === 0)
+      val segA = delta.where(col("vec_id") % 8 === 0)
+      val segB = delta.where(col("vec_id") % 8 =!= 0)
+      Seq(segA, segB, segB).foreach(
+        _.write.mode("append").partitionBy("ivf_cell").parquet(frag))
+      val cellDirs = new java.io.File(frag).listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("ivf_cell="))
+        .map(_.getName).sorted
+      def filesIn(root: String, cd: String): Int =
+        new java.io.File(s"$root/$cd").listFiles
+          .count(_.getName.endsWith(".parquet"))
+      require(cellDirs.nonEmpty &&
+          cellDirs.exists(cd => filesIn(frag, cd) > 1),
+        s"fixture must be fragmented before compaction: $cellDirs")
+      // cell-at-a-time rewrite: leaf-directory read (no partition
+      // inference), dedup at rest, ONE output file, hive-style leaf
+      // write so the compacted root keeps the partitioned layout
+      cellDirs.foreach { cd =>
+        s.read.parquet(s"$frag/$cd").dropDuplicates("vec_id")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$compact/$cd")
+      }
+      require(cellDirs.forall(cd => filesIn(compact, cd) == 1),
+        "compaction must leave exactly one file per cell")
+      val compacted = s.read.parquet(compact)
+      val dups = compacted.groupBy("vec_id").count()
+        .where(col("count") > 1).count()
+      require(dups == 0,
+        s"retry duplicates must be gone at rest, found $dups keys")
+      val (q, qCells) = probeCells(s, dir, cents, 2)
+      val qe = array(q.map(v => lit(v)): _*)
+      val probed = compacted
+        .where(col("ivf_cell").isin(qCells: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), qe).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+      val scanned = scannedFiles(probed)
+      require(scanned.nonEmpty && scanned.forall(p =>
+          qCells.exists(c => p.split("/").contains(s"ivf_cell=$c"))),
+        s"post-compaction probe must stay pruned to $qCells: $scanned")
+      require(scanned.distinct.size == qCells.size,
+        s"a compacted probe reads exactly nprobe files, got: $scanned")
+      probed
     }))
 
   // ---- oracles ----
@@ -269,5 +446,11 @@ object Surface29Queries {
     "e180_components_delta" -> DedupQueries.oracles("e15_components"),
     // confluence makes the streamed two-chunk merge land on the same
     // table — same oracle (the c46 stream-equals-batch discipline)
-    "c47_stream_components" -> DedupQueries.oracles("e15_components"))
+    "c47_stream_components" -> DedupQueries.oracles("e15_components"),
+    // ingest changes when vectors arrive, never what a probe returns —
+    // the post-ingest pruned probe answers e33's batch oracle verbatim
+    "c48_stream_index_append" -> SimilarityQueries.ivfMulti2Sql,
+    // compaction changes file count and read cost, never what a probe
+    // returns — the post-compaction probe answers the same oracle
+    "e181_index_compact" -> SimilarityQueries.ivfMulti2Sql)
 }

@@ -376,5 +376,29 @@ class PlanAuditSpec extends SparkSpec {
       .distinct
     assert(dirs.nonEmpty && dirs.size <= 2,
       s"probe listed more than nprobe=2 cell dirs: $dirs")
+    // the streaming-append twin must stay pruned over base AND
+    // appended files alike (its plan is adaptive — allNodes descends)
+    val c48 = executedPlans.toMap.apply("c48_stream_index_append")
+    val c48Pruned = allNodes(c48).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.filter(_.partitionFilters
+      .exists(_.references.exists(_.name == "ivf_cell")))
+    assert(c48Pruned.nonEmpty,
+      s"c48's post-ingest probe lost PartitionFilters on ivf_cell:\n$c48")
+    // the compacted layout (e181) must stay pruned too, and its
+    // selected listing is exactly one file per probed cell — the
+    // compaction contract made structural (the in-query requires
+    // also ran during executedPlans construction)
+    val e181 = executedPlans.toMap.apply("e181_index_compact")
+    val e181Scans = allNodes(e181).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.filter(_.partitionFilters
+      .exists(_.references.exists(_.name == "ivf_cell")))
+    assert(e181Scans.nonEmpty,
+      s"e181's post-compaction probe lost PartitionFilters:\n$e181")
+    val e181Files = e181Scans.flatMap(_.selectedPartitions
+      .toPartitionArray.map(_.filePath.toString)).distinct
+    assert(e181Files.size <= 2,
+      s"compacted probe must read ≤ nprobe=2 files, got: $e181Files")
   }
 }

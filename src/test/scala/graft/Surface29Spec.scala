@@ -95,6 +95,24 @@ class Surface29Spec extends SparkSpec {
     assert(twice == out, s"re-apply changed labels: $twice")
   }
 
+  test("c48: the post-ingest pruned probe over the appended layout " +
+    "equals e178's all-at-once batch index — stream equals batch") {
+    val stream = SparkEntry.queries("c48_stream_index_append")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = SparkEntry.queries("e178_ivf_pruned_probe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stream == batch, s"stream $stream != batch $batch")
+  }
+
+  test("e181: the probe over the compacted index equals e178's " +
+    "over the freshly-built one — maintenance never changes answers") {
+    val compacted = SparkEntry.queries("e181_index_compact")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = SparkEntry.queries("e178_ivf_pruned_probe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted == fresh, s"compacted $compacted != fresh $fresh")
+  }
+
   test("c47: the streamed two-chunk merge lands on exactly e180's " +
     "(= e15's) table — stream equals batch") {
     val stream = SparkEntry.queries("c47_stream_components")(spark, dir)
