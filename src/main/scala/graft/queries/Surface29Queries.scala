@@ -50,6 +50,15 @@ import graft.operators.{Dedup, Similarity}
   *    into the partitioned index, the probe stays directory-pruned
   *    over base and appended files alike, and the post-ingest answer
   *    equals the all-at-once batch index (e33's oracle verbatim).
+  *  - `e182_backfill_overwrite` — the partition-backfill splice every
+  *    day-partitioned 100 TB table needs (late data / logic fix for a
+  *    bounded day range): recompute ONLY the affected day partitions
+  *    and write them with DYNAMIC partition overwrite, which replaces
+  *    exactly the partitions present in the written frame and leaves
+  *    every other partition's files untouched — in-query `require`s
+  *    pin both facts file-listing-wise. Judged against the plain
+  *    full-corpus aggregate: a correct backfill splice is
+  *    indistinguishable from recomputing the world.
   *  - `e181_index_compact` — the third leg of the ANN index
   *    lifecycle (build e178 → ingest c48 → COMPACT): a fragmented,
   *    retry-duplicated layout is rewritten cell-at-a-time (narrow
@@ -390,6 +399,71 @@ object Surface29Queries {
       require(scanned.distinct.size == qCells.size,
         s"a compacted probe reads exactly nprobe files, got: $scanned")
       probed
+    }),
+
+    // Partition BACKFILL with dynamic partition overwrite — the
+    // maintenance move for every day-partitioned table at 100 TB:
+    // late-arriving rows (or a logic fix) invalidate a bounded day
+    // range, so the pipeline recomputes ONLY those days and splices
+    // them in with `partitionOverwriteMode=dynamic` — mode("overwrite")
+    // then replaces exactly the partitions present in the written
+    // frame, never the rest of the table (static overwrite would drop
+    // ALL other days; a full rewrite would cost the whole corpus).
+    // Fixture: the on-time v1 aggregate is missing a deterministic
+    // "late" slice (event_id % 5 == 0) of the last two days; the
+    // backfill recomputes those two days complete. In-query requires
+    // pin the mechanism file-listing-wise: untouched days keep their
+    // EXACT file sets, backfilled days are replaced. Judged against
+    // the plain full-corpus day×type aggregate — a correct splice is
+    // indistinguishable from recomputing the world, and the judged
+    // frame is the spliced TABLE itself (read back from the layout).
+    "e182_backfill_overwrite" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"),
+        to_date(col("ts")).cast("string").as("day"), col("event_type"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      val tmp = Stage.tempDir("graft-e182-").toString
+      val table = s"$tmp/daily"
+      // the affected window: last two days, a day-spine-sized driver
+      // literal (the probeCells discipline — partition values must be
+      // literals for the writer to know what it may replace)
+      val days = ev.select("day").distinct().orderBy(col("day").desc)
+        .limit(2).collect().map(_.getString(0)).toSeq
+      val late = col("day").isin(days: _*) && col("event_id") % 5 === 0
+      def dayAgg(df: DataFrame): DataFrame = df
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("vm")).as("value_m"))
+      dayAgg(ev.where(!late))
+        .write.mode("overwrite").partitionBy("day").parquet(table)
+      def listing(): Map[String, Set[String]] =
+        new java.io.File(table).listFiles.toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("day="))
+          .map(d => d.getName ->
+            d.listFiles.map(_.getName).filter(_.endsWith(".parquet"))
+              .toSet)
+          .toMap
+      val before = listing()
+      val prev = s.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try dayAgg(ev.where(col("day").isin(days: _*)))
+        .write.mode("overwrite").partitionBy("day").parquet(table)
+      finally prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val after = listing()
+      val touched = days.map(d => s"day=$d").toSet
+      require((before.keySet -- touched).forall(d =>
+          before(d) == after(d)),
+        "dynamic overwrite must leave untouched days' files intact")
+      require(touched.forall(d => after.contains(d) &&
+          before(d) != after(d)),
+        s"backfilled days must be replaced, before=$before after=$after")
+      s.read.parquet(table)
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("cnt"), col("value_m"))
     }))
 
   // ---- oracles ----
@@ -452,5 +526,15 @@ object Surface29Queries {
     "c48_stream_index_append" -> SimilarityQueries.ivfMulti2Sql,
     // compaction changes file count and read cost, never what a probe
     // returns — the post-compaction probe answers the same oracle
-    "e181_index_compact" -> SimilarityQueries.ivfMulti2Sql)
+    "e181_index_compact" -> SimilarityQueries.ivfMulti2Sql,
+    // a correct backfill splice is indistinguishable from recomputing
+    // the world: the spliced table equals the plain full-corpus
+    // aggregate (fixed-point value sums — the Surface12 vm idiom)
+    "e182_backfill_overwrite" ->
+      """WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           event_type, CAST(floor(value * 1000) AS BIGINT) AS vm
+         FROM events)
+         SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(vm) AS BIGINT) AS value_m
+         FROM ev GROUP BY day, event_type""")
 }

@@ -113,6 +113,31 @@ class Surface29Spec extends SparkSpec {
     assert(compacted == fresh, s"compacted $compacted != fresh $fresh")
   }
 
+  test("e182: the spliced table equals a first-principles full " +
+    "aggregate, and the late slice was genuinely non-empty") {
+    val out = SparkEntry.queries("e182_backfill_overwrite")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"),
+        to_date(col("ts")).cast("string").as("day"), col("event_type"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+    val full = ev.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("vm")).as("value_m"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == full, "spliced table diverged from the full aggregate")
+    // the backfill must have had something to splice: the fixture's
+    // late slice (event_id % 5 == 0 on the last two days) is non-empty
+    val days = ev.select("day").distinct().orderBy(col("day").desc)
+      .limit(2).collect().map(_.getString(0)).toSeq
+    val late = ev.where(col("day").isin(days: _*) &&
+      col("event_id") % 5 === 0).count()
+    assert(late > 0, "late slice empty — the splice was a no-op")
+  }
+
   test("c47: the streamed two-chunk merge lands on exactly e180's " +
     "(= e15's) table — stream equals batch") {
     val stream = SparkEntry.queries("c47_stream_components")(spark, dir)
