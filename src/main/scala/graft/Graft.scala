@@ -68,6 +68,14 @@ object Graft {
   val sketches: graft.operators.Sketches.type = graft.operators.Sketches
   val skyline: graft.operators.Skyline.type = graft.operators.Skyline
 
+  /** The IVF vector-index lifecycle over a cell-partitioned layout:
+    * `build` / `append` (streaming ingest) / `probe` (directory-pruned
+    * top-k) / `compact` (per-cell, duplicates dropped at rest) — see
+    * [[graft.operators.VectorIndex]].
+    */
+  val vectorIndex: graft.operators.VectorIndex.type =
+    graft.operators.VectorIndex
+
   /** Register the engine's native SQL functions (`vec_dot`) on a live
     * session; alternatively set
     * `spark.sql.extensions=graft.functions.GraftExtensions`.

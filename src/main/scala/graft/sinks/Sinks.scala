@@ -69,6 +69,29 @@ object Sinks {
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Backfill splice into a partitioned parquet table: write `df`
+    * with DYNAMIC partition overwrite, replacing exactly the
+    * partitions present in `df` and leaving every other partition's
+    * files untouched — the bounded-range recompute (late data, logic
+    * fix) every day-partitioned 100 TB table needs. Static overwrite
+    * would DROP all other partitions; a full rewrite would cost the
+    * corpus. Sets the session conf for the duration of the write and
+    * restores it. Judged by `e182_backfill_overwrite`.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    val s = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** K1, live form: JDBC append with the reference sink's knobs mapped —
     * `batchsize` = the 32-record micro-batches, `numPartitions` bounds
     * concurrent connections like `maxConcurrentRequests`, and

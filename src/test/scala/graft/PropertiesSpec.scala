@@ -266,4 +266,31 @@ class PropertiesSpec extends SparkSpec {
       assert(ab === expect, s"NaN contract: $ab != $expect for ($a, $b)")
     }
   }
+
+  test("VectorIndex.probeCells: size/range/distinct, nprobe " +
+    "monotone (prefix), head = ivfCell's greatest-struct rule") {
+    import graft.operators.{Similarity, VectorIndex}
+    val dim = 8
+    val vecGen: Gen[List[Float]] = Gen.listOfN(dim, finiteFloat)
+    val centsGen: Gen[List[List[Float]]] =
+      Gen.choose(2, 6).flatMap(k => Gen.listOfN(k, vecGen))
+    samples(Gen.zip(vecGen, centsGen), 10).foreach { case (q, cents) =>
+      val k = cents.size
+      val all = VectorIndex.probeCells(q, cents, k)
+      assert(all.size === k && all.distinct.size === k &&
+        all.forall(i => i >= 0 && i < k))
+      // nprobe-monotone: smaller probes are prefixes of larger ones
+      (1 to k).foreach { n =>
+        assert(VectorIndex.probeCells(q, cents, n) === all.take(n))
+      }
+      // head = the engine's cell assignment (greatest-struct, ties to
+      // the higher index) — library probe and judged layout CANNOT
+      // disagree on the query's own cell
+      val engineCell = Seq(Tuple1(q)).toDF("v")
+        .select(Similarity.ivfCell(col("v"), cents).cast("int"))
+        .head().getInt(0)
+      assert(all.head === engineCell,
+        s"probeCells head ${all.head} != engine cell $engineCell")
+    }
+  }
 }
