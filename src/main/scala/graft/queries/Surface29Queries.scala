@@ -50,6 +50,13 @@ import graft.operators.{Dedup, Similarity, VectorIndex}
   *    into the partitioned index, the probe stays directory-pruned
   *    over base and appended files alike, and the post-ingest answer
   *    equals the all-at-once batch index (e33's oracle verbatim).
+  *  - `c49_state_audit` — the checkpoint's STATE STORE read back as a
+  *    DataFrame (the Spark 4 state data source): after a checkpointed
+  *    keyed streaming aggregation, `format("statestore")` exposes what
+  *    the engine is carrying as state, and that state must BE the
+  *    batch answer — the production state-audit move (inspect a live
+  *    job's keyed state for drift/skew/bloat without stopping it),
+  *    judged on the plain batch aggregate oracle.
   *  - `e182_backfill_overwrite` — the partition-backfill splice every
   *    day-partitioned 100 TB table needs (late data / logic fix for a
   *    bounded day range): recompute ONLY the affected day partitions
@@ -365,6 +372,53 @@ object Surface29Queries {
       probed
     }),
 
+    // STATE-STORE AUDIT through the state data source — the judged
+    // frame is not a sink image but the CHECKPOINT'S STATE itself,
+    // read back as a DataFrame with `format("statestore")`. After a
+    // checkpointed keyed streaming aggregation drains the two-chunk
+    // feed, the state the engine carries per key must BE the batch
+    // aggregate (running aggregation state is the monotone
+    // accumulation of every row seen — chunk-split invariant), so the
+    // plain batch GROUP BY oracle judges the engine's INTERNALS, not
+    // just its output. This is the production state-audit move:
+    // inspecting a live job's keyed state for drift, skew, or bloat
+    // without stopping the job — the state source reads the
+    // checkpoint files, never the running query. The buffer columns
+    // surface under the engine's internal field names (`value.count`,
+    // `value.sum` — probed in a scratch drive, stable in 4.1.2).
+    "c49_state_audit" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("vm"),
+        col("event_id"))
+      val tmp = Stage.tempDir("graft-c49-").toString
+      val ckpt = s"$tmp/ckpt"
+      val feed = Stage.durableChunkFeed("feed-c49", dir)(Seq(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 =!= 0)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("vm",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType)))
+      RuntimeQueries.withStatePartitions(s, 8) {
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(feed)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("vm")).as("value_m"))
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
+          .start().awaitTermination()
+      }
+      s.read.format("statestore").load(ckpt)
+        .select(col("key.event_type").as("event_type"),
+          col("value.count").as("cnt"),
+          col("value.sum").as("value_m"))
+    }),
+
     // Partition BACKFILL with dynamic partition overwrite — the
     // maintenance move for every day-partitioned table at 100 TB:
     // late-arriving rows (or a logic fix) invalidate a bounded day
@@ -482,6 +536,13 @@ object Surface29Queries {
     // compaction changes file count and read cost, never what a probe
     // returns — the post-compaction probe answers the same oracle
     "e181_index_compact" -> SimilarityQueries.ivfMulti2Sql,
+    // the engine's carried state must BE the batch aggregate — the
+    // state source exposes internals, the oracle judges them
+    "c49_state_audit" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_m
+         FROM events GROUP BY event_type""",
     // a correct backfill splice is indistinguishable from recomputing
     // the world: the spliced table equals the plain full-corpus
     // aggregate (fixed-point value sums — the Surface12 vm idiom)

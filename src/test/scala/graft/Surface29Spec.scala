@@ -113,6 +113,20 @@ class Surface29Spec extends SparkSpec {
     assert(compacted == fresh, s"compacted $compacted != fresh $fresh")
   }
 
+  test("c49: the checkpoint's state store contents equal the batch " +
+    "aggregate — the engine's internals, not just its output") {
+    val state = SparkEntry.queries("c49_state_audit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val batch = graft.queries.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(state == batch, s"state $state != batch $batch")
+  }
+
   test("e182: the spliced table equals a first-principles full " +
     "aggregate, and the late slice was genuinely non-empty") {
     val out = SparkEntry.queries("e182_backfill_overwrite")(spark, dir)
