@@ -57,6 +57,12 @@ import graft.operators.{Dedup, Similarity, VectorIndex}
   *    batch answer — the production state-audit move (inspect a live
   *    job's keyed state for drift/skew/bloat without stopping it),
   *    judged on the plain batch aggregate oracle.
+  *  - `c50_tws_state_audit` — c49's audit generalized to CUSTOM
+  *    state: a `transformWithState` processor's named ValueState
+  *    (c23's `last` = (lastValue, count) per key) read back from the
+  *    RocksDB checkpoint via `option("stateVarName", ...)` and judged
+  *    on a batch `arg_max` oracle — user-defined state is as
+  *    auditable as engine aggregation buffers.
   *  - `e182_backfill_overwrite` — the partition-backfill splice every
   *    day-partitioned 100 TB table needs (late data / logic fix for a
   *    bounded day range): recompute ONLY the affected day partitions
@@ -419,6 +425,64 @@ object Surface29Queries {
           col("value.sum").as("value_m"))
     }),
 
+    // c49's audit generalized to CUSTOM state: a transformWithState
+    // processor's NAMED ValueState read back from the RocksDB
+    // checkpoint with `option("stateVarName", ...)`. The pipeline is
+    // c23's ordered-delta fold (ValueState "last" = (lastValue,
+    // count) per key, rows applied in seq order); after the drain the
+    // carried state per key must be (value at max seq, row count) —
+    // the batch arg_max oracle. User-defined state is as auditable as
+    // engine aggregation buffers: same reader, one option — which is
+    // what makes TWS operators debuggable in production (inspect a
+    // live job's custom state without instrumenting the processor).
+    // The raw doubles are PASSTHROUGH values (one row's value, never
+    // summed), so they hash identically cross-engine.
+    "c50_tws_state_audit" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val tmp = Stage.tempDir("graft-c50-").toString
+      val ckpt = s"$tmp/ckpt"
+      // the c23 feed verbatim (shared durable stage): key on
+      // event_type × user-bucket, seq = event_id
+      val feed = Stage.durableChunkFeed("feed-c23", dir)(Seq(
+        ev.select(
+          concat(col("event_type"), lit("-"),
+            (col("user_id") % 64).cast("string")).as("key"),
+          col("event_id").as("seq"),
+          col("value"))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(key)
+      // transformWithState REQUIRES RocksDB (multiple column
+      // families) — set unconditionally, restore after
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try RuntimeQueries.withStatePartitions(s, 8) {
+        graft.streaming.StatefulOps.orderedDeltaStream(
+          s.readStream.schema(schema).parquet(feed)
+            .as[graft.streaming.StatefulOps.SeqValue])
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow)
+          .start().awaitTermination()
+      } finally prevProvider match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+      s.read.format("statestore").option("stateVarName", "last")
+        .load(ckpt)
+        .select(col("key.value").as("key"),
+          col("value._1").as("last_value"),
+          col("value._2").as("n_seen"))
+    }),
+
     // Partition BACKFILL with dynamic partition overwrite — the
     // maintenance move for every day-partitioned table at 100 TB:
     // late-arriving rows (or a logic fix) invalidate a bounded day
@@ -543,6 +607,16 @@ object Surface29Queries {
            CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
              AS value_m
          FROM events GROUP BY event_type""",
+    // the TWS processor's carried (lastValue, count) per key must be
+    // the batch arg_max — custom state judged like engine buffers
+    "c50_tws_state_audit" ->
+      """WITH kv AS (SELECT
+           event_type || '-' || CAST(user_id % 64 AS VARCHAR) AS key,
+           event_id AS seq, value
+         FROM events)
+         SELECT key, arg_max(value, seq) AS last_value,
+           CAST(count(*) AS BIGINT) AS n_seen
+         FROM kv GROUP BY key""",
     // a correct backfill splice is indistinguishable from recomputing
     // the world: the spliced table equals the plain full-corpus
     // aggregate (fixed-point value sums — the Surface12 vm idiom)

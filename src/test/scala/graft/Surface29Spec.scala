@@ -127,6 +127,23 @@ class Surface29Spec extends SparkSpec {
     assert(state == batch, s"state $state != batch $batch")
   }
 
+  test("c50: the TWS ValueState contents equal the batch arg_max — " +
+    "custom state judged like engine buffers") {
+    val state = SparkEntry.queries("c50_tws_state_audit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val batch = graft.queries.Tables.events(spark, dir)
+      .select(concat(col("event_type"), lit("-"),
+          (col("user_id") % 64).cast("string")).as("key"),
+        col("event_id").as("seq"), col("value"))
+      .groupBy("key")
+      .agg(max_by(col("value"), col("seq")).as("last_value"),
+        count(lit(1)).as("n_seen"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(state == batch, s"state size ${state.size} != batch recount")
+  }
+
   test("e182: the spliced table equals a first-principles full " +
     "aggregate, and the late slice was genuinely non-empty") {
     val out = SparkEntry.queries("e182_backfill_overwrite")(spark, dir)
