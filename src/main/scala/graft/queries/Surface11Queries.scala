@@ -154,16 +154,37 @@ object Surface11Queries {
           .agg(count(lit(1)).as("n_lines"),
             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
               .as("revenue"))
-        // AQE decides at runtime, so the assert must read the SAME
-        // QueryExecution that ran (a .write plans a fresh one whose
-        // adaptive plan would still be the pre-execution snapshot):
-        // execute via toRdd, then check the finalized plan
-        val qe = joined.queryExecution
-        qe.toRdd.count()
-        val plan = qe.executedPlan.toString
+        // AQE decides at runtime, so the assert must read a
+        // QueryExecution that actually RAN. r18 ran the join twice for
+        // this (a toRdd.count() gate execution, then the judged write);
+        // now a QueryExecutionListener captures the WRITE's own
+        // post-execution QueryExecution — the gate inspects the very
+        // execution that produced the judged parquet, and the join runs
+        // once (guide §1.2: don't compute things you throw away).
+        val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+        val gate = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            seen.add(qe.executedPlan.toString)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        }
+        s.listenerManager.register(gate)
+        val plan =
+          try {
+            joined.write.mode("overwrite").parquet(s"$tmp/result")
+            // the listener bus is async; wait (bounded) for the write's
+            // QE to arrive
+            val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+            while (seen.isEmpty && System.nanoTime() < deadline)
+              Thread.sleep(5)
+            import scala.jdk.CollectionConverters._
+            seen.asScala.mkString("\n---\n")
+          } finally s.listenerManager.unregister(gate)
         require(plan.contains("skew=true"),
           s"AQE must split the skewed join partition:\n$plan")
-        joined.write.mode("overwrite").parquet(s"$tmp/result")
       } finally prev.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None)    => s.conf.unset(k)
