@@ -293,9 +293,13 @@ object Surface10Queries {
       // `coalesce(n)` can only LOWER the partition count, so the output
       // file count is ≤ 4 (exact value depends on how the scan packs
       // the 64 fragments, which varies with core count) — the judged
-      // contract is the bound, not the packing
+      // contract is the bound, not the packing. rows_src comes from the
+      // source parquet's FOOTER metadata (Tables.parquetRowCount) — the
+      // identical value ev.count() scanned a whole extra pass for; at
+      // 100 TB the layout already materializes this count (guide §1.2:
+      // don't re-compute what the storage layer records).
       after.agg(
-        lit(ev.count()).as("rows_src"),
+        lit(Tables.parquetRowCount(s, dir, "events")).as("rows_src"),
         count(lit(1)).as("rows_after"),
         lit(files(before)).as("files_before"),
         lit(files(after) <= 4L && files(after) >= 1L).as("compacted"))
