@@ -76,8 +76,12 @@ object StatsQueries {
           round(col("l_quantity") * 100).cast("long").as("ql"))
         .withColumn("ql2", col("ql") * col("ql"))
       val n = count(lit(1)).cast("double")
+      // r19: the narrow-decimal sum still kept a BigDecimal-backed
+      // buffer (precision 30 > the long-backed 18 cap); lsum aggregates
+      // the same exact integers as long limbs and reconstructs once per
+      // group — identical value, identical string→double rounding
       def moment(c: Column, scale: Double): Column =
-        sum(c.cast("decimal(20,0)")).cast("string").cast("double") / lit(scale)
+        lsum(c).cast("string").cast("double") / lit(scale)
       val s1 = moment(col("ql"), 1e2)
       val s2 = moment(col("ql2"), 1e4)
       val s3 = moment(col("ql2") * col("ql"), 1e6)

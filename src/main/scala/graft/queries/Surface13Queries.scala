@@ -60,7 +60,7 @@ object Surface13Queries {
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("O", "F", "P"))
         .agg(count(lit(1)).as("n"),
-          (sum(dec(col("o_totalprice"), 2)) * 100).cast("long")
+          (dsumDec(col("o_totalprice"), 2) * 100).cast("long")
             .as("price_c"))
         .select(col("o_orderpriority"),
           col("O_n").as("n_o"), col("O_price_c").as("price_c_o"),

@@ -125,12 +125,14 @@ object Surface18Queries {
         .select(col("event_type"), x.as("x"), col("value").as("y"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .as("sx"),
+          // r19: long-limb exact sums (lsum/lprodSum — same
+          // decimal(38,0) integers, codegen'd long buffers); x is an
+          // epoch-second offset ≤ ~2.6e6 so x·x ≤ ~7e12 fits a long
+          // per row at any sf
+          lsum(col("x")).as("sx"),
           dsumDec(col("y"), 2).as("sy"),
           dsumDec(col("x") * col("y"), 2).as("sxy"),
-          sum((col("x") * col("x"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sxx"))
+          lprodSum(col("x"), col("x")).as("sxx"))
       val nd = col("n").cast("double")
       def d(c: String) = col(c).cast("string").cast("double")
       val slope = (nd * d("sxy") - d("sx") * d("sy")) /

@@ -161,16 +161,22 @@ object Surface21Queries {
         .join(spansFor("y"), Seq("g", "y"))
         .withColumn("rx", col("rx").cast("long"))
         .withColumn("ry", col("ry").cast("long"))
-      // product sums in DECIMAL(38,0): at x10 data (~6M rows/group,
-      // doubled ranks ~1.2e7) Σrx·ry exceeds long range BEFORE the
-      // final formula does — the sum itself must be wide
-      def pdec(c: Column) = c.cast("decimal(38,0)")
+      // product sums must be WIDE (at x10 data — ~6M rows/group,
+      // doubled ranks ~1.2e7 — Σrx·ry exceeds long range before the
+      // final formula does), but r18's decimal(38,0)-cast per-row
+      // products paid a BigDecimal multiply + BigDecimal-backed
+      // aggregation buffer per row. r19: Tables.lprodSum/lsum compute
+      // the identical exact integers through long-limb partial sums
+      // (pure integer identity — no rounding anywhere), recombined to
+      // the same decimal(38,0) once per group; valid through doubled
+      // ranks < ~2e12 at ~9e12 rows (≫ a 100 TB lineitem), with the
+      // decimal-cast form as the documented fallback beyond that.
       val agg = ranked.groupBy("g").agg(
         count(lit(1)).as("n"),
-        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-        sum(pdec(col("rx")) * col("ry")).as("sxy"),
-        sum(pdec(col("rx")) * col("rx")).as("sxx"),
-        sum(pdec(col("ry")) * col("ry")).as("syy"))
+        lsum(col("rx")).as("sx"), lsum(col("ry")).as("sy"),
+        lprodSum(col("rx"), col("ry")).as("sxy"),
+        lprodSum(col("rx"), col("rx")).as("sxx"),
+        lprodSum(col("ry"), col("ry")).as("syy"))
       // final products exceed long range past sf0.1 (n·sxx ≈ 6e21);
       // DECIMAL(38,0) keeps them exact (HUGEINT on the oracle side),
       // with the one cast to double after the subtraction

@@ -94,12 +94,19 @@ object Surface23Queries {
     * place per engine.
     */
   private def pivotedF(dev: DataFrame, meanName: String): DataFrame = {
+    // r19: Σz and Σz² flow through the long-limb exact sums
+    // (Tables.lsum / lprodSum — pure integer identities, same
+    // decimal(38,0) values as the dec38-cast sums they replace) so the
+    // fact-scale aggregate runs on codegen'd longs instead of
+    // BigDecimal-backed buffers. z is integer cents (|z| ≤ ~10⁷ at any
+    // sf — per-row values don't grow with the corpus), so z·z ≤ ~10¹⁴
+    // fits a long per row and the limb sums hold past 9e12 rows.
     def n1(f: String) = sum(when(col("l_returnflag") === f, 1L)
       .otherwise(0L)).as(s"n_$f")
-    def s1(f: String) = sum(when(col("l_returnflag") === f,
-      dec38(col("z"))).otherwise(lit(0L))).as(s"s1_$f")
-    def s2(f: String) = sum(when(col("l_returnflag") === f,
-      dec38(col("z")) * col("z")).otherwise(lit(0L))).as(s"s2_$f")
+    def zg(f: String) = when(col("l_returnflag") === f, col("z"))
+      .otherwise(lit(0L))
+    def s1(f: String) = Tables.lsum(zg(f)).as(s"s1_$f")
+    def s2(f: String) = Tables.lprodSum(zg(f), zg(f)).as(s"s2_$f")
     val ag = dev.agg(n1("A"), n1("N"), n1("R"),
       s1("A"), s1("N"), s1("R"), s2("A"), s2("N"), s2("R"))
     val nt = d(col("n_A") + col("n_N") + col("n_R"))

@@ -138,6 +138,44 @@ object Tables {
       .cast(DecimalType(38, scale))
   }
 
+  /** Exact sum of a LONG column as DecimalType(38, 0), aggregated as
+    * three long limbs (base 10⁶) under whole-stage codegen instead of
+    * a BigDecimal-backed decimal buffer — value-identical to
+    * `sum(c.cast(DecimalType(38, 0)))` by pure integer identity
+    * (u = hi·10¹² + mid·10⁶ + lo for truncated div/mod, either sign;
+    * no rounding exists anywhere on this path). Valid while each limb
+    * sum fits a long: |c| < 10¹⁸ per row and ≲ 9·10¹² rows per
+    * group-set (hi ≤ |c|/10¹² caps the hi-limb sum correspondingly —
+    * for rank-like values ≤ ~10¹² that is ~9·10¹² rows again).
+    */
+  def lsum(c: Column): Column = {
+    val limb = 1000000L
+    (sum((c / (limb * limb)).cast(LongType)).cast(DecimalType(38, 0)) *
+      lit(limb * limb) +
+      sum(((c / limb).cast(LongType)) % limb).cast(DecimalType(38, 0)) *
+        lit(limb) +
+      sum(c % limb).cast(DecimalType(38, 0)))
+  }
+
+  /** Exact Σ x·y over LONG columns as DecimalType(38, 0) — the
+    * fixed-point form of `sum(x.cast(decimal(38,0)) * y)` for
+    * rank-style products whose per-row value can exceed a long
+    * (ranks ~10¹² square to ~10²⁴). Split x = a·10⁶ + b (truncated
+    * div/mod, sign-correct); then x·y = (a·y)·10⁶ + b·y with each
+    * partial product |a·y| ≤ (|x|/10⁶)·|y| and |b·y| < 10⁶·|y| — both
+    * inside long for |x|, |y| < ~2·10¹² (doubled ranks at ~10¹² rows).
+    * Each partial is limb-summed exactly ([[lsum]]) and the total
+    * recombines in decimal(38,0) — integer-exact at any partitioning,
+    * same ~9·10¹² row headroom. The decimal(38,0)-cast product form
+    * stays the fallback beyond that regime.
+    */
+  def lprodSum(x: Column, y: Column): Column = {
+    val limb = 1000000L
+    val a = (x / limb).cast(LongType)
+    val b = x % limb
+    (lsum(a * y) * lit(limb) + lsum(b * y))
+  }
+
   /** Exact row count of a parquet table from file FOOTER metadata only —
     * a driver-side open of each footer (KBs each), no Spark job, no data
     * pages read. This is how capacity bounds (bloom filter sizing, hash
