@@ -122,11 +122,13 @@ object Tables {
     val limb = 1000000L
     val u = floor(c * lit(math.pow(10, scale)) + lit(0.5)).cast(LongType)
     // truncated-toward-zero div/mod identity u = hi·10¹² + mid·10⁶ + lo
-    // holds for either sign; the double division is exact because
-    // |u| < 2^50 ≪ 2^53
+    // holds for either sign; SQL `div` is exact integral division at
+    // any magnitude (a double division would only be exact below 2^53)
+    def ldiv(a: Column, b: Long): Column =
+      call_function("div", a, lit(b))
     val lo = sum(u % limb)
-    val mid = sum(((u / limb).cast(LongType)) % limb)
-    val hi = sum((u / (limb * limb)).cast(LongType))
+    val mid = sum(ldiv(u, limb) % limb)
+    val hi = sum(ldiv(u, limb * limb))
     val totalUnscaled =
       hi.cast(DecimalType(38, 0)) * lit(limb * limb) +
         mid.cast(DecimalType(38, 0)) * lit(limb) +
@@ -150,9 +152,13 @@ object Tables {
     */
   def lsum(c: Column): Column = {
     val limb = 1000000L
-    (sum((c / (limb * limb)).cast(LongType)).cast(DecimalType(38, 0)) *
+    // integral `div` (never double division, which is only exact below
+    // 2^53 — limb inputs from [[lprodSum]] legitimately reach ~10^18)
+    def ldiv(a: Column, b: Long): Column =
+      call_function("div", a, lit(b))
+    (sum(ldiv(c, limb * limb)).cast(DecimalType(38, 0)) *
       lit(limb * limb) +
-      sum(((c / limb).cast(LongType)) % limb).cast(DecimalType(38, 0)) *
+      sum(ldiv(c, limb) % limb).cast(DecimalType(38, 0)) *
         lit(limb) +
       sum(c % limb).cast(DecimalType(38, 0)))
   }
@@ -171,7 +177,7 @@ object Tables {
     */
   def lprodSum(x: Column, y: Column): Column = {
     val limb = 1000000L
-    val a = (x / limb).cast(LongType)
+    val a = call_function("div", x, lit(limb))
     val b = x % limb
     (lsum(a * y) * lit(limb) + lsum(b * y))
   }
