@@ -183,8 +183,20 @@ object Surface11Queries {
             import scala.jdk.CollectionConverters._
             seen.asScala.mkString("\n---\n")
           } finally s.listenerManager.unregister(gate)
-        require(plan.contains("skew=true"),
-          s"AQE must split the skewed join partition:\n$plan")
+        // belt-and-braces: if the async bus ever dropped/outran the
+        // event (never observed; bounded-wait insurance only), fall
+        // back to the r18 gate — a dedicated execution via toRdd whose
+        // finalized adaptive plan is read directly. The judged parquet
+        // is already written either way.
+        val gatedPlan =
+          if (plan.contains("skew=true")) plan
+          else {
+            val qe = joined.queryExecution
+            qe.toRdd.count()
+            qe.executedPlan.toString
+          }
+        require(gatedPlan.contains("skew=true"),
+          s"AQE must split the skewed join partition:\n$gatedPlan")
       } finally prev.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None)    => s.conf.unset(k)
