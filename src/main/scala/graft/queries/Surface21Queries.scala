@@ -142,41 +142,72 @@ object Surface21Queries {
       // doubled average ranks WITHOUT a per-group row sort: for a
       // value with rank span [__lo, __hi], 2·avgrank = __lo + __hi —
       // so the ranks come from the rank-span CDF (hash agg to the
-      // distinct-value histogram + the range-partitioned span pass)
-      // joined back to rows on (group, value). At ×100 data the
-      // previous windowed form was sort-bound (83 s, n log n over
-      // 20 M rows/group); the span form's heavy steps are hash
-      // exchanges on (group, value) — the q108/q111 shape.
+      // distinct-value histogram + the range-partitioned span pass).
+      // At ×100 data the r12 windowed form was sort-bound (83 s,
+      // n log n over 20 M rows/group); r13–r19 joined both span
+      // frames back to the FACT rows, paying TWO fact-scale hash
+      // exchanges and a 24-sum fact-scale moment aggregate. r20
+      // (guide §2.3/§2.4 — shuffle fewer bytes, remove exchanges):
+      //  1. every MARGINAL moment (n, Σrx, Σrx², Σry, Σry²) is a
+      //     weighted sum over its own span frame — Σ_rows f(r) =
+      //     Σ_values __n·f(r) exactly, because r is constant per
+      //     (g, value). No join, no fact pass: histogram-sized aggs.
+      //  2. only the CROSS moment Σ rx·ry touches the fact, and rx
+      //     is constant given (g, x) — so Σ rx·ry =
+      //     Σ_x rx·(Σ_{rows with x} ry): ONE fact-scale join attaches
+      //     ry (the high-cardinality side), a groupBy (g, x) whose
+      //     exchange carries only x-domain-sized limb partials
+      //     (map-side combine), and rx multiplies in on the x-span
+      //     frame (x-domain rows, broadcast).
+      // Net: 2 fact exchanges → 1, and the fact-scale agg shrinks
+      // from 24 sums to the 3 limb sums of Σry. The full
+      // joint-histogram form ((g,x,y)→w first, spans joined to the
+      // cells) was measured and REJECTED for the judged shape: at
+      // sf0.1 prices are near-unique, cells ≈ rows, and it ran
+      // 5.5–6.8 s vs 3.9–4.6 s for the fact forms (the histogram
+      // build is pure overhead until the joint domain compresses);
+      // at extreme joint-domain compression it becomes the better
+      // shape and stays the documented alternative (see
+      // OPTIMIZATION_r20.md).
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-      def spansFor(v: String): DataFrame =
+      def spans(v: String): DataFrame =
         graft.operators.Quantiles.rankSpans(
           li.groupBy(col("g"), col(v))
             .agg(count(lit(1)).as("__n")), Seq("g"), v)
-          .select(col("g"), col(v),
-            (col("__lo") + col("__hi")).as(s"r$v"))
-      val ranked = li
-        .join(spansFor("x"), Seq("g", "x"))
-        .join(spansFor("y"), Seq("g", "y"))
-        .withColumn("rx", col("rx").cast("long"))
-        .withColumn("ry", col("ry").cast("long"))
-      // product sums must be WIDE (at x10 data — ~6M rows/group,
+          .withColumn("r", (col("__lo") + col("__hi")).cast("long"))
+      val xs = spans("x"); val ys = spans("y")
+      // moment sums must be WIDE (at x10 data — ~6M rows/group,
       // doubled ranks ~1.2e7 — Σrx·ry exceeds long range before the
-      // final formula does), but r18's decimal(38,0)-cast per-row
-      // products paid a BigDecimal multiply + BigDecimal-backed
-      // aggregation buffer per row. r19: Tables.lprodSum/lsum compute
-      // the identical exact integers through long-limb partial sums
-      // (pure integer identity — no rounding anywhere), recombined to
-      // the same decimal(38,0) once per group; valid through doubled
-      // ranks < ~2e12 at ~9e12 rows (≫ a 100 TB lineitem), with the
+      // final formula does), but a decimal(38,0)-cast per-row product
+      // would pay a BigDecimal multiply + BigDecimal-backed buffer
+      // per row. Tables.lprodSum/lprodSum3 compute the identical
+      // exact integers through long-limb partial sums (pure integer
+      // identity — no rounding anywhere), recombined to the same
+      // decimal(38,0) once per group; valid through doubled ranks
+      // < ~2e12 at ~1.3e12 rows per group-set (≈ 2× a 100 TB
+      // lineitem; the n³ term of Σ__n·r² binds first), with the
       // decimal-cast form as the documented fallback beyond that.
-      val agg = ranked.groupBy("g").agg(
-        count(lit(1)).as("n"),
-        lsum(col("rx")).as("sx"), lsum(col("ry")).as("sy"),
-        lprodSum(col("rx"), col("ry")).as("sxy"),
-        lprodSum(col("rx"), col("rx")).as("sxx"),
-        lprodSum(col("ry"), col("ry")).as("syy"))
+      def marg(sp: DataFrame, pre: String): DataFrame =
+        sp.groupBy("g").agg(
+          sum(col("__n")).as(s"n_$pre"),
+          lprodSum(col("r"), col("__n")).as(s"s$pre"),
+          lprodSum3(col("__n"), col("r"), col("r")).as(s"s$pre$pre"))
+      val tGx = li
+        .join(ys.select(col("g"), col("y"), col("r").as("ry")),
+          Seq("g", "y"))
+        .groupBy("g", "x").agg(lsum(col("ry")).as("t"))
+      val sxy = tGx
+        .join(broadcast(xs.select(col("g"), col("x"), col("r").as("rx"))),
+          Seq("g", "x"))
+        .groupBy("g")
+        .agg(sum(col("rx").cast("decimal(38,0)") * col("t")).as("sxy"))
+      // n = Σ__n over the x spans is the exact fact row count the
+      // previous fact-scale count(1) produced
+      val agg = marg(xs, "x").join(marg(ys, "y"), "g").join(sxy, "g")
+        .select(col("g"), col("n_x").as("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy"))
       // final products exceed long range past sf0.1 (n·sxx ≈ 6e21);
       // DECIMAL(38,0) keeps them exact (HUGEINT on the oracle side),
       // with the one cast to double after the subtraction

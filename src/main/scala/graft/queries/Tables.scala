@@ -182,6 +182,32 @@ object Tables {
     (lsum(a * y) * lit(limb) + lsum(b * y))
   }
 
+  /** Exact Σ w·x·y over LONG columns as DecimalType(38, 0) — the
+    * HISTOGRAM-weighted form of [[lprodSum]] for rank products over a
+    * collapsed `(group, x, y) → w` frame: Σ_rows x·y = Σ_cells w·x·y
+    * when x and y are constant within a cell. Split x = a₁·10⁶ + b₁,
+    * y = a₂·10⁶ + b₂ (truncated div/mod, sign-correct); then
+    * x·y = A·10¹² + B·10⁶ + C with A = a₁a₂, B = a₁b₂ + a₂b₁,
+    * C = b₁b₂, each a per-row LONG of magnitude ≤ ~4.4·10¹² for
+    * |x|, |y| < ~2.1·10¹² (doubled ranks at ~10¹² rows). Each
+    * Σ w·{A,B,C} runs through [[lprodSum]] (splitting the ≤4.4·10¹²
+    * factor, weighting by w), so every per-row partial product stays
+    * ≤ 4.4·10⁶·w — inside long for cell counts w < ~2·10¹² — and every
+    * limb sum is bounded by Σw = the total ROW count (≤ ~9·10¹²), not
+    * the cell count. Integer-exact at any partitioning; the
+    * decimal(38,0)-cast triple product stays the documented fallback
+    * beyond that regime.
+    */
+  def lprodSum3(w: Column, x: Column, y: Column): Column = {
+    val limb = 1000000L
+    def d(c: Column) = call_function("div", c, lit(limb))
+    val a1 = d(x); val b1 = x % limb
+    val a2 = d(y); val b2 = y % limb
+    (lprodSum(a1 * a2, w) * lit(limb * limb) +
+      lprodSum(a1 * b2 + a2 * b1, w) * lit(limb) +
+      lprodSum(b1 * b2, w))
+  }
+
   /** Exact row count of a parquet table from file FOOTER metadata only —
     * a driver-side open of each footer (KBs each), no Spark job, no data
     * pages read. This is how capacity bounds (bloom filter sizing, hash

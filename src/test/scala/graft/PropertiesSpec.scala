@@ -294,6 +294,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("lprodSum3: weighted triple product sums are integer-exact at " +
+      "the documented rank magnitudes") {
+    // Tables.lprodSum3(w, x, y) must equal Σ w·x·y in exact integer
+    // arithmetic for |x|, |y| up to the doubled-rank bound (~2·10¹²)
+    // and large cell weights — adversarial magnitudes where a naive
+    // long product overflows by a factor of ~10⁵. Reference side:
+    // BigDecimal over the same rows.
+    import graft.queries.Tables
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { _ =>
+      val x = (rnd.nextLong() % 2100000000000L)
+      val y = (rnd.nextLong() % 2100000000000L)
+      val w = math.abs(rnd.nextLong() % 1000000000L)
+      (w, x, y)
+    } ++ Seq((0L, 2099999999999L, 2099999999999L),
+      (999999999999L, 2099999999999L, -2099999999999L),
+      (1L, -1L, 1L), (7L, 0L, 123L))
+    val df = rows.toDF("w", "x", "y")
+    val got = df.agg(Tables.lprodSum3(col("w"), col("x"), col("y")))
+      .head().getDecimal(0)
+    val exp = rows.map { case (w, x, y) =>
+      java.math.BigDecimal.valueOf(w)
+        .multiply(java.math.BigDecimal.valueOf(x))
+        .multiply(java.math.BigDecimal.valueOf(y))
+    }.reduce(_ add _)
+    assert(got.compareTo(exp) == 0, s"limb $got != exact $exp")
+  }
+
   test("dsum fixed-point precondition holds on the staged tables " +
       "and provably breaks on off-grid doubles") {
     // dsum/dsumDec (Tables.scala) replace `sum(cast(x as decimal(38,s)))`
