@@ -219,10 +219,10 @@ object Surface29Queries {
     // verbatim.
     "c47_stream_components" -> ((s, dir) => {
       val pairs = DedupQueries.candidatePairs(s, dir)
-      val baseLabels = Stage.durableFrame(s, "cc-base", dir) {
+      val basePath = Stage.durableDir("cc-base", dir, "_SUCCESS") { stage =>
         Dedup.connectedComponents(
           pairs.where(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0),
-          "id_a", "id_b")
+          "id_a", "id_b").write.mode("overwrite").parquet(stage.toString)
       }
       val deltaEdges = pairs
         .where(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
@@ -231,7 +231,18 @@ object Surface29Queries {
         deltaEdges.where(col("id_a") % 2 =!= 0)))
       val tmp = Stage.tempDir("graft-c47-").toString
       val ckpt = s"$tmp/ckpt"
-      baseLabels.write.mode("overwrite").parquet(s"$tmp/labels-v0")
+      // seed the per-run v0 from the staged label fixture by FILE COPY
+      // — the same parquet bytes; r19 re-encoded them through a Spark
+      // write (a full read+write job) on every invocation
+      locally {
+        val v0 = java.nio.file.Paths.get(tmp, "labels-v0")
+        java.nio.file.Files.createDirectories(v0)
+        new java.io.File(basePath.toString).listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith(".")
+            && !f.getName.startsWith("_"))
+          .foreach(f => java.nio.file.Files.copy(
+            f.toPath, v0.resolve(f.getName)))
+      }
       @volatile var last = 0L
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id_a",

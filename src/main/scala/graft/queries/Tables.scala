@@ -214,17 +214,28 @@ object Tables {
     * table pre-allocation) should be derived at 100 TB: the count is
     * already materialized in the layout, so never pay a scan for it.
     */
-  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
+  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long =
+    parquetRowCountAt(spark, s"$dir/$name.parquet")
+
+  /** [[parquetRowCount]] for an arbitrary parquet file-or-directory
+    * path (staged feeds, sink dirs) — same footer-only discipline.
+    */
+  def parquetRowCountAt(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    // recurse through partition-style subdirectories (epoch=N sinks)
+    def walk(st: org.apache.hadoop.fs.FileStatus)
+        : Seq[org.apache.hadoop.fs.FileStatus] = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else Seq(st)
+    }
+    val rootSt = fs.getFileStatus(root)
     val files =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }.toSeq
-      else Seq(fs.getFileStatus(root))
+      if (rootSt.isDirectory) fs.listStatus(root).toSeq.flatMap(walk)
+      else Seq(rootSt)
     files.map { st =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, conf)
