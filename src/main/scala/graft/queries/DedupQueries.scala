@@ -54,18 +54,25 @@ object DedupQueries {
         "doc_id", "sh", minhashK, bands)
     }),
 
-    // SimHash (32-bit, expression-only) per document; token hashes are
-    // projected once, then 32 bit-folds reuse the array. Zero-token docs
-    // are filtered on BOTH sides: the oracle's unnest() drops them
-    // implicitly, so without this guard Spark would emit simhash=0 rows
-    // the oracle never produces (latent, data-dependent divergence)
-    "e1_simhash" -> ((s, dir) =>
+    // SimHash (32-bit) per document; token hashes are projected once,
+    // then the bit-vote fold runs in the NATIVE codegen expression
+    // (simhash_fold — bit-identical to Dedup.simhashOfHashes's 32 HOF
+    // folds, OperatorsSpec equality property; the Surface4 simhash60
+    // path took the same step in r16 after the HOF form measured ~12 s
+    // of a 17 s query at the 10× corpus: one tight two-level loop, no
+    // per-token lambda dispatch). Zero-token docs are filtered on BOTH
+    // sides: the oracle's unnest() drops them implicitly, so without
+    // this guard Spark would emit simhash=0 rows the oracle never
+    // produces (latent, data-dependent divergence)
+    "e1_simhash" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       tBalanced(s, dir, "documents")
         .select(col("doc_id"),
           Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
         .where(size(col("th")) > 0)
         .select(col("doc_id"),
-          Dedup.simhashOfHashes(col("th")).as("simhash"))),
+          call_function("simhash_fold", col("th"), lit(32)).as("simhash"))
+    }),
 
     // n-gram Jaccard on a bounded candidate set (doc_id < 30 → ≤435
     // pairs): the verification stage that follows LSH candidate gen

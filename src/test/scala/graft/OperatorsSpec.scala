@@ -331,6 +331,19 @@ class OperatorsSpec extends SparkSpec {
     both.foreach { case (h, n) => assert(h === n) }
     // 60-bit range: positive, above 32-bit for real token sets
     both.take(3).foreach { case (h, _) => assert(h > 0L) }
+    // 32-bit width too (the e1_simhash judged path): same votes, same
+    // sign rule over the 32-bit token hashes
+    val both32 = df
+      .select(Dedup.tokenHashes(
+        TextAnalysis.tokens(lit("spark scans parquet fast and wide"))
+      ).as("th32"))
+      .unionAll(df.select(Dedup.tokenHashes(
+        TextAnalysis.tokens(lit("a totally different document body"))
+      ).as("th32")))
+      .select(Dedup.simhashOfHashes(col("th32")).as("hof"),
+        call_function("simhash_fold", col("th32"), lit(32)).as("native"))
+      .as[(Long, Long)].collect()
+    both32.foreach { case (h, n) => assert(h === n) }
   }
 
   test("ngram jaccard: identical docs = 1.0; disjoint docs absent (E1)") {
